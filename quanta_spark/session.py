@@ -1,0 +1,104 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing runs on ``local[N]`` but every config choice is
+made for a real multi-executor cluster at 10^12-turn scale:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so the
+  physical plan adapts to the actual shuffle sizes.
+- Arrow on: every Python-side transform is a vectorized pandas UDF —
+  the reference's per-event gRPC hop (runner.go:142) becomes an
+  Arrow batch crossing, never per-row Python.
+- RocksDB state store for streaming state (session windows, stateful
+  joins, turn-ordering state) so state >> heap is spillable.
+- shuffle partitions sized to parallelism, overridable per run.
+- UTC session timezone so results compare bit-exactly against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+# RocksDB provider ships with Spark 3.2+; keeps streaming state off-heap
+# and spillable — required posture for 10^12-turn state.
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def get_spark(
+    app_name: str = "quanta_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    use_rocksdb: bool = True,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` means ``local[*]``. On a real cluster the master is
+    taken from the environment (spark-submit) and ``cores`` is ignored.
+    """
+    env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and env_cores:
+        cores = int(env_cores)
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_par = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_par))
+        .config("spark.default.parallelism", str(n_par))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # streaming: local FS checkpoints are fine in tests; on a cluster
+        # this must point at durable storage (S3/HDFS) via the pipeline spec.
+        .config("spark.sql.streaming.stateStore.compression.codec", "zstd")
+        # parquet scan tuning: at 100 TB the scan must split well.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # stages merge attribute maps; last write wins (reference merges
+        # EventMetadata headers the same way, runner.go:104-117)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    # Only set master when not already running under spark-submit --master.
+    if "SPARK_SUBMIT_MASTER" not in os.environ:
+        builder = builder.master(master)
+    if use_rocksdb:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``quanta_spark`` importable inside executor Python workers —
+    the programmatic equivalent of ``spark-submit --py-files``. Without
+    this, any pandas-UDF stage fails with ModuleNotFoundError whenever
+    the driver script runs outside the repo root (and on any real
+    multi-node cluster)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_quanta_pkg_shipped", False):
+        return
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="quanta_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "quanta_spark_pkg"),
+        "zip",
+        root_dir=pkg_parent,
+        base_dir="quanta_spark",
+    )
+    sc.addPyFile(zip_path)
+    sc._quanta_pkg_shipped = True

@@ -1,0 +1,112 @@
+"""Source builders — the engine's scan operators.
+
+The reference's source layer is a pluggable adapter registry
+(source/kafka/registry.go:5-18) whose only real driver is a Sarama
+Kafka consumer (source/kafka/driver_sarama.go:71-214) with
+``start_from: oldest|newest`` (driver_sarama.go:57-62) and
+token-bucket admission control (backpressure.go:9-85). Spark
+equivalents:
+
+- adapter registry            -> ``format(...)`` strings + this factory
+- start_from oldest/newest    -> startingOffsets earliest/latest
+- backpressure token bucket   -> maxFilesPerTrigger / maxOffsetsPerTrigger
+  (pull-based micro-batches are inherently backpressured; the knob
+  bounds per-batch intake exactly like the capped tracker,
+  checkpoint.go:64-98)
+
+File-stream sources attach ``_src_file`` (from the file-source
+``_metadata`` column) so the sink can record per-partition lineage —
+the Spark analog of the CheckpointToken round-trip (frame.proto:24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quanta_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcripts_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch scan of a transcript parquet directory/table."""
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def stream_transcripts_files(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+    schema: T.StructType | None = None,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """File-based streaming source over a parquet directory.
+
+    ``max_files_per_trigger`` is the admission-control knob (reference:
+    capped tracker, checkpoint.go:64-98 — bounds the in-flight window).
+    """
+    reader = spark.readStream.schema(schema or TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("latestFirst", "false").parquet(path)
+    if with_lineage:
+        df = df.withColumn("_src_file", F.col("_metadata.file_path"))
+    return df
+
+
+def stream_kafka(  # pragma: no cover - kafka connector jar not in this image
+    spark: SparkSession,
+    bootstrap: str,
+    topics: str,
+    start_from: str = "oldest",
+    max_offsets_per_trigger: int | None = 30000,
+) -> DataFrame:
+    """Kafka source matching the reference's consumer semantics.
+
+    ``start_from`` uses the reference's vocabulary (oldest/newest,
+    source/kafka/config.go:86-88); the default offsets cap mirrors the
+    reference's default backpressure capacity of 30,000 in-flight
+    frames (config.go:74-76).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option(
+            "startingOffsets", "earliest" if start_from == "oldest" else "latest"
+        )
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.load()
+
+
+def stream_rate_transcripts(
+    spark: SparkSession, rows_per_second: int = 1000, n_convs: int = 100
+) -> DataFrame:
+    """Synthetic unbounded transcript stream from the rate source —
+    useful for soak/throughput tests without pre-generated files.
+    Text is a deterministic function of the row value."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.format_string("conv-%08d", (F.col("value") % n_convs)).alias("conv_id"),
+        (F.col("value") / n_convs).cast("int").alias("turn_idx"),
+        F.when((F.col("value") / n_convs).cast("int") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.format_string("msg %d", F.col("value")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+SOURCE_FACTORIES = {
+    "parquet-stream": stream_transcripts_files,
+    "kafka": stream_kafka,
+    "rate": stream_rate_transcripts,
+    "parquet-batch": read_transcripts_batch,
+}
