@@ -176,3 +176,29 @@ def write_transcripts(
         )
         pq.write_table(table, os.path.join(out_dir, f"part-{k:05d}.parquet"))
     return out_dir
+
+
+HEARTBEAT_CONV = "__heartbeat__"
+
+
+def write_heartbeat_file(out_dir: str, ts: pd.Timestamp, name: str = "zz-heartbeat") -> str:
+    """Append a single synthetic row with a far-future timestamp to a
+    stream directory. Purpose: advance the event-time watermark past
+    all real data so append-mode windows finalize and stateful
+    timeouts fire at end-of-stream (tests/bench drain helper). Filter
+    ``conv_id == HEARTBEAT_CONV`` out of results."""
+    row = pd.DataFrame(
+        {
+            "conv_id": pd.array([HEARTBEAT_CONV], dtype="string"),
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": pd.array(["system"], dtype="string"),
+            "text": pd.array(["heartbeat"], dtype="string"),
+            "tool": pd.array([None], dtype="string"),
+            "ts": pd.to_datetime([ts]).astype("datetime64[us]"),
+        }
+    )
+    path = os.path.join(out_dir, f"{name}.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(row, schema=_ARROW_SCHEMA, preserve_index=False), path
+    )
+    return path

@@ -1,0 +1,117 @@
+"""Stateful core: per-conversation turn-ordering enforcement
+(applyInPandasWithState) and the user↔reply stream-stream join,
+verified against batch/pandas oracles (SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from quanta_spark.datagen import (
+    HEARTBEAT_CONV,
+    GenSpec,
+    generate,
+    write_heartbeat_file,
+    write_transcripts,
+)
+from quanta_spark.operators.stateful import enforce_turn_order, join_user_replies
+from quanta_spark.sources.readers import read_transcripts_batch, stream_transcripts_files
+from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+SPEC = GenSpec(n_convs=40, mean_turns=10, seed=44, late_frac=0.0, shuffle_frac=0.25)
+
+
+def _run_stream(spark, tmp_workdir, op, spec=SPEC, n_files=8, per_trigger=1):
+    data_dir = os.path.join(tmp_workdir, "in")
+    write_transcripts(data_dir, spec, n_files=n_files)
+    batches: list[tuple[int, list]] = []
+
+    def collect(batch_df, batch_id):
+        batches.append((batch_id, batch_df.collect()))
+
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=per_trigger, with_lineage=False
+    )
+    h = start_pipeline(op(src), collect, os.path.join(tmp_workdir, "ckpt"))
+    h.process_all_available()
+    write_heartbeat_file(
+        data_dir, generate(spec)["ts"].max() + pd.Timedelta(days=30)
+    )
+    run_to_completion(h)
+    return batches
+
+
+def test_turn_order_enforced_streaming(spark, tmp_workdir):
+    """Rows arrive out of turn order (shuffle_frac=0.25 within the
+    watermark); the operator must emit each conversation's turns in
+    contiguous turn_idx order across batches, with no dup and no loss."""
+    batches = _run_stream(
+        spark, tmp_workdir, lambda src: enforce_turn_order(src, watermark="1 hour")
+    )
+    emitted: dict[str, list[int]] = {}
+    for _bid, rows in batches:
+        for r in rows:
+            if r["conv_id"] != HEARTBEAT_CONV:
+                emitted.setdefault(r["conv_id"], []).append(r["turn_idx"])
+
+    want = generate(SPEC)
+    sizes = want.groupby("conv_id").size()
+    assert set(emitted) == set(sizes.index.astype(str))
+    for conv, idxs in emitted.items():
+        # emission order IS turn order: contiguous from 0, no dup/loss
+        assert idxs == list(range(len(idxs))), f"{conv}: out of order {idxs[:10]}"
+        assert len(idxs) == sizes[conv]
+
+
+def test_turn_order_input_was_actually_shuffled(tmp_workdir):
+    """Guard: the fixture really delivers out-of-order rows (otherwise
+    the previous test proves nothing)."""
+    pdf = generate(SPEC).sort_values("arrival_ts", kind="mergesort")
+    disorder = (pdf.groupby("conv_id")["turn_idx"].diff() < 0).sum()
+    assert disorder > 20
+
+
+def test_turn_order_batch_mode_equals_sort(spark, transcripts_dir, small_spec):
+    df = read_transcripts_batch(spark, transcripts_dir)
+    got = enforce_turn_order(df).toPandas().sort_values(["conv_id", "turn_idx"])
+    want = generate(small_spec)
+    assert len(got) == len(want)
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_workdir):
+    """Streaming user↔reply join at final watermark == the same join
+    run in batch over the whole input (pandas merge oracle)."""
+    batches = _run_stream(
+        spark,
+        tmp_workdir,
+        lambda src: join_user_replies(src, watermark="1 hour", max_reply_delay="30 minutes"),
+        per_trigger=2,
+    )
+    got = pd.DataFrame(
+        [r.asDict() for _bid, rows in batches for r in rows]
+    )
+    got = got[got["conv_id"] != HEARTBEAT_CONV].sort_values(
+        ["conv_id", "user_turn_idx"]
+    ).reset_index(drop=True)
+
+    pdf = generate(SPEC).drop(columns=["arrival_ts"])
+    users = pdf[pdf.role == "user"][["conv_id", "turn_idx", "ts"]].rename(
+        columns={"turn_idx": "user_turn_idx", "ts": "user_ts"}
+    )
+    reps = pdf[pdf.role.isin(["assistant", "tool"])][
+        ["conv_id", "turn_idx", "ts"]
+    ].rename(columns={"turn_idx": "reply_turn_idx", "ts": "reply_ts"})
+    want = users.merge(reps, on="conv_id")
+    want = want[
+        (want.reply_turn_idx == want.user_turn_idx + 1)
+        & (want.reply_ts >= want.user_ts)
+        & (want.reply_ts <= want.user_ts + pd.Timedelta(minutes=30))
+    ].sort_values(["conv_id", "user_turn_idx"]).reset_index(drop=True)
+
+    assert len(got) == len(want), f"join rows {len(got)} != oracle {len(want)}"
+    assert (got["user_turn_idx"].to_numpy() == want["user_turn_idx"].to_numpy()).all()
+    assert (got["reply_latency_s"] >= 0).all()
+    assert (got["reply_latency_s"] <= 1800).all()
