@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Headline benchmark for the quanta_spark engine.
+
+Measures the north-star streaming pipeline (transcript stream ->
+vectorized transform -> session windows / stateful join / turn-order
+enforcement -> exactly-once sink) as sustained turns/sec, plus a
+representative batch-operator suite on the driver's sf tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  QS_BENCH_TURNS       approx generated stream size (default scales with sf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+
+from quanta_spark.datagen import GenSpec, generate, write_heartbeat_file, write_transcripts  # noqa: E402
+from quanta_spark.operators.stages import apply_chain  # noqa: E402
+from quanta_spark.operators.stateful import enforce_turn_order, join_user_replies  # noqa: E402
+from quanta_spark.operators.windows import sessionize  # noqa: E402
+from quanta_spark.session import get_spark  # noqa: E402
+from quanta_spark.sinks.idempotent import IdempotentSink  # noqa: E402
+from quanta_spark.sources.readers import stream_transcripts_files  # noqa: E402
+from quanta_spark.streaming.engine import run_to_completion, start_pipeline  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_input(sf: float, n_files: int = 128) -> tuple[str, int]:
+    """Deterministic transcript stream sized to the scale factor,
+    pre-split into >= 4N files (BASELINE.md scaling protocol), cached
+    across runs (same seed => identical bytes)."""
+    target_turns = int(os.environ.get("QS_BENCH_TURNS", int(6_000_000 * sf)))
+    n_convs = max(200, target_turns // 16)
+    spec = GenSpec(
+        n_convs=n_convs, mean_turns=16, seed=42, mega_frac=0.02, late_frac=0.005
+    )
+    cache = f"/tmp/qs_bench_input_v2_{sf}_{n_convs}"
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        write_transcripts(cache, spec, n_files=n_files)
+        pdf = generate(spec)
+        write_heartbeat_file(cache, pdf["ts"].max() + pd.Timedelta(days=30))
+        n_rows = len(pdf)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    with open(marker) as f:
+        n_rows = int(f.read())
+    return cache, n_rows
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def run_stream(spark, data_dir: str, op, ckpt: str, files_per_trigger: int = 16) -> None:
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=files_per_trigger, with_lineage=False
+    )
+    sink_rows = []
+    h = start_pipeline(
+        op(src), lambda b, i: sink_rows.append(b.count()), ckpt
+    )
+    run_to_completion(h)
+
+
+def run_e2e_sink(spark, data_dir: str, out_dir: str) -> None:
+    src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=16)
+    out = apply_chain(src, ["uppercase"])
+    sink = IdempotentSink(base_dir=out_dir)
+    h = start_pipeline(out, sink, os.path.join(out_dir, "_ckpt"))
+    run_to_completion(h)
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(
+        app_name=f"quanta_bench_sf{sf}", cores=CPUS, shuffle_partitions=CPUS
+    )
+    data_dir, n_turns = bench_input(sf)
+    work = f"/tmp/qs_bench_work_{os.getpid()}"
+    os.makedirs(work, exist_ok=True)
+
+    times: dict[str, float] = {}
+    tps: dict[str, float] = {}
+
+    # warm the JVM/Python-worker pools so the first measured query
+    # doesn't pay one-time start-up costs
+    spark.read.parquet(os.path.join(data_dir, "part-00000.parquet")).count()
+
+    streams = {
+        "stream_session": lambda src: sessionize(src, gap="30 minutes", watermark="1 hour"),
+        "stream_turn_order": lambda src: enforce_turn_order(src, watermark="1 hour"),
+        "stream_reply_join": lambda src: join_user_replies(src, watermark="1 hour"),
+    }
+    for name, op in streams.items():
+        dt, _ = timed(lambda: run_stream(spark, data_dir, op, os.path.join(work, name)))
+        times[name] = round(dt, 3)
+        tps[name] = round(n_turns / dt, 1)
+
+    dt, _ = timed(lambda: run_e2e_sink(spark, data_dir, os.path.join(work, "e2e")))
+    times["stream_e2e_sink"] = round(dt, 3)
+    tps["stream_e2e_sink"] = round(n_turns / dt, 1)
+
+    # representative batch operators on the driver's sf tables
+    from quanta_spark import queries as q
+
+    batch = [
+        "q01_pricing_summary",
+        "q03_regional_revenue",
+        "q13_session_windows",
+        "q16_two_phase_conv_stats",
+        "q21_exact_dedup",
+        "q22_ngram_jaccard",
+        "q27_cosine_topk",
+        "q28_minhash_neardup",
+    ]
+    for name in batch:
+        fn = q.QUERY_FNS[name]
+        dt, _ = timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
+        times[name] = round(dt, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec (streaming session/turn-order/join/e2e-sink + batch ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cores": CPUS,
+                "stream_turns": n_turns,
+                "turns_per_sec": tps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

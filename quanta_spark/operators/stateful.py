@@ -27,6 +27,11 @@ Realization: ``applyInPandasWithState`` keyed by ``conv_id``
 State is bounded: the watermark-timeout flush guarantees no buffer
 outlives the watermark horizon, so state size is O(convs active within
 the horizon) — the property that lets this run at 10^12 turns.
+
+Model assumption (holds for transcripts by construction): event time
+``ts`` is non-decreasing in ``turn_idx`` within a conversation; the
+flush rule "ts <= watermark => missing predecessors are permanently
+late" relies on it.
 """
 
 from __future__ import annotations
@@ -96,20 +101,47 @@ def _order_fn(
         next_idx, buf = 0, {}
 
     if state.hasTimedOut:
-        # Watermark passed every buffered row: flush in order, declare
-        # gaps missing (explicit availability-over-completeness — the
-        # reference's stance on retry exhaustion, runner.go:147-156).
-        # Keep a tombstone (next_idx, empty buffer) so stale replays
-        # arriving later are still deduped; an idle conv's tombstone is
-        # evicted at its NEXT timeout (bounded state: two horizons max).
-        pending = sorted(buf.values())
-        if pending:
-            state.update((pending[-1][0] + 1, [], [], [], [], []))
+        # Evict exactly the turns the watermark has passed: a flushed
+        # row's missing predecessor has an even older ts, so Spark's
+        # late-data filter would drop it anyway — the gap is provably
+        # permanent. Turns with ts still ahead of the watermark stay
+        # buffered (flushing them would orphan an in-flight
+        # predecessor). Explicit availability-over-completeness, the
+        # reference's stance on retry exhaustion (runner.go:147-156),
+        # but watermark-correct.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ripe = sorted(v for v in buf.values() if v[4] <= wm_us)
+        unblocked: list[tuple] = []
+        if ripe:
+            for v in ripe:
+                del buf[v[0]]
+            next_idx = max(next_idx, ripe[-1][0] + 1)
+            # drop now-stale survivors (idx below the new frontier)
+            buf = {i: v for i, v in buf.items() if i >= next_idx}
+            # the flush may unblock buffered successors — emit them as
+            # normal (nothing was skipped past them)
+            while next_idx in buf:
+                unblocked.append(buf.pop(next_idx))
+                next_idx += 1
+        if buf or ripe:
+            state.update(
+                (
+                    next_idx,
+                    [v[0] for v in buf.values()],
+                    [v[1] for v in buf.values()],
+                    [v[2] for v in buf.values()],
+                    [v[3] for v in buf.values()],
+                    [v[4] for v in buf.values()],
+                )
+            )
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
-            yield _rows_to_pdf(conv_id, pending, flushed=True)
         else:
             state.remove()
+        if ripe:
+            yield _rows_to_pdf(conv_id, ripe, flushed=True)
+        if unblocked:
+            yield _rows_to_pdf(conv_id, unblocked, flushed=False)
         return
 
     for pdf in pdf_iter:
@@ -230,6 +262,9 @@ def join_user_replies(
         "reply_tool",
         "reply_ts",
         (
-            F.col("reply_ts").cast("double") - F.col("user_ts").cast("double")
+            # via micros: NTZ-safe (cast TIMESTAMP_NTZ -> DOUBLE is
+            # disallowed) and bit-identical to DuckDB's epoch() double
+            F.unix_micros(F.col("reply_ts").cast("timestamp")) / 1_000_000.0
+            - F.unix_micros(F.col("user_ts").cast("timestamp")) / 1_000_000.0
         ).alias("reply_latency_s"),
     )

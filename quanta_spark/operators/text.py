@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+All hot-path logic is built-in Column expressions (JVM-side, inside
+WholeStageCodegen) — no Python in the scan loop, so these run at
+parquet-scan speed on 100 TB. Every function has an exact ANSI-SQL
+twin in __spark_entry__.oracle_sql() (DuckDB), which is why the
+heuristics avoid engine-specific hashing: md5 and regex classes that
+evaluate identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic mini stopword lists per language — shared with the SQL
+# oracle; presence counts decide the language guess.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+_WORD_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(col), "\\s+"))
+
+
+def subword_token_count(col: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation
+    — the standard pre-tokenization regex shape."""
+    return F.size(F.regexp_extract_all(col, F.lit(_WORD_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, punctuation ratio,
+    stopword ratio, and a boolean keep flag (the filter a training-data
+    pipeline applies before dedup)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = ws_token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    n_stop = (
+        F.size(F.split(F.lower(c), "\\bthe\\b")) - 1
+        + F.size(F.split(F.lower(c), "\\band\\b")) - 1
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_ws_tokens"),
+        subword_token_count(c).alias("n_subword_tokens"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_chars >= 64)
+            & (n_tokens >= 10)
+            & (punct_ratio <= 0.3)
+        ).alias("keep"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID: count each language's marker words
+    (as whole tokens); highest count wins, ties broken by language code
+    order; no markers -> 'und'. Deterministic and SQL-expressible."""
+    c = F.lower(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        score = None
+        for m in markers:
+            hits = F.size(F.split(c, f"\\b{m}\\b")) - 1
+            score = hits if score is None else score + hits
+        scores.append((lang, score))
+    # argmax with deterministic tie-break on code order
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang, score in scores:
+        take = score > best
+        guess = F.when(take, F.lit(lang)).otherwise(guess)
+        best = F.when(take, score).otherwise(best)
+    exprs = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    for lang, score in scores:
+        exprs.append(score.alias(f"score_{lang}"))
+    exprs.append(guess.alias("lang_guess"))
+    return df.select(*exprs)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lowercased,
+    non-alphanumeric collapsed) — the canonical content key used for
+    exact dedup across shards. md5 is bit-identical across engines."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    return df.select(
+        "doc_id",
+        F.md5(F.trim(norm)).alias("fingerprint"),
+        F.length(F.col(text_col)).alias("n_chars_calc"),
+    )

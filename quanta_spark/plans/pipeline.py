@@ -1,0 +1,176 @@
+"""Pipeline compiler: declarative spec -> running StreamingQuery.
+
+The reference compiles a YAML pipeline spec into a wired Runner in one
+linear pass with zero rewrites (internal/pipeline/compiler.go:18-100;
+spec structs internal/spec/spec.go:3-44; ``schema_version: v1``
+enforced at internal/config/pipeline.go:24-29). We keep the same spec
+shape — source, ordered transform stages, sinks — but compilation
+targets a DataFrame plan, so the REAL optimizer is Catalyst: predicate
+pushdown, column pruning and codegen happen after this builder runs.
+
+Spec (YAML or dict), mirroring the reference vocabulary:
+
+    schema_version: v1
+    pipeline:
+      name: transcripts-uppercase
+      source:
+        kind: parquet-stream        # | rate | kafka
+        path: /data/transcripts
+        max_files_per_trigger: 4    # admission control (≙ capped tracker)
+      watermark: 1 hour
+      transformers:                 # ordered stage chain (≙ spec.go:34-39)
+        - name: uppercase
+      operator:                     # optional terminal operator
+        kind: sessionize            # | tumbling | sliding | turn_order | user_replies | none
+        gap: 30 minutes
+      sink:
+        kind: idempotent-parquet    # ≙ sink adapter registry
+        path: /out/run1
+      checkpoint: /out/run1/_ckpt
+      trigger: available_now        # | processing_time: 5 seconds
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from quanta_spark.operators import stages as stage_mod
+from quanta_spark.operators.stateful import enforce_turn_order, join_user_replies
+from quanta_spark.operators.windows import (
+    sessionize,
+    sliding_turn_stats,
+    tumbling_turn_stats,
+    with_watermark,
+)
+from quanta_spark.sinks.idempotent import IdempotentSink
+from quanta_spark.sources import readers
+from quanta_spark.streaming.engine import QueryHandle, start_pipeline
+
+SCHEMA_VERSION = "v1"
+
+
+@dataclass
+class CompiledPipeline:
+    name: str
+    df: DataFrame
+    sink: IdempotentSink | None
+    checkpoint: str
+    trigger: dict[str, Any]
+
+    def start(self) -> QueryHandle:
+        if self.sink is None:
+            raise ValueError("pipeline has no sink; use .df for ad-hoc queries")
+        return start_pipeline(
+            self.df,
+            self.sink,
+            self.checkpoint,
+            query_name=self.name,
+            trigger_available_now=self.trigger.get("available_now", False),
+            processing_time=self.trigger.get("processing_time"),
+        )
+
+
+def _load(spec: str | dict) -> dict:
+    data = yaml.safe_load(spec) if isinstance(spec, str) else spec
+    version = data.get("schema_version")
+    if version != SCHEMA_VERSION:
+        # same contract as the reference (pipeline.go:24-29): unknown
+        # schema versions are rejected, not guessed at.
+        raise ValueError(f"unsupported schema_version: {version!r} (want {SCHEMA_VERSION!r})")
+    if "pipeline" not in data:
+        raise ValueError("spec missing 'pipeline' block")
+    return data["pipeline"]
+
+
+def _build_source(spark: SparkSession, src: dict) -> DataFrame:
+    kind = src.get("kind", "parquet-stream")
+    if kind == "parquet-stream":
+        return readers.stream_transcripts_files(
+            spark, src["path"], max_files_per_trigger=src.get("max_files_per_trigger", 1)
+        )
+    if kind == "parquet-batch":
+        return readers.read_transcripts_batch(spark, src["path"])
+    if kind == "rate":
+        return readers.stream_rate_transcripts(
+            spark,
+            rows_per_second=src.get("rows_per_second", 1000),
+            n_convs=src.get("n_convs", 100),
+        )
+    if kind == "kafka":
+        return readers.stream_kafka(
+            spark,
+            bootstrap=src["bootstrap"],
+            topics=src["topics"],
+            start_from=src.get("start_from", "oldest"),
+        )
+    raise ValueError(f"unknown source kind {kind!r} (≙ compiler.go:32-34 source check)")
+
+
+def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame:
+    kind = (op or {}).get("kind", "none")
+    if kind == "none":
+        return df
+    if kind == "sessionize":
+        return sessionize(df, gap=op.get("gap", "30 minutes"), watermark=watermark)
+    if kind == "tumbling":
+        return tumbling_turn_stats(df, window=op.get("window", "10 minutes"), watermark=watermark)
+    if kind == "sliding":
+        return sliding_turn_stats(
+            df,
+            window=op.get("window", "10 minutes"),
+            slide=op.get("slide", "5 minutes"),
+            watermark=watermark,
+        )
+    if kind == "turn_order":
+        return enforce_turn_order(df, watermark=watermark)
+    if kind == "user_replies":
+        return join_user_replies(
+            df, watermark=watermark, max_reply_delay=op.get("max_reply_delay", "30 minutes")
+        )
+    raise ValueError(f"unknown operator kind {kind!r}")
+
+
+def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
+    p = _load(spec)
+    df = _build_source(spark, p.get("source", {}))
+    chain = [t["name"] if isinstance(t, dict) else t for t in p.get("transformers", [])]
+    if chain:
+        df = stage_mod.apply_chain(df, chain)
+    watermark = p.get("watermark", "1 hour")
+    op = p.get("operator")
+    if op and op.get("kind") not in (None, "none"):
+        # status/meta columns are stage-chain internals; windowed /
+        # stateful operators consume clean transcript rows.
+        df = df.drop(stage_mod.STATUS_COL, stage_mod.ERROR_COL, stage_mod.ATTRS_COL)
+        df = _apply_operator(df, op, watermark)
+    elif df.isStreaming and p.get("watermark"):
+        df = with_watermark(df, watermark)
+
+    sink_spec = p.get("sink")
+    sink = None
+    if sink_spec:
+        if sink_spec.get("kind", "idempotent-parquet") != "idempotent-parquet":
+            raise ValueError(f"unknown sink kind {sink_spec.get('kind')!r}")
+        key_cols = tuple(sink_spec.get("key_cols", ("conv_id", "turn_idx")))
+        sink = IdempotentSink(base_dir=sink_spec["path"], key_cols=key_cols)
+
+    trigger_spec = p.get("trigger", "available_now")
+    trigger: dict[str, Any]
+    if trigger_spec == "available_now":
+        trigger = {"available_now": True}
+    elif isinstance(trigger_spec, dict) and "processing_time" in trigger_spec:
+        trigger = {"processing_time": trigger_spec["processing_time"]}
+    else:
+        trigger = {}
+
+    return CompiledPipeline(
+        name=p.get("name", "quanta_pipeline"),
+        df=df,
+        sink=sink,
+        checkpoint=p.get("checkpoint", "/tmp/quanta_ckpt"),
+        trigger=trigger,
+    )

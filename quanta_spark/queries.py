@@ -1,0 +1,754 @@
+"""Query registry powering ``__spark_entry__.py``.
+
+Every implemented operator (SURVEY.md §2 + the training-data pipeline
+ops) has an entry here: a Spark callable ``(spark, sf_dir) -> DataFrame``
+and, where ANSI-SQL-expressible, a DuckDB oracle producing the same
+rows (same column NAMES and comparable types — the driver hash-compares
+values after sorting columns by name).
+
+Cross-engine determinism rules used throughout:
+- money/double sums reported as integers: CAST(round(sum*100) AS BIGINT)
+  — float summation order differs between engines only in the last ULP,
+  which integer rounding absorbs;
+- similarities reported in basis points (round(sim*1e4) as BIGINT);
+- rankings always carry a total tie-break (id column);
+- md5 for fingerprints (bit-identical in both engines);
+- timestamps compared directly (session TZ pinned to UTC).
+
+Transcript-shaped queries derive a deterministic ``transcripts`` table
+from the driver's ``events`` parquet with dialect-shared SQL, so both
+engines see identical input without this repo shipping data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERY_FNS: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Make a driver-provided session behave like ours: UTC timestamps
+    (DuckDB comparability), map-merge policy, package on executors."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        from quanta_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+        else:
+            # never let a query silently run against a STALE view from a
+            # previous sf_dir — fail with TABLE_OR_VIEW_NOT_FOUND instead
+            spark.catalog.dropTempView(t)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        QUERY_FNS[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def sql_query(name: str, spark_sql: str, oracle: str | None = None) -> None:
+    """Register a query whose Spark side is SQL too. ``oracle`` defaults
+    to the same text (dialect-shared SQL)."""
+
+    @query(name, oracle if oracle is not None else spark_sql)
+    def _fn(spark: SparkSession, sf_dir: str, _sql=spark_sql) -> DataFrame:
+        return spark.sql(_sql)
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# deterministic transcripts derived from events — dialect-shared
+TRANSCRIPTS_CTE = """
+t0 AS (
+  SELECT user_id, ts, event_type, props, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx
+  FROM events
+),
+transcripts AS (
+  SELECT concat('conv-', lpad(CAST(user_id AS STRING), 8, '0')) AS conv_id,
+         turn_idx,
+         CASE WHEN turn_idx % 2 = 0 THEN 'user'
+              WHEN turn_idx % 3 = 0 THEN 'tool'
+              ELSE 'assistant' END AS role,
+         concat(event_type, ' ', props) AS text,
+         CASE WHEN turn_idx % 2 = 1 AND turn_idx % 3 = 0 THEN 'search'
+              ELSE CAST(NULL AS STRING) END AS tool,
+         ts
+  FROM t0
+)
+"""
+
+SPARK_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+DUCK_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def transcripts_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT * FROM transcripts")
+
+
+# ---------------------------------------------------------------------------
+# relational core (dialect-shared SQL — registered for both engines)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q01_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_c,
+       CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_bp,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+sql_query(
+    "q02_top_orders",
+    """
+SELECT o.o_orderkey,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS revenue_c,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_c DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+
+sql_query(
+    "q03_regional_revenue",
+    """
+SELECT r_name, n_name,
+       count(*) AS n_lineitems,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS revenue_c
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem l ON l.l_orderkey = o_orderkey
+GROUP BY r_name, n_name
+""",
+)
+
+sql_query(
+    "q04_distinct_counts",
+    """
+SELECT count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+
+sql_query(
+    "q05_rollup",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+
+sql_query(
+    "q06_topk_per_brand",
+    """
+SELECT p_brand, rk, p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rk
+  FROM part
+) ranked
+WHERE rk <= 3
+""",
+)
+
+sql_query(
+    "q07_setops",
+    """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+EXCEPT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+""",
+)
+
+sql_query(
+    "q08_anti_join",
+    """
+SELECT n_name, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+)
+
+sql_query(
+    "q09_monthly_orders",
+    """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_c,
+       count(DISTINCT o_custkey) AS n_custs
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+""",
+)
+
+sql_query(
+    "q10_string_funcs",
+    """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM customer
+WHERE c_acctbal > 9000
+""",
+)
+
+# ---------------------------------------------------------------------------
+# event-time windows (Spark side uses the engine operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_tumbling_events",
+    """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS window_start,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+FROM events
+GROUP BY 1
+""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_c"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "value_c")
+    )
+
+
+@query(
+    "q12_sliding_events",
+    """
+SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 * 1000000) AS window_start,
+       count(*) AS n_events
+FROM events, (SELECT unnest([0, 1]) AS k) offs
+GROUP BY 1
+""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "q13_session_windows",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+d AS (
+  SELECT conv_id, turn_idx, ts, length(text) AS tl, role,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM transcripts
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT conv_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_turns,
+       CAST(min(turn_idx) AS INT) AS first_turn,
+       CAST(max(turn_idx) AS INT) AS last_turn,
+       CAST(sum(tl) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+FROM s
+GROUP BY conv_id, sess
+""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.windows import sessionize
+
+    return sessionize(transcripts_df(spark), gap="30 minutes")
+
+
+@query(
+    "q14_reply_join",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT u.conv_id,
+       u.turn_idx AS user_turn_idx, u.text AS user_text, u.ts AS user_ts,
+       r.turn_idx AS reply_turn_idx, r.role AS reply_role, r.text AS reply_text,
+       r.tool AS reply_tool, r.ts AS reply_ts,
+       epoch(r.ts) - epoch(u.ts) AS reply_latency_s
+FROM transcripts u
+JOIN transcripts r
+  ON r.conv_id = u.conv_id
+ AND r.turn_idx = u.turn_idx + 1
+ AND r.ts >= u.ts AND r.ts <= u.ts + INTERVAL 30 MINUTE
+WHERE u.role = 'user' AND r.role IN ('assistant', 'tool')
+""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.stateful import join_user_replies
+
+    return join_user_replies(transcripts_df(spark), max_reply_delay="30 minutes")
+
+
+@query(
+    "q15_turn_order",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts, false AS flushed
+FROM transcripts
+""",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.stateful import enforce_turn_order
+
+    return enforce_turn_order(transcripts_df(spark))
+
+
+@query(
+    "q16_two_phase_conv_stats",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(max(turn_idx) AS INT) AS last_turn,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM transcripts
+GROUP BY conv_id
+""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.skew import two_phase_conv_stats
+
+    return two_phase_conv_stats(transcripts_df(spark))
+
+
+@query(
+    "q17_topk_turns_salted",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, CAST(rk AS INT) AS rank, turn_idx,
+       CAST(text_len AS INT) AS text_len, role
+FROM (
+  SELECT conv_id, turn_idx, role, length(text) AS text_len,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY length(text) DESC, turn_idx ASC) AS rk
+  FROM transcripts
+) t
+WHERE rk <= 3
+""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.skew import top_k_turns_per_conv
+
+    return top_k_turns_per_conv(transcripts_df(spark), k=3)
+
+
+# ---------------------------------------------------------------------------
+# stage-chain semantics (map / filter / fan-out) in the correctness gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_uppercase_stage",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, upper(text) AS text FROM transcripts
+""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.stages import apply_chain
+
+    out = apply_chain(transcripts_df(spark), ["uppercase"])
+    return out.select("conv_id", "turn_idx", "text")
+
+
+@query(
+    "q19_filter_stage",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text FROM transcripts WHERE role <> 'tool'
+""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.stages import apply_chain, native_filter
+
+    stage = native_filter("no-tools", F.col("role") != "tool")
+    out = apply_chain(transcripts_df(spark), [stage])
+    return out.select("conv_id", "turn_idx", "role", "text")
+
+
+@query(
+    "q20_fanout_stage",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx, 'echo' AS role, reverse(text) AS text FROM transcripts
+""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from quanta_spark.operators.stages import Stage, apply_chain
+
+    def fanout(pdf: pd.DataFrame) -> pd.DataFrame:
+        echo = pdf.copy()
+        echo["role"] = "echo"
+        echo["text"] = echo["text"].map(lambda s: s[::-1])
+        return pd.concat([pdf, echo], ignore_index=True)
+
+    out = apply_chain(transcripts_df(spark), [Stage(name="echo-fanout", batch_fn=fanout)])
+    return out.select("conv_id", "turn_idx", "role", "text")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+_DOCS2 = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+@query(
+    "q21_exact_dedup",
+    f"""
+WITH {_DOCS2}
+SELECT md5({DUCK_NORM}) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM docs2
+GROUP BY 1
+""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.dedup import exact_dedup_groups
+
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
+    return exact_dedup_groups(docs2)
+
+
+@query(
+    "q22_ngram_jaccard",
+    f"""
+WITH n AS (
+  SELECT doc_id, {DUCK_NORM} AS norm FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([substr(norm, i, 3) for i in generate_series(1, len(norm) - 2)]) AS grams
+  FROM n WHERE len(norm) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS n_common,
+       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS INT) AS n_union,
+       round(len(list_intersect(a.grams, b.grams)) /
+             greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 4) AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.table("documents")
+    out = ngram_jaccard_pairs(docs, n=3)
+    return out.filter(F.col("n_union") > 0)
+
+
+@query(
+    "q23_quality_features",
+    """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subword_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+       round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round((len(regexp_extract_all(lower(text), '\\bthe\\b'))
+              + len(regexp_extract_all(lower(text), '\\band\\b')))
+             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+       (length(text) >= 64
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+        AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                  / greatest(length(text), 1), 4) <= 0.3) AS keep
+FROM documents
+""",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.text import quality_features
+
+    return quality_features(spark.table("documents"))
+
+
+@query(
+    "q24_language_id",
+    """
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+    CAST(len(regexp_extract_all(lower(text), '\\bder\\b')) + len(regexp_extract_all(lower(text), '\\bdie\\b')) + len(regexp_extract_all(lower(text), '\\bund\\b')) AS INT) AS score_de,
+    CAST(len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\band\\b')) + len(regexp_extract_all(lower(text), '\\bof\\b')) AS INT) AS score_en,
+    CAST(len(regexp_extract_all(lower(text), '\\bel\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b')) + len(regexp_extract_all(lower(text), '\\bde\\b')) AS INT) AS score_es,
+    CAST(len(regexp_extract_all(lower(text), '\\ble\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b')) + len(regexp_extract_all(lower(text), '\\bet\\b')) AS INT) AS score_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM s
+""",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.text import language_id
+
+    return language_id(spark.table("documents"))
+
+
+@query(
+    "q25_fingerprint",
+    f"""
+SELECT doc_id, md5({DUCK_NORM}) AS fingerprint,
+       CAST(length(text) AS INT) AS n_chars_calc
+FROM documents
+""",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.text import fingerprint
+
+    return fingerprint(spark.table("documents"))
+
+
+@query(
+    "q26_explode_tokens",
+    """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q27_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, sim_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, vec_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk <= 5
+""",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.similarity import brute_force_cosine_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_cosine_topk(emb, queries_df, k=5)
+
+
+# --- approximate / hash-seeded ops: rows-only checks (no SQL oracle) ---
+
+
+@query("q28_minhash_neardup")
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
+    return minhash_near_dup_pairs(docs2, threshold=0.7)
+
+
+@query("q29_simhash_neardup")
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
+    return simhash_near_dup_pairs(docs2, max_hamming=3)
+
+
+@query("q30_lsh_cosine_topk")
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_cosine_topk(emb, queries_df, k=5)
+
+
+@query("q31_media_decode")
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.multimodal import decode_header, synthesize_media
+
+    return decode_header(synthesize_media(spark, n=64))
+
+
+# ---------------------------------------------------------------------------
+# streaming queries run end-to-end inside the callable (real Structured
+# Streaming over a temp parquet stream; oracle = batch SQL on the same
+# derived transcripts). These prove streaming==batch parity in the
+# driver's gate, not just in pytest.
+# ---------------------------------------------------------------------------
+
+
+def _write_transcript_stream(spark: SparkSession, jitter: bool) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = transcripts_df(spark).toPandas()
+    if jitter:
+        # deterministic arrival jitter (minutes) well inside the watermark
+        delay = (pdf["turn_idx"].to_numpy() % 7) * 60
+        arrival = pdf["ts"].to_numpy() + delay.astype("timedelta64[s]")
+    else:
+        arrival = pdf["ts"].to_numpy()
+    pdf = pdf.assign(_arr=arrival).sort_values("_arr", kind="mergesort").drop(columns="_arr")
+    d = tempfile.mkdtemp(prefix="qs_stream_q_")
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    idx = np.array_split(np.arange(len(pdf)), 8)
+    for k, ix in enumerate(idx):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            os.path.join(d, f"part-{k:05d}.parquet"),
+        )
+    return d
+
+
+def _run_stream_query(spark: SparkSession, op, jitter: bool) -> DataFrame:
+    import pandas as pd
+
+    from quanta_spark.datagen import HEARTBEAT_CONV, write_heartbeat_file
+    from quanta_spark.sources.readers import stream_transcripts_files
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    data_dir = _write_transcript_stream(spark, jitter)
+    ckpt = tempfile.mkdtemp(prefix="qs_stream_ckpt_")
+    rows: list = []
+    src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=2, with_lineage=False)
+    h = start_pipeline(op(src), lambda b, i: rows.extend(b.collect()), ckpt)
+    h.process_all_available()
+    max_ts = pd.Timestamp(spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"])
+    write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=30))
+    run_to_completion(h)
+    out_pdf = pd.DataFrame([r.asDict() for r in rows])
+    out_pdf = out_pdf[out_pdf["conv_id"] != HEARTBEAT_CONV]
+    return spark.createDataFrame(out_pdf, schema=op(src).schema)
+
+
+@query("q32_stream_sessionize", ORACLES.get("q13_session_windows"))
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.windows import sessionize
+
+    return _run_stream_query(
+        spark, lambda src: sessionize(src, gap="30 minutes", watermark="1 hour"), jitter=False
+    )
+
+
+@query("q33_stream_turn_order", ORACLES.get("q15_turn_order"))
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.stateful import enforce_turn_order
+
+    return _run_stream_query(
+        spark, lambda src: enforce_turn_order(src, watermark="1 hour"), jitter=True
+    )

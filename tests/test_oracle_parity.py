@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same sf0.01 parquet, compare row count + (order-insensitive)
+values. Queries without an oracle get a rows>=0 smoke check.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("QS_ORACLE_SF", "/root/testdata/sf0.01")
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+# streaming e2e queries are exercised in test_streaming_queries (slow)
+_SLOW = {"q32_stream_sessionize", "q33_stream_turn_order"}
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in entrymod.q.TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype("float64"), 9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype(bool)
+        else:
+            df[c] = s.astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [n for n in _QUERIES if n not in _SLOW])
+def test_query_matches_oracle(spark, name):
+    got = _normalize(_QUERIES[name](spark, SF_DIR).toPandas())
+    if name not in _ORACLES:
+        assert len(got) >= 0  # rows-only contract for hash-seeded ops
+        if name.startswith(("q28", "q29", "q30", "q31")):
+            assert len(got) > 0, f"{name}: expected non-empty result"
+        return
+    want = _normalize(_duck(_ORACLES[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=0)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(_SLOW))
+def test_streaming_query_matches_oracle(spark, name):
+    got = _normalize(_QUERIES[name](spark, SF_DIR).toPandas())
+    want = _normalize(_duck(_ORACLES[name]))
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "session_start" in df.columns

@@ -1,0 +1,78 @@
+"""Pipeline compiler tests — ports of the reference's config tests
+(internal/config/pipeline_test.go:9-53: schema v1 accepted, v999
+rejected) plus an end-to-end compiled-spec run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from quanta_spark.datagen import generate
+from quanta_spark.plans.pipeline import compile_pipeline
+from quanta_spark.streaming.engine import run_to_completion
+
+
+def _spec(transcripts_dir: str, workdir: str) -> str:
+    return f"""
+schema_version: v1
+pipeline:
+  name: upper-sessions
+  source:
+    kind: parquet-stream
+    path: {transcripts_dir}
+    max_files_per_trigger: 4
+  watermark: 1 hour
+  transformers:
+    - name: uppercase
+  sink:
+    kind: idempotent-parquet
+    path: {workdir}/out
+  checkpoint: {workdir}/ckpt
+  trigger: available_now
+"""
+
+
+def test_schema_v1_accepted_and_runs(spark, transcripts_dir, small_spec, tmp_workdir):
+    compiled = compile_pipeline(spark, _spec(transcripts_dir, tmp_workdir))
+    handle = compiled.start()
+    run_to_completion(handle)
+    got = compiled.sink.read_data(spark)
+    assert got.count() == len(generate(small_spec))
+    sample = got.select("text").first()["text"]
+    assert sample == sample.upper()
+
+
+def test_unsupported_schema_version_rejected(spark):
+    """pipeline_test.go:39-53 — v999 must be rejected."""
+    with pytest.raises(ValueError, match="schema_version"):
+        compile_pipeline(spark, "schema_version: v999\npipeline: {}")
+
+
+def test_unknown_source_kind_rejected(spark):
+    with pytest.raises(ValueError, match="source kind"):
+        compile_pipeline(
+            spark,
+            "schema_version: v1\npipeline:\n  source: {kind: carrier-pigeon}",
+        )
+
+
+def test_operator_pipeline_compiles(spark, transcripts_dir, tmp_workdir):
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "sess",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "watermark": "1 hour",
+            "operator": {"kind": "sessionize", "gap": "30 minutes"},
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out"),
+                "key_cols": ["conv_id", "session_start"],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt"),
+        },
+    }
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.df.isStreaming
+    assert "session_start" in compiled.df.columns

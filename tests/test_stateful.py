@@ -81,6 +81,59 @@ def test_turn_order_batch_mode_equals_sort(spark, transcripts_dir, small_spec):
     assert not got.duplicated(["conv_id", "turn_idx"]).any()
 
 
+def test_turn_order_permanent_gap_flushes_not_loses(spark, tmp_workdir):
+    """Delete one mid-conversation turn from the input: the operator
+    must still emit every other turn exactly once — successors of the
+    gap arrive via the watermark flush (flushed=True), never silently
+    lost, and never emitted before the gap is provably permanent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.datagen import _ARROW_SCHEMA
+
+    spec = GenSpec(n_convs=10, mean_turns=12, seed=46, late_frac=0.0, shuffle_frac=0.0)
+    pdf = generate(spec).drop(columns=["arrival_ts"])
+    victim = pdf.groupby("conv_id").size().idxmax()
+    drop_mask = (pdf.conv_id == victim) & (pdf.turn_idx == 3)
+    assert drop_mask.sum() == 1
+    kept = (
+        pdf[~drop_mask]
+        .sort_values("ts", kind="mergesort")  # arrival = event-time order
+        .reset_index(drop=True)
+    )
+
+    data_dir = os.path.join(tmp_workdir, "in")
+    os.makedirs(data_dir)
+    for k in range(4):
+        chunk = kept.iloc[k * len(kept) // 4 : (k + 1) * len(kept) // 4]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=_ARROW_SCHEMA, preserve_index=False),
+            os.path.join(data_dir, f"part-{k:05d}.parquet"),
+        )
+
+    batches = []
+    src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=1, with_lineage=False)
+    h = start_pipeline(
+        enforce_turn_order(src, watermark="10 minutes"),
+        lambda b, i: batches.append(b.collect()),
+        os.path.join(tmp_workdir, "ckpt"),
+    )
+    h.process_all_available()
+    write_heartbeat_file(data_dir, pdf["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h)
+
+    rows = [r for bs in batches for r in bs if r["conv_id"] != HEARTBEAT_CONV]
+    got = pd.DataFrame([r.asDict() for r in rows])
+    assert len(got) == len(kept), "loss or duplication around the gap"
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    vic = got[got.conv_id == victim].sort_values("turn_idx")
+    assert list(vic.turn_idx) == [i for i in range(len(vic) + 1) if i != 3]
+    # turns before the gap emitted normally; at least the first post-gap
+    # turn can only have come out via the watermark flush
+    assert not vic[vic.turn_idx < 3]["flushed"].any()
+    assert vic[vic.turn_idx == 4]["flushed"].iloc[0]
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_workdir):
     """Streaming user↔reply join at final watermark == the same join
     run in batch over the whole input (pandas merge oracle)."""
