@@ -50,16 +50,38 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _char_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the normalized text (empty array
-    for too-short texts — sequence() would reverse on start>stop)."""
-    norm = normalized(col)
+def _grams_of_norm(norm: Column, n: int) -> Column:
+    """Distinct character n-grams of an ALREADY-MATERIALIZED normalized
+    column (empty array for too-short texts — sequence() would reverse
+    on start>stop). The caller must ensure ``norm`` is a plain column
+    reference, not an expression: the transform() lambda evaluates its
+    captured expressions once PER ELEMENT, so an inline regexp_replace
+    here costs O(len^2) regex work per document (measured 25x slower
+    at sf0.1 — see _norm_grams_df)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
         lambda i: norm.substr(i, F.lit(n)),
     )
     return F.when(F.length(norm) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _norm_grams_df(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, grams) with the normalization materialized behind an
+    exchange barrier: Catalyst's CollapseProject would otherwise inline
+    the regexp_replace into the per-element lambda. The repartition
+    also restores parallelism for the downstream explode/join — the
+    plan shape you want at corpus scale anyway."""
+    # explicit partition count: AQE would coalesce this tiny-bytes
+    # exchange to 1 partition, serializing the (CPU-heavy) downstream
+    # gram transform + explode onto one core (measured 4-16x slowdown)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    normed = df.select(
+        "doc_id", normalized(F.col(text_col)).alias("_nrm")
+    ).repartition(n_parts, F.col("doc_id"))
+    return normed.select(
+        "doc_id", _grams_of_norm(F.col("_nrm"), n).alias("grams")
     )
 
 
@@ -76,9 +98,7 @@ def ngram_jaccard_pairs(
     blocking). Jaccard is computed with array_intersect/union —
     whole-stage-codegen'd, no Python.
     """
-    grams = df.select(
-        F.col("doc_id"), _char_ngrams(F.col(text_col), n).alias("grams")
-    )
+    grams = _norm_grams_df(df, text_col, n)
     if pair_df is None:
         pair_df = df.select((F.col("doc_id")).alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"))
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
@@ -100,37 +120,59 @@ def minhash_signatures(
 ) -> DataFrame:
     """64 minhash values per doc over 5-gram shingles.
 
-    Plan shape: explode shingles -> per (doc, hash_i) min — expressed
-    as one aggregate over the exploded shingles with an array of
-    universal hashes h_i(x) = (a_i*x + b_i) mod p computed JVM-side.
-    Seeds are fixed constants => deterministic across runs/engines.
+    Plan shape: explode shingles (shingle->31-bit hash JVM-side) ->
+    numpy partial minhash per Arrow batch (one (a*x+b) mod p matrix op
+    — measured ~10x faster than 64 JVM min-aggregates, which fall out
+    of whole-stage codegen at this expression count) -> final
+    groupBy(doc_id).min over the tiny per-partition partials.
+    Universal-hash coefficients come from a fixed seed => deterministic.
     """
-    shingles = df.select(
-        "doc_id", F.explode(_char_ngrams(F.col(text_col), shingle_n)).alias("sh")
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20250816)
+    a = rng.integers(1, (1 << 30) - 1, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _P, size=n_hashes, dtype=np.int64)
+    cols = [f"mh_{i}" for i in range(n_hashes)]
+
+    shingles = _norm_grams_df(df, text_col, shingle_n).select(
+        "doc_id", F.explode("grams").alias("sh")
     ).select("doc_id", F.xxhash64("sh").bitwiseAND(F.lit(_P)).alias("x"))
-    # a_i, b_i derived from a fixed seed via xxhash64 of the index
-    # (a < 2^30, x < 2^31 => a*x + b < 2^62: no ANSI overflow)
-    hashes = [
-        (
-            (F.abs(F.xxhash64(F.lit(f"a-{i}"))) % ((1 << 30) - 1) + 1),
-            (F.abs(F.xxhash64(F.lit(f"b-{i}"))) % _P),
-        )
-        for i in range(n_hashes)
-    ]
-    minhash_cols = [
-        F.min((a * F.col("x") + b) % _P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(hashes)
-    ]
-    return shingles.groupBy("doc_id").agg(*minhash_cols)
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            # sort by doc, then one matrix pass: (n, k) = (a*x+b) % p
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            x = pdf["x"].to_numpy(dtype=np.int64)
+            h = (x[:, None] * a[None, :] + b[None, :]) % _P  # a<2^30,x<2^31: no overflow
+            ids, starts = np.unique(pdf["doc_id"].to_numpy(), return_index=True)
+            mins = np.minimum.reduceat(h, starts, axis=0)
+            out = pd.DataFrame(mins, columns=cols)
+            out.insert(0, "doc_id", ids)
+            yield out
+
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in cols)
+    partials = shingles.mapInPandas(partial, schema=schema)
+    return partials.groupBy("doc_id").agg(
+        *[F.min(c).alias(c) for c in cols]
+    )
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 8
 ) -> DataFrame:
-    """Band the signature (16 bands x 4 rows), bucket-join within each
-    band: docs sharing any full band are candidate near-dups. Output
-    distinct (doc_a < doc_b) pairs. The shuffle key is (band, bucket),
-    so skew is bounded by actual near-dup cluster sizes."""
+    """Band the signature, bucket-join within each band: docs sharing
+    any full band are candidate near-dups. Output distinct
+    (doc_a < doc_b) pairs. The shuffle key is (band, bucket), so skew
+    is bounded by actual near-dup cluster sizes.
+
+    Band geometry matters: the LSH s-curve threshold is (1/b)^(1/r).
+    8 bands x 8 rows => ~0.77, matched to the 0.8 near-dup threshold;
+    16x4 (~0.5) was measured to explode candidates 10x on a corpus
+    with high baseline similarity, and the verify join cost is linear
+    in candidates."""
     n_hashes = n_bands * rows_per_band
     bands = sigs.select(
         "doc_id",
@@ -162,7 +204,7 @@ def minhash_lsh_candidates(
 
 def minhash_near_dup_pairs(
     df: DataFrame,
-    threshold: float = 0.7,
+    threshold: float = 0.8,
     text_col: str = "text",
     shingle_n: int = 5,
 ) -> DataFrame:

@@ -52,6 +52,12 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     (DuckDB comparability), map-merge policy, package on executors."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # see session.py: keeps explode'd array exprs above the repartition
+    # barrier (runtime-settable, so driver-created sessions get it too)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     try:
         from quanta_spark.session import _ship_package
 
@@ -647,7 +653,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.dedup import minhash_near_dup_pairs
 
     docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
-    return minhash_near_dup_pairs(docs2, threshold=0.7)
+    return minhash_near_dup_pairs(docs2, threshold=0.8)
 
 
 @query("q29_simhash_neardup")

@@ -65,6 +65,16 @@ def get_spark(
         # stages merge attribute maps; last write wins (reference merges
         # EventMetadata headers the same way, runner.go:104-117)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # InferFiltersFromGenerate turns explode(expensive_array_expr)
+        # into a size(...)>0 filter that predicate pushdown then moves
+        # BELOW our repartition barrier, re-evaluating the whole array
+        # expression single-threaded in the scan stage (measured 18s vs
+        # ~1s on the n-gram shingle explode). The inferred filter saves
+        # nothing for per-document arrays that are almost never empty.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
