@@ -77,10 +77,12 @@ def decode_header(df: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             kinds, ws, hs, digests, sizes = [], [], [], [], []
+            prefix_to_kind = {"imag": "image", "audi": "audio", "vide": "video"}
             for p in pdf["payload"]:
                 b = bytes(p)
                 k, w, h = struct.unpack(">4sII", b[:12])
-                kinds.append(k.rstrip(b"\x00 ").decode())
+                prefix = k.rstrip(b"\x00 ").decode()
+                kinds.append(prefix_to_kind.get(prefix, prefix))
                 ws.append(w)
                 hs.append(h)
                 digests.append(hashlib.md5(b[12:]).hexdigest())

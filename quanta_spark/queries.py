@@ -758,3 +758,45 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_query(
         spark, lambda src: enforce_turn_order(src, watermark="1 hour"), jitter=True
     )
+
+
+@query(
+    "q34_reply_sessions",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+j AS (
+  SELECT u.conv_id, u.turn_idx AS user_turn_idx, r.turn_idx AS reply_turn_idx,
+         r.ts AS reply_ts, epoch(r.ts) - epoch(u.ts) AS lat
+  FROM transcripts u
+  JOIN transcripts r
+    ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx + 1
+   AND r.ts >= u.ts AND r.ts <= u.ts + INTERVAL 30 MINUTE
+  WHERE u.role = 'user' AND r.role IN ('assistant', 'tool')
+),
+d AS (
+  SELECT *, CASE WHEN reply_ts - lag(reply_ts) OVER (PARTITION BY conv_id ORDER BY reply_ts)
+                      <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM j
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY reply_ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT conv_id,
+       min(reply_ts) AS session_start,
+       max(reply_ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_replies,
+       CAST(round(avg(lat) * 1000000) AS BIGINT) AS avg_latency_us,
+       CAST(min(user_turn_idx) AS INT) AS first_user_turn,
+       CAST(max(reply_turn_idx) AS INT) AS last_reply_turn
+FROM s
+GROUP BY conv_id, sess
+""",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composite: stream-stream join -> session windows,
+    batch flavor (the streaming flavor is the scaling-bench headline)."""
+    from quanta_spark.operators.stateful import reply_session_stats
+
+    return reply_session_stats(transcripts_df(spark))
