@@ -152,7 +152,15 @@ def run_config(cores: int, data_dir: str, n_turns: int) -> dict:
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"worker cores={cores} failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # Spark/log4j write informational lines to stdout; take the last
+    # line that parses as the worker's JSON report
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    sys.stderr.write(out.stdout[-2000:])
+    raise RuntimeError(f"worker cores={cores} printed no JSON report")
 
 
 def main() -> None:

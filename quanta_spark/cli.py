@@ -1,0 +1,70 @@
+"""Thin control-plane CLI — the working realization of the reference's
+Control gRPC service, which is defined but registered Unimplemented
+(api/proto/v1/control.proto:6-19, internal/transport/server.go:41-43):
+
+- ``run``    ≙ DeployPipeline: compile a YAML pipeline spec and run it
+- ``validate`` ≙ the compiler's schema/config checks without starting
+- ``ping``   ≙ Control.Ping: build a session, report versions
+
+Usage:
+    python -m quanta_spark.cli run pipeline.yml [--drain]
+    python -m quanta_spark.cli validate pipeline.yml
+    python -m quanta_spark.cli ping
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="quanta-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_run = sub.add_parser("run", help="compile + start a pipeline spec")
+    p_run.add_argument("spec", help="YAML pipeline spec path")
+    p_run.add_argument(
+        "--drain", action="store_true",
+        help="process all available input then stop (batch-drain mode)",
+    )
+    p_val = sub.add_parser("validate", help="compile a spec without starting it")
+    p_val.add_argument("spec")
+    sub.add_parser("ping", help="session liveness + versions")
+    args = ap.parse_args(argv)
+
+    from quanta_spark.session import get_spark
+
+    if args.cmd == "ping":
+        spark = get_spark(app_name="quanta_cli")
+        print(json.dumps({"status": "ok", "spark": spark.version}))
+        return 0
+
+    from quanta_spark.plans.pipeline import compile_pipeline
+
+    spark = get_spark(app_name="quanta_cli")
+    with open(args.spec) as f:
+        spec_text = f.read()
+    compiled = compile_pipeline(spark, spec_text)
+    if args.cmd == "validate":
+        print(json.dumps({
+            "status": "ok",
+            "pipeline": compiled.name,
+            "streaming": compiled.df.isStreaming,
+            "columns": compiled.df.columns,
+        }))
+        return 0
+
+    handle = compiled.start()
+    if args.drain:
+        from quanta_spark.streaming.engine import run_to_completion
+
+        run_to_completion(handle)
+        print(json.dumps({"status": "drained", "pipeline": compiled.name}))
+    else:
+        handle.query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,8 +74,29 @@ class CompiledPipeline:
         )
 
 
+_ENV_RE = __import__("re").compile(r"\$\{(\w+)(?::-([^}]*))?\}")
+
+
+def _expand_env(obj):
+    """``${VAR}`` / ``${VAR:-default}`` interpolation in string values —
+    the reference overrides source config from the environment the same
+    way (source/kafka/config.go:46-71)."""
+    import os
+
+    if isinstance(obj, dict):
+        return {k: _expand_env(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_expand_env(v) for v in obj]
+    if isinstance(obj, str):
+        return _ENV_RE.sub(
+            lambda m: os.environ.get(m.group(1), m.group(2) or ""), obj
+        )
+    return obj
+
+
 def _load(spec: str | dict) -> dict:
     data = yaml.safe_load(spec) if isinstance(spec, str) else spec
+    data = _expand_env(data)
     version = data.get("schema_version")
     if version != SCHEMA_VERSION:
         # same contract as the reference (pipeline.go:24-29): unknown

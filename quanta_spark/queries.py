@@ -800,3 +800,193 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.stateful import reply_session_stats
 
     return reply_session_stats(transcripts_df(spark))
+
+
+sql_query(
+    "q35_cube",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT coalesce(role, 'ALL') AS role,
+       coalesce(tool, 'NONE') AS tool,
+       count(*) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM transcripts
+GROUP BY CUBE (role, tool)
+""",
+)
+
+sql_query(
+    "q36_intersect",
+    """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+INTERSECT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+""",
+)
+
+sql_query(
+    "q37_exists_semi",
+    """
+SELECT n_name, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+)
+
+sql_query(
+    "q38_scalar_subquery",
+    """
+SELECT p_partkey, p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+FROM part p
+WHERE CAST(round(p_retailprice * 100) AS BIGINT) >
+      (SELECT CAST(round(avg(p2.p_retailprice) * 150) AS BIGINT)
+       FROM part p2 WHERE p2.p_brand = p.p_brand)
+""",
+)
+
+
+@query(
+    "q39_pivot_roles",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS tool
+FROM transcripts
+GROUP BY conv_id
+""",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark)
+    out = (
+        t.groupBy("conv_id")
+        .pivot("role", ["user", "assistant", "tool"])
+        .count()
+        .na.fill(0, ["user", "assistant", "tool"])
+    )
+    return out
+
+
+@query(
+    "q40_window_funcs",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       CAST(sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_chars,
+       lead(role) OVER w AS next_role
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+""",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = transcripts_df(spark)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap_us"),
+        F.sum(F.length("text"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_chars"),
+        F.lead("role").over(w).alias("next_role"),
+    )
+
+
+@query(
+    "q41_asof_join",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+tools AS (
+  SELECT conv_id, turn_idx AS tool_turn_idx, tool AS tool_name, ts AS tool_ts
+  FROM transcripts WHERE role = 'tool'
+),
+users AS (
+  SELECT conv_id AS u_conv_id, turn_idx AS user_turn_idx, ts AS user_ts
+  FROM transcripts WHERE role = 'user'
+)
+SELECT t.conv_id, t.tool_turn_idx, t.tool_name, t.tool_ts,
+       u.user_turn_idx, u.user_ts
+FROM tools t
+ASOF JOIN users u
+  ON t.conv_id = u.u_conv_id AND t.tool_ts >= u.user_ts
+WHERE t.tool_ts - u.user_ts <= INTERVAL 2 HOUR
+""",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quanta_spark.operators.asof import asof_join_tool_to_user
+
+    return asof_join_tool_to_user(transcripts_df(spark), horizon="2 hours")
+
+
+@query("q42_approx_stats")
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL / quantile sketch) — engine-specific
+    sketches, so rows-only check; exactness is bounded by the rsd/
+    accuracy parameters, pinned in tests against exact counts."""
+    li = spark.table("lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    )
+
+
+@query(
+    "q43_embedding_neardup",
+    """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force, blockwise
+    numpy over Arrow batches vs a broadcast corpus matrix). Threshold
+    expressed on the raw double (matching the oracle) and reported in
+    basis points. The LSH-bucketed variant (q30) is the 10^12-row
+    path; this is its exactness baseline."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sc = spark.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def block(it):
+        cid, cmat = b_ids.value, b_mat.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ cmat.T  # (batch, corpus)
+            aid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ii, jj = np.nonzero((sims >= 0.4) & (aid[:, None] < cid[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": aid[ii],
+                    "vec_b": cid[jj],
+                    "sim_bp": np.rint(sims[ii, jj] * 10_000).astype(np.int64),
+                }
+            )
+
+    return emb.mapInPandas(block, schema="vec_a long, vec_b long, sim_bp long")

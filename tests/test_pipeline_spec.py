@@ -76,3 +76,19 @@ def test_operator_pipeline_compiles(spark, transcripts_dir, tmp_workdir):
     compiled = compile_pipeline(spark, spec)
     assert compiled.df.isStreaming
     assert "session_start" in compiled.df.columns
+
+
+def test_env_override_interpolation(spark, transcripts_dir, monkeypatch):
+    """config env overrides, ≙ source/kafka/config.go:46-71."""
+    monkeypatch.setenv("QS_TEST_PATH", transcripts_dir)
+    spec = """
+schema_version: v1
+pipeline:
+  name: env-test
+  source: {kind: parquet-stream, path: "${QS_TEST_PATH}"}
+  sink: {kind: idempotent-parquet, path: "${QS_MISSING:-/tmp/qs_default_out}"}
+  checkpoint: /tmp/qs_default_ckpt
+"""
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.sink.base_dir == "/tmp/qs_default_out"
+    assert compiled.df.isStreaming
