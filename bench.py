@@ -30,7 +30,11 @@ import pandas as pd  # noqa: E402
 
 from quanta_spark.datagen import GenSpec, generate, write_heartbeat_file, write_transcripts  # noqa: E402
 from quanta_spark.operators.stages import apply_chain  # noqa: E402
-from quanta_spark.operators.stateful import enforce_turn_order, join_user_replies  # noqa: E402
+from quanta_spark.operators.stateful import (  # noqa: E402
+    enforce_turn_order,
+    join_user_replies,
+    reply_session_stats,
+)
 from quanta_spark.operators.windows import sessionize  # noqa: E402
 from quanta_spark.session import get_spark  # noqa: E402
 from quanta_spark.sinks.idempotent import IdempotentSink  # noqa: E402
@@ -118,6 +122,8 @@ def main() -> None:
         "stream_session": lambda src: sessionize(src, gap="30 minutes", watermark="1 hour"),
         "stream_turn_order": lambda src: enforce_turn_order(src, watermark="1 hour"),
         "stream_reply_join": lambda src: join_user_replies(src, watermark="1 hour"),
+        # north-star composite: join -> session windows, one query
+        "stream_composite": lambda src: reply_session_stats(src, watermark="1 hour"),
     }
     for name, op in streams.items():
         dt, _ = timed(lambda: run_stream(spark, data_dir, op, os.path.join(work, name)))
