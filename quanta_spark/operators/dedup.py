@@ -15,14 +15,21 @@ Four tiers, each a real distributed plan (no driver-side loops):
                 distance; bucketing on 4 x 16-bit chunks gives the
                 LSH-style candidate generation.
 
-MinHash/SimHash use Spark's xxhash64 for speed (JVM-side); they are
-verified by property tests (tests/test_dedup.py) rather than a DuckDB
-oracle — cross-engine hash parity is impossible and the exact-Jaccard
-verify step is the part that defines output correctness anyway.
+MinHash/SimHash take a ``hasher`` parameter choosing the hash family:
+
+- ``xxhash64`` (default): Spark's JVM-side xxhash64 — the fast path
+  used by bench and the property tests.
+- ``md5``: the PORTABLE family — every hash is derived from md5 hex
+  digits, which DuckDB computes bit-identically, so the full
+  signature -> band -> candidate -> verify pipeline is reproducible
+  in plain SQL and the gate queries (q28/q29) are oracle-checked
+  end to end. The distributed plan shape is IDENTICAL between the
+  two families; only the scalar hash expression differs.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +38,27 @@ from pyspark.sql import functions as F
 # a signed 64-bit long (Spark 4 runs ANSI mode — overflow would raise,
 # and silently wrapping would break min-hash uniformity anyway).
 _P = (1 << 31) - 1
+
+# Seeded universal-hash coefficients, shared VERBATIM by the Spark
+# operator (numpy partial-min) and the DuckDB oracle SQL (literal
+# arrays) — this is what makes the md5-family minhash cross-engine
+# deterministic. Do not regenerate without updating both sides.
+_RNG = np.random.default_rng(20250816)
+MINHASH_A = _RNG.integers(1, (1 << 30) - 1, size=64, dtype=np.int64)
+MINHASH_B = _RNG.integers(0, _P, size=64, dtype=np.int64)
+
+_HEX = "0123456789abcdef"
+
+
+def _shingle_hash(col: Column, hasher: str) -> Column:
+    """31-bit (xxhash64) or 28-bit (md5) non-negative shingle hash.
+    The md5 variant takes the first 7 hex digits of md5 — DuckDB
+    reproduces it with strpos-over-hex-alphabet arithmetic."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit(_P))
+    if hasher == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher {hasher!r} (want xxhash64|md5)")
 
 
 def normalized(col: Column) -> Column:
@@ -116,28 +144,32 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, n_hashes: int = 64, shingle_n: int = 5, text_col: str = "text"
+    df: DataFrame,
+    n_hashes: int = 64,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """64 minhash values per doc over 5-gram shingles.
 
-    Plan shape: explode shingles (shingle->31-bit hash JVM-side) ->
-    numpy partial minhash per Arrow batch (one (a*x+b) mod p matrix op
-    — measured ~10x faster than 64 JVM min-aggregates, which fall out
-    of whole-stage codegen at this expression count) -> final
-    groupBy(doc_id).min over the tiny per-partition partials.
-    Universal-hash coefficients come from a fixed seed => deterministic.
+    Plan shape: explode shingles (shingle hash JVM-side, family per
+    ``hasher``) -> numpy partial minhash per Arrow batch (one
+    (a*x+b) mod p matrix op — measured ~10x faster than 64 JVM
+    min-aggregates, which fall out of whole-stage codegen at this
+    expression count) -> final groupBy(doc_id).min over the tiny
+    per-partition partials. Universal-hash coefficients are the
+    module-level seeded MINHASH_A/B => deterministic, and with
+    hasher='md5' bit-reproducible in DuckDB SQL.
     """
-    import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(20250816)
-    a = rng.integers(1, (1 << 30) - 1, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, _P, size=n_hashes, dtype=np.int64)
+    a = MINHASH_A[:n_hashes]
+    b = MINHASH_B[:n_hashes]
     cols = [f"mh_{i}" for i in range(n_hashes)]
 
     shingles = _norm_grams_df(df, text_col, shingle_n).select(
         "doc_id", F.explode("grams").alias("sh")
-    ).select("doc_id", F.xxhash64("sh").bitwiseAND(F.lit(_P)).alias("x"))
+    ).select("doc_id", _shingle_hash(F.col("sh"), hasher).alias("x"))
 
     def partial(it):
         for pdf in it:
@@ -161,7 +193,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 8
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 8, hasher: str = "xxhash64"
 ) -> DataFrame:
     """Band the signature, bucket-join within each band: docs sharing
     any full band are candidate near-dups. Output distinct
@@ -172,16 +204,21 @@ def minhash_lsh_candidates(
     8 bands x 8 rows => ~0.77, matched to the 0.8 near-dup threshold;
     16x4 (~0.5) was measured to explode candidates 10x on a corpus
     with high baseline similarity, and the verify join cost is linear
-    in candidates."""
-    n_hashes = n_bands * rows_per_band
+    in candidates.
+
+    The band bucket is xxhash64 of the band's minhashes (fast) or
+    md5 of their '-'-joined decimal strings (portable — DuckDB:
+    md5(string_agg(mh, '-' ORDER BY i)))."""
+
+    def band_bucket(b: int) -> Column:
+        mh = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "xxhash64":
+            return F.xxhash64(F.lit(b), *mh)
+        return F.md5(F.concat_ws("-", *[c.cast("string") for c in mh]))
+
     bands = sigs.select(
         "doc_id",
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band_{b}")
-            for b in range(n_bands)
-        ],
+        *[band_bucket(b).alias(f"band_{b}") for b in range(n_bands)],
     )
     stacked = bands.select(
         "doc_id",
@@ -207,69 +244,98 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     shingle_n: int = 5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from LSH, then
     EXACT n-gram Jaccard verification >= threshold. The verify step
     makes the output exact-on-candidates (LSH only affects recall)."""
-    sigs = minhash_signatures(df, shingle_n=shingle_n, text_col=text_col)
-    cands = minhash_lsh_candidates(sigs)
+    sigs = minhash_signatures(df, shingle_n=shingle_n, text_col=text_col, hasher=hasher)
+    cands = minhash_lsh_candidates(sigs, hasher=hasher)
     verified = ngram_jaccard_pairs(df, pair_df=cands, n=shingle_n, text_col=text_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _token_bit(h: Column, i: int, hasher: str) -> Column:
+    """Bit i (0..63) of a token's hash. xxhash64: plain bit of the
+    64-bit value. md5: bit of the first 16 hex nibbles — nibble i//4,
+    bit (3 - i%4) — reproducible in DuckDB via strpos arithmetic."""
+    if hasher == "xxhash64":
+        return F.shiftright(h, i).bitwiseAND(F.lit(1))
+    nibble = F.conv(F.substring(h, 1 + i // 4, 1), 16, 10).cast("int")
+    return F.shiftright(nibble, 3 - i % 4).bitwiseAND(F.lit(1))
+
+
+def simhash(df: DataFrame, text_col: str = "text", hasher: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     token hashes. Vectorized as: explode tokens -> for each bit, sum
-    (+1/-1) -> sign -> reassemble. One shuffle (groupBy doc_id)."""
+    (+1/-1) -> sign -> reassemble. One shuffle (groupBy doc_id).
+
+    Output is the signature as 4 x 16-bit chunk columns (c0..c3) —
+    exactly the blocking granularity, and it sidesteps 64-bit sign
+    issues when reassembling under ANSI mode."""
+    tok_hash = F.xxhash64("tok") if hasher == "xxhash64" else F.md5("tok")
     toks = df.select(
         "doc_id",
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", tok_hash.alias("h"))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(_token_bit(F.col("h"), i, hasher) == 1, 1).otherwise(-1)
             ).alias(f"bit_{i}")
             for i in range(64)
         ]
     )
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+    def chunk(c: int) -> Column:
+        acc = F.lit(0)
+        for j in range(16):
+            i = c * 16 + j
+            acc = acc + F.when(F.col(f"bit_{i}") > 0, F.lit(1 << j)).otherwise(0)
+        return acc.cast("int")
+
+    return bit_sums.select("doc_id", *[chunk(c).alias(f"c{c}") for c in range(4)])
 
 
-def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup candidates: block on 4 x 16-bit chunks (any
-    pair within Hamming distance 3 shares at least one chunk — pigeon-
-    hole), verify Hamming distance JVM-side via bit_count(xor)."""
-    sh = simhash(df)
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the 4 x 16-bit chunks (any
+    pair within Hamming distance <=3 shares at least one chunk —
+    pigeonhole — so candidate recall is 1.0 DETERMINISTICALLY and the
+    blocked output equals the all-pairs answer, which is what the
+    DuckDB oracle computes), verify Hamming JVM-side via
+    bit_count(xor) per chunk."""
+    sh = simhash(df, hasher=hasher)
+    sig_cols = [f"c{c}" for c in range(4)]
     chunks = sh.select(
         "doc_id",
-        "simhash",
+        *sig_cols,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_id"),
-                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                )
+                F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk"))
                 for c in range(4)
             ])
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
-    left = chunks.select("chunk_id", "chunk", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    right = chunks.select("chunk_id", "chunk", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ).select("doc_id", *sig_cols, "cc.chunk_id", "cc.chunk")
+    left = chunks.select(
+        "chunk_id", "chunk", F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{c}").alias(f"a{c}") for c in range(4)],
+    )
+    right = chunks.select(
+        "chunk_id", "chunk", F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)],
+    )
     pairs = (
         left.join(right, ["chunk_id", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b", *[f"a{c}" for c in range(4)], *[f"b{c}" for c in range(4)])
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")).cast("long"))
+        for c in range(4)
+    ).cast("int")
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

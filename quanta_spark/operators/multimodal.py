@@ -67,6 +67,39 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents``: each doc
+    becomes one blob whose payload is the engine's 12-byte header
+    (kind prefix, width, height — all pure functions of doc_id) plus
+    the utf-8 text as body. Every ``decode_header`` output column is
+    therefore predictable from (doc_id, text) alone, which is what
+    makes the binary round-trip oracle-checkable in plain SQL."""
+    kinds = ["image", "audio", "video"]
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = []
+            knames = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                kind = kinds[int(doc_id) % 3]
+                w = 16 + int(doc_id) % 496
+                h = 16 + (int(doc_id) * 7) % 496
+                payloads.append(
+                    struct.pack(">4sII", kind[:4].encode().ljust(4), w, h)
+                    + str(text).encode("utf-8")
+                )
+                knames.append(kind)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": knames, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+
+
 def decode_header(df: DataFrame) -> DataFrame:
     """'Decode' = parse the 12-byte header + content digest. Real
     decode (PIL/libav) is NOT available here; the digest stands in for

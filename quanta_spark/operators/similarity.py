@@ -42,13 +42,28 @@ def _topk_window(df: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: Hard ceiling on any collected-and-broadcast query set. The
+#: broadcast pattern is only valid when |queries| is O(1) in the
+#: corpus; exceeding this is a plan-shape bug, not a data size issue.
+MAX_BROADCAST_QUERIES = 10_000
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
     """Exact cosine top-k. ``queries`` must be small (collected to the
     driver and broadcast — the standard pattern; for query STREAMS use
-    the LSH path instead). One corpus scan, numpy per Arrow batch."""
-    q_rows = queries.select("vec_id", "embedding").collect()
+    the LSH path instead). One corpus scan, numpy per Arrow batch.
+    Raises if the query set exceeds MAX_BROADCAST_QUERIES: the caller
+    must bound the budget explicitly (e.g. a fixed id set or limit)."""
+    q_rows = queries.select("vec_id", "embedding").limit(
+        MAX_BROADCAST_QUERIES + 1
+    ).collect()
+    if len(q_rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; "
+            "bound it explicitly or use the LSH bucket join path"
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
@@ -104,14 +119,51 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 8, dim: int = 64, seed: in
     )
 
 
+def _cosine_bp(a: str, b: str):
+    """Exact cosine similarity of two array<float> columns, JVM-side
+    in float64, reported in basis points (round(sim*1e4) as long) —
+    the integer report absorbs last-ULP summation-order differences
+    vs the DuckDB oracle (proven by q27/q43 parity)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    sim = dot / F.greatest(norm(F.col(a)) * norm(F.col(b)), F.lit(1e-12))
+    return F.round(sim * 10_000).cast("long")
+
+
+def _bucketed_topk(c_sig: DataFrame, q_sig: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every LSH path: bucket equi-join (the 10^12-row
+    shape — candidates shrink by ~2^bits vs all-pairs), exact cosine
+    on candidates, per-query top-k."""
+    paired = c_sig.join(F.broadcast(q_sig), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = paired.select(
+        "query_id", "vec_id", _cosine_bp("embedding", "q_emb").alias("sim_bp")
+    )
+    return _topk_window(scored, k)
+
+
 def lsh_cosine_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8, dim: int = 64
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket. The
-    bucket equi-join replaces the all-pairs cross product — this is
-    the 10^12-row shape. Recall < 1 by construction; verified against
-    brute force in tests (recall floor asserted)."""
-    dim = len(corpus.select("embedding").first()["embedding"])
+    """Approximate top-k: probe only the query's LSH bucket. Recall <
+    1 by construction; verified against brute force in tests (recall
+    floor asserted). ``dim`` is the embedding dimensionality — carried
+    explicitly (schema metadata, dataset contract) rather than sniffed
+    from a driver-side first() action."""
     c_sig = hyperplane_signature(corpus, n_bits=n_bits, dim=dim).select(
         F.col("vec_id"), F.col("bucket"), F.col("embedding")
     )
@@ -120,26 +172,94 @@ def lsh_cosine_topk(
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
     )
-    paired = c_sig.join(F.broadcast(q_sig), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    # exact cosine on the candidates, JVM-side in float64
-    dot = F.aggregate(
-        F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    return _bucketed_topk(c_sig, q_sig, k)
+
+
+def axis_bucket_expr(n_bits: int = 8, stride: int = 8):
+    """PORTABLE bucket id: bit i = sign of embedding[i*stride]. A
+    degenerate random-hyperplane family (plane = coordinate axis):
+    each bit is a single float comparison, bit-reproducible in any
+    engine — no dot-product summation whose float ordering could
+    diverge cross-engine. Used by the oracle-checked gate variant."""
+    acc = F.lit(0)
+    for i in range(n_bits):
+        acc = acc + F.when(
+            F.element_at("embedding", i * stride + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(0)
+    return acc.cast("long")
+
+
+def exact_allpairs_cosine(
+    emb: DataFrame, threshold: float = 0.4, n_blocks: int = 8
+) -> DataFrame:
+    """Distributed EXACT all-pairs cosine >= threshold — no driver
+    collect, no broadcast of the corpus.
+
+    Block-pair replication: each vector (block g = vec_id mod B) is
+    replicated to the B block-pair keys {(min(g,k), max(g,k))} it
+    participates in; every unordered vector pair meets in EXACTLY one
+    key, where a numpy matmul scores it. Costs: shuffle O(n*B) rows,
+    per-task memory O(n/B * dim) — tune n_blocks ~ sqrt(n*dim*8 /
+    task_mem) at scale. Total compute is O(n^2), inherent to an exact
+    answer; the sublinear path is the LSH bucket join (this operator
+    is its exactness baseline / recall oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    g = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    keys = F.array(*[
+        F.struct(
+            F.least(g, F.lit(k)).cast("int").alias("bp"),
+            F.greatest(g, F.lit(k)).cast("int").alias("bq"),
         )
+        for k in range(n_blocks)
+    ])
+    rep = emb.select(
+        "vec_id", "embedding", F.explode(keys).alias("key")
+    ).select(F.col("key.bp").alias("bp"), F.col("key.bq").alias("bq"), "vec_id", "embedding")
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        bp, bq = int(pdf["bp"].iloc[0]), int(pdf["bq"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        blk = ids % n_blocks
+        if bp == bq:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            va, vb = ids[ii], ids[jj]
+        else:
+            la, lb = blk == bp, blk == bq
+            ia, ib = ids[la], ids[lb]
+            sims = mat[la] @ mat[lb].T
+            ii, jj = np.nonzero(sims >= threshold)
+            va = np.minimum(ia[ii], ib[jj])
+            vb = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame(
+            {
+                "vec_a": va,
+                "vec_b": vb,
+                "sim_bp": np.rint(sims[ii, jj] * 10_000).astype(np.int64),
+            }
+        )
+
+    return rep.groupBy("bp", "bq").applyInPandas(
+        block, schema="vec_a long, vec_b long, sim_bp long"
     )
-    sim = dot / F.greatest(norm(F.col("embedding")) * norm(F.col("q_emb")), F.lit(1e-12))
-    scored = paired.select(
-        "query_id",
-        "vec_id",
-        F.round(sim * 10_000).cast("long").alias("sim_bp"),
+
+
+def axis_lsh_cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8, stride: int = 8
+) -> DataFrame:
+    """LSH top-k with the portable coordinate-sign bucket family.
+    Same bucket-equi-join plan as lsh_cosine_topk — only the signature
+    expression differs (pure Column math, whole-stage codegen, no
+    Python)."""
+    bucket = axis_bucket_expr(n_bits=n_bits, stride=stride)
+    c_sig = corpus.select("vec_id", bucket.alias("bucket"), "embedding")
+    q_sig = queries.select(
+        F.col("vec_id").alias("query_id"),
+        bucket.alias("bucket"),
+        F.col("embedding").alias("q_emb"),
     )
-    return _topk_window(scored, k)
+    return _bucketed_topk(c_sig, q_sig, k)
