@@ -9,29 +9,52 @@ api/proto/v1/transformer.proto:79-84):
 - OK    -> 0..N output events continue down the chain (fan-out:
            runner.go:90-118)
 - DROP  -> frame discarded AND acked (runner.go:161-164)
-- ERROR/RETRY -> bounded retry with fixed backoff; on exhaustion the
-           reference DROPS + ACKS (data loss, runner.go:147-156,
-           README.md:75). We keep the retry policy but route
-           exhausted rows to a DEAD-LETTER status instead of silently
-           dropping — explicit and observable (SURVEY.md §4.2 custom #4).
+- ERROR/RETRY -> bounded retry with fixed backoff under a per-call
+           deadline (runner.go:138-145); on exhaustion the reference
+           DROPS + ACKS (data loss, runner.go:147-156, README.md:75).
+           We keep retry + deadline but route exhausted rows to a
+           DEAD-LETTER status instead of silently dropping — explicit
+           and observable (SURVEY.md §4.2 custom #4).
 
-Spark realization: a stage is either
+Spark realization — a stage is exactly one of:
 
-- a NATIVE stage — a ``DataFrame -> DataFrame`` function built from
-  Column expressions. Catalyst fuses chained native stages into one
-  WholeStageCodegen pipeline; this is the fast path and the default.
-- a VECTORIZED stage — a ``pandas.DataFrame -> pandas.DataFrame``
-  function executed via ``mapInPandas`` over Arrow batches. This is
-  the designated replacement for the reference's per-event gRPC hop:
-  the process boundary becomes the JVM<->Python Arrow channel, paid
-  once per batch instead of once per row. Fan-out (1->N) and drop
-  (1->0) fall out of returning more/fewer rows.
+- MAP (``map_cols``): named Column expressions applied 1->1. Each
+  expression is guarded by the status column (CASE WHEN _status='OK'
+  THEN expr ELSE old END), so ERROR rows flow THROUGH untouched and
+  the plan stays a single linear Project chain — no filter+union
+  split, whose two references per stage re-evaluate the upstream
+  subtree ~2^N times on an N-stage chain.
+- FILTER (``predicate``): rows failing the predicate get
+  Status_DROP (only OK rows are judged) and are filtered out with a
+  plain linear Filter node — the reference's drop+ack (dropped rows
+  still commit because unwritten rows advance the offset log).
+- VECTORIZED (``batch_fn``): a ``pandas.DataFrame -> pandas.DataFrame``
+  function over Arrow batches via one ``mapInPandas`` covering ALL
+  rows; the runner slices out OK rows for the function and passes
+  non-OK rows through byte-identical. This is the designated
+  replacement for the reference's per-event gRPC hop: the process
+  boundary becomes the JVM<->Python Arrow channel, paid once per
+  batch instead of once per row. Fan-out (1->N) and drop (1->0)
+  fall out of returning more/fewer rows.
 
-Status is carried in a ``_status`` column; the chain filters DROPs
-eagerly (so downstream stages never see them — same as the reference
-short-circuit at runner.go:186-189) and carries ERROR rows to the end
-of the chain, where the sink splits them to the DLQ in the same
-commit (single-source-of-truth exactly-once).
+  Failure granularity: a failing batch is retried per policy, then
+  BISECTED — halves re-run (deterministic poison doesn't heal, so
+  bisection runs single-attempt) until only the genuinely poisonous
+  rows carry STATUS_ERROR; innocents in the same Arrow batch still
+  commit to data. This matches the reference's single-frame drop
+  granularity (runner.go:147-156) at vectorized speed: cost is
+  O(poison_rows * log(batch)) extra calls, zero when nothing fails.
+
+  Deadline: ``timeout_ms`` is ENFORCED — the function runs on a
+  worker thread and an over-deadline call is abandoned (the thread
+  is orphaned, exactly like the reference's context deadline, which
+  abandons the in-flight RPC without killing the plugin's work) and
+  treated as a retryable error.
+- NATIVE (``native``): escape hatch for an arbitrary
+  ``DataFrame -> DataFrame`` function. Because the function is
+  opaque, ERROR passthrough needs the filter+union split — fine for
+  one stage, wrong shape for long chains; prefer map/filter/batch
+  stages, which compose linearly.
 """
 
 from __future__ import annotations
@@ -56,32 +79,37 @@ ATTRS_COL = "_attrs"  # ≙ EventMetadata.attributes (transformer.proto:45-51)
 @dataclass(frozen=True)
 class RetryPolicy:
     """Mirror of the reference's per-stage policy
-    (internal/spec/spec.go:22-27; example pipeline.yml:14-18)."""
+    (internal/spec/spec.go:22-27; example pipeline.yml:14-18).
+    ``timeout_ms`` bounds each vectorized call (enforced);
+    ``attempts`` extra tries with fixed ``backoff_ms`` sleeps."""
 
     attempts: int = 3
     backoff_ms: int = 200
-    timeout_ms: int = 1000  # advisory; Spark task scheduling owns real timeouts
+    timeout_ms: int | None = 60_000
 
 
 @dataclass(frozen=True)
 class Stage:
-    """One named transform stage.
-
-    Exactly one of ``native`` / ``batch_fn`` is set:
-    - ``native(df) -> df``: Column-expression transform (codegen path).
-    - ``batch_fn(pdf) -> pdf``: pandas transform over an Arrow batch;
-      may change row count (1->0 drop, 1->N fan-out); may raise to
-      signal ERROR (retried per ``retry``).
-    """
+    """One named transform stage; exactly one behavior field is set
+    (``map_cols`` / ``predicate`` / ``batch_fn`` / ``native``).
+    ``map_cols`` may be a zero-arg callable returning the dict so
+    stages can be registered at import time, before a SparkSession
+    (Column construction needs an active context)."""
 
     name: str
-    native: Callable[[DataFrame], DataFrame] | None = None
+    map_cols: dict[str, Column] | Callable[[], dict[str, Column]] | None = None
+    predicate: Column | None = None
     batch_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None
+    native: Callable[[DataFrame], DataFrame] | None = None
     retry: RetryPolicy = field(default_factory=RetryPolicy)
 
     def __post_init__(self) -> None:
-        if (self.native is None) == (self.batch_fn is None):
-            raise ValueError(f"stage {self.name!r}: exactly one of native/batch_fn")
+        kinds = [self.map_cols, self.predicate, self.batch_fn, self.native]
+        if sum(k is not None for k in kinds) != 1:
+            raise ValueError(
+                f"stage {self.name!r}: exactly one of "
+                "map_cols/predicate/batch_fn/native must be set"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -125,62 +153,121 @@ def _ensure_status_cols(df: DataFrame) -> DataFrame:
 
 
 def _vectorized_runner(
-    stage: Stage, out_schema_ddl: str
+    stage: Stage, columns: list[str]
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """Wrap a pandas batch_fn with the reference's retry loop
-    (runner.go:135-176): fixed backoff, bounded attempts, then route
-    the whole failed batch to ERROR (dead-letter) instead of raising
-    — the batch's *other* data must still commit."""
+    """Wrap a pandas batch_fn with the reference's retry/deadline loop
+    (runner.go:135-176) plus bisection to row-level DLQ granularity."""
     fn = stage.batch_fn
     policy = stage.retry
     name = stage.name
+    timeout_s = policy.timeout_ms / 1000.0 if policy.timeout_ms else None
 
     def runner(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
+        import concurrent.futures as cf
+
+        pool: cf.ThreadPoolExecutor | None = None
+
+        def call(pdf: pd.DataFrame) -> pd.DataFrame:
+            nonlocal pool
+            if timeout_s is None:
+                return fn(pdf.copy())
+            if pool is None:
+                pool = cf.ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(fn, pdf.copy())
+            try:
+                return fut.result(timeout=timeout_s)
+            except cf.TimeoutError:
+                # Abandon the in-flight call (≙ context deadline,
+                # runner.go:138-145: the RPC is abandoned, the plugin's
+                # work is not killed). The orphaned thread keeps the old
+                # pool; a fresh pool serves the next call.
+                fut.cancel()
+                pool.shutdown(wait=False)
+                pool = None
+                raise TimeoutError(
+                    f"deadline exceeded after {policy.timeout_ms} ms"
+                ) from None
+
+        def attempt(pdf: pd.DataFrame, attempts: int) -> tuple[pd.DataFrame | None, str | None]:
             err: str | None = None
-            out: pd.DataFrame | None = None
-            for attempt in range(policy.attempts + 1):
+            for i in range(attempts + 1):
                 try:
-                    out = fn(pdf.copy())
-                    err = None
-                    break
+                    return call(pdf), None
                 except Exception as exc:  # noqa: BLE001 — stage errors are data
                     err = f"{type(exc).__name__}: {exc}"
-                    if attempt < policy.attempts:
+                    if i < attempts:
                         time.sleep(policy.backoff_ms / 1000.0)
-            if err is not None:
+            return None, err
+
+        def process(pdf: pd.DataFrame, attempts: int) -> pd.DataFrame:
+            out, err = attempt(pdf, attempts)
+            if err is None:
+                assert out is not None
+                if STATUS_COL not in out.columns:
+                    out = out.assign(**{STATUS_COL: STATUS_OK})
+                if ERROR_COL not in out.columns:
+                    out = out.assign(**{ERROR_COL: None})
+                return out
+            if len(pdf) <= 1:
                 bad = pdf.copy()
                 bad[STATUS_COL] = STATUS_ERROR
                 bad[ERROR_COL] = f"stage={name}: {err}"
-                yield bad
+                return bad
+            # bisect: isolate poison rows; single-attempt below the top
+            # level (deterministic failures don't heal on retry).
+            mid = len(pdf) // 2
+            return pd.concat(
+                [process(pdf.iloc[:mid], 0), process(pdf.iloc[mid:], 0)],
+                ignore_index=True,
+            )
+
+        for pdf in it:
+            if len(pdf) == 0:
                 continue
-            assert out is not None
-            if STATUS_COL not in out.columns:
-                out[STATUS_COL] = STATUS_OK
-            if ERROR_COL not in out.columns:
-                out[ERROR_COL] = None
-            yield out
+            ok_mask = pdf[STATUS_COL] == STATUS_OK
+            parts: list[pd.DataFrame] = []
+            if ok_mask.any():
+                parts.append(process(pdf[ok_mask], policy.attempts))
+            if (~ok_mask).any():
+                parts.append(pdf[~ok_mask])
+            out = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            yield out[columns]
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     return runner
 
 
+def _ok() -> Column:
+    return F.col(STATUS_COL) == STATUS_OK
+
+
 def apply_stage(df: DataFrame, stage: Stage) -> DataFrame:
     """Apply one stage; input/output schema is identical (the chain's
-    frame envelope). DROP rows are filtered eagerly; ERROR rows
-    bypass the stage (reference short-circuits dropped frames,
+    frame envelope). Non-OK rows flow through untouched; DROP rows
+    are filtered eagerly (reference short-circuits dropped frames,
     runner.go:186-189)."""
     df = _ensure_status_cols(df)
-    if stage.native is not None:
-        ok = df.filter(F.col(STATUS_COL) == STATUS_OK)
-        passthru = df.filter(F.col(STATUS_COL) == STATUS_ERROR)
-        out = _ensure_status_cols(stage.native(ok)).select(df.columns)
-        return out.filter(F.col(STATUS_COL) != STATUS_DROP).unionByName(passthru)
-    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    ok = df.filter(F.col(STATUS_COL) == STATUS_OK)
+    if stage.map_cols is not None:
+        mc = stage.map_cols() if callable(stage.map_cols) else stage.map_cols
+        for c, e in mc.items():
+            old = F.col(c) if c in df.columns else F.lit(None)
+            df = df.withColumn(c, F.when(_ok(), e).otherwise(old))
+        return df
+    if stage.predicate is not None:
+        marked = df.withColumn(
+            STATUS_COL,
+            F.when(_ok() & ~stage.predicate, STATUS_DROP).otherwise(F.col(STATUS_COL)),
+        )
+        return marked.filter(F.col(STATUS_COL) != STATUS_DROP)
+    if stage.batch_fn is not None:
+        out = df.mapInPandas(_vectorized_runner(stage, df.columns), schema=df.schema)
+        return out.filter(F.col(STATUS_COL) != STATUS_DROP)
+    # native escape hatch: opaque function => split/union (documented
+    # cost: two references to the input subtree; avoid in long chains).
+    ok = df.filter(_ok())
     passthru = df.filter(F.col(STATUS_COL) == STATUS_ERROR)
-    out = ok.mapInPandas(_vectorized_runner(stage, ddl), schema=df.schema)
+    out = _ensure_status_cols(stage.native(ok)).select(df.columns)
     return out.filter(F.col(STATUS_COL) != STATUS_DROP).unionByName(passthru)
 
 
@@ -209,43 +296,35 @@ def split_ok_dlq(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def native_map(name: str, **col_exprs: Column) -> Stage:
-    """1->1 map stage from Column expressions (codegen fast path)."""
-
-    def fn(df: DataFrame) -> DataFrame:
-        for c, e in col_exprs.items():
-            df = df.withColumn(c, e)
-        return df
-
-    return Stage(name=name, native=fn)
+    """1->1 map stage from Column expressions (codegen fast path;
+    status-guarded, composes linearly)."""
+    return Stage(name=name, map_cols=dict(col_exprs))
 
 
 def native_filter(name: str, predicate: Column) -> Stage:
     """Filter stage — Status_DROP for rows failing the predicate
     (reference: runner.go:161-164; dropped rows still commit because
     unwritten rows advance the offset log)."""
-
-    def fn(df: DataFrame) -> DataFrame:
-        return df.filter(predicate)
-
-    return Stage(name=name, native=fn)
+    return Stage(name=name, predicate=predicate)
 
 
 def uppercase_annotate_stage() -> Stage:
-    """The reference's example plugin, as a native stage: uppercase the
+    """The reference's example plugin, as a map stage: uppercase the
     text and record ``transformed_by`` in attributes
     (examples/transformers/uppercase/main.go:61-97 — non-JSON branch
-    uppercases; attributes set at :88-91)."""
+    uppercases; attributes set at :88-91). Column construction is
+    deferred (lazy map_cols) so registration works at import time."""
 
-    def fn(df: DataFrame) -> DataFrame:
-        return df.withColumn("text", F.upper(F.col("text"))).withColumn(
-            ATTRS_COL,
-            F.map_concat(
+    def cols() -> dict[str, Column]:
+        return {
+            "text": F.upper(F.col("text")),
+            ATTRS_COL: F.map_concat(
                 F.col(ATTRS_COL),
                 F.create_map(F.lit("transformed_by"), F.lit("uppercase")),
             ),
-        )
+        }
 
-    return Stage(name="uppercase", native=fn)
+    return Stage(name="uppercase", map_cols=cols)
 
 
 register(uppercase_annotate_stage())

@@ -32,6 +32,7 @@ Spec (YAML or dict), mirroring the reference vocabulary:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -60,11 +61,18 @@ class CompiledPipeline:
     sink: IdempotentSink | None
     checkpoint: str
     trigger: dict[str, Any]
+    #: Set when a terminal operator consumes the transformed flow: the
+    #: operator aggregates OK rows, so dead-letter rows must be teed
+    #: off BEFORE it (they are not window/join input) and committed by
+    #: a companion query — otherwise failed rows would silently count
+    #: in aggregates and their DLQ record would be lost.
+    dlq_df: DataFrame | None = None
+    dlq_sink: IdempotentSink | None = None
 
     def start(self) -> QueryHandle:
         if self.sink is None:
             raise ValueError("pipeline has no sink; use .df for ad-hoc queries")
-        return start_pipeline(
+        handle = start_pipeline(
             self.df,
             self.sink,
             self.checkpoint,
@@ -72,6 +80,18 @@ class CompiledPipeline:
             trigger_available_now=self.trigger.get("available_now", False),
             processing_time=self.trigger.get("processing_time"),
         )
+        if self.dlq_df is not None and self.dlq_sink is not None:
+            handle.children.append(
+                start_pipeline(
+                    self.dlq_df,
+                    self.dlq_sink,
+                    os.path.join(self.checkpoint, "_dlq"),
+                    query_name=f"{self.name}__dlq",
+                    trigger_available_now=self.trigger.get("available_now", False),
+                    processing_time=self.trigger.get("processing_time"),
+                )
+            )
+        return handle
 
 
 _ENV_RE = __import__("re").compile(r"\$\{(\w+)(?::-([^}]*))?\}")
@@ -163,9 +183,14 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
         df = stage_mod.apply_chain(df, chain)
     watermark = p.get("watermark", "1 hour")
     op = p.get("operator")
+    dlq_df = None
     if op and op.get("kind") not in (None, "none"):
-        # status/meta columns are stage-chain internals; windowed /
-        # stateful operators consume clean transcript rows.
+        # A terminal operator consumes clean OK rows only: dead-letter
+        # rows are teed off FIRST (committed by a companion query, see
+        # CompiledPipeline.start) — never silently aggregated.
+        if chain:
+            ok, dlq_df = stage_mod.split_ok_dlq(df)
+            df = ok
         df = df.drop(stage_mod.STATUS_COL, stage_mod.ERROR_COL, stage_mod.ATTRS_COL)
         df = _apply_operator(df, op, watermark)
     elif df.isStreaming and p.get("watermark"):
@@ -173,11 +198,19 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
 
     sink_spec = p.get("sink")
     sink = None
+    dlq_sink = None
     if sink_spec:
         if sink_spec.get("kind", "idempotent-parquet") != "idempotent-parquet":
             raise ValueError(f"unknown sink kind {sink_spec.get('kind')!r}")
         key_cols = tuple(sink_spec.get("key_cols", ("conv_id", "turn_idx")))
         sink = IdempotentSink(base_dir=sink_spec["path"], key_cols=key_cols)
+        if dlq_df is not None:
+            # companion sink rooted under the main sink's dir; ERROR
+            # rows land in <path>/dlq_stream/dlq/batch_id=N
+            dlq_sink = IdempotentSink(
+                base_dir=os.path.join(sink_spec["path"], "dlq_stream"),
+                key_cols=(),
+            )
 
     trigger_spec = p.get("trigger", "available_now")
     trigger: dict[str, Any]
@@ -194,4 +227,6 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
         sink=sink,
         checkpoint=p.get("checkpoint", "/tmp/quanta_ckpt"),
         trigger=trigger,
+        dlq_df=dlq_df,
+        dlq_sink=dlq_sink,
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import os
 import threading
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,10 +75,16 @@ class MetricsListener(StreamingQueryListener):
 @dataclass
 class QueryHandle:
     """Thin control handle (≙ the reference's Control service intent:
-    Ping -> status, PausePipeline -> stop, DeployPipeline -> start)."""
+    Ping -> status, PausePipeline -> stop, DeployPipeline -> start).
+
+    ``children`` carries companion queries started alongside the main
+    one (e.g. a DLQ tee when a terminal operator consumes the main
+    flow); control operations fan out to them — the analog of the
+    reference's one-runner-many-sinks ownership (runner.go:192-198)."""
 
     query: StreamingQuery
     checkpoint_dir: str
+    children: list["QueryHandle"] = field(default_factory=list)
 
     def status(self) -> dict:
         return {
@@ -89,10 +95,14 @@ class QueryHandle:
 
     def process_all_available(self) -> None:
         self.query.processAllAvailable()
+        for c in self.children:
+            c.process_all_available()
 
     def stop(self) -> None:
         self.query.stop()
         self.query.awaitTermination(60)
+        for c in self.children:
+            c.stop()
 
 
 def start_pipeline(
@@ -128,6 +138,8 @@ def run_to_completion(handle: QueryHandle) -> None:
     handle.query.processAllAvailable()
     handle.query.stop()
     handle.query.awaitTermination(120)
+    for c in handle.children:
+        run_to_completion(c)
 
 
 def attach_metrics(spark: SparkSession, out_path: str | None = None) -> MetricsListener:

@@ -1,8 +1,10 @@
 """Dead-letter routing end to end in a STREAMING pipeline: a stage that
-fails on a subset of rows must route those rows (payload intact) to the
-DLQ in the same commit while the rest flow to the data sink — the
-engine's explicit upgrade of the reference's silent drop+ack
-(runner.go:147-156, README.md:75)."""
+fails on a subset of rows must route EXACTLY those rows (payload
+intact) to the DLQ in the same commit while every innocent row in the
+same Arrow batch flows to the data sink — the engine's explicit
+upgrade of the reference's silent drop+ack (runner.go:147-156,
+README.md:75), at the reference's single-frame granularity via
+bisection."""
 
 from __future__ import annotations
 
@@ -16,13 +18,17 @@ from quanta_spark.sinks.idempotent import IdempotentSink
 from quanta_spark.sources.readers import stream_transcripts_files
 from quanta_spark.streaming.engine import run_to_completion, start_pipeline
 
+POISON = "conv-00000007"
 
-def test_partial_failure_splits_ok_and_dlq(spark, transcripts_dir, small_spec, tmp_workdir):
+
+def test_partial_failure_dead_letters_only_poison_rows(
+    spark, transcripts_dir, small_spec, tmp_workdir
+):
     def picky(pdf: pd.DataFrame) -> pd.DataFrame:
-        # deterministic partial failure: batches containing any turn of
-        # the poison conversation blow up (like a plugin crashing on a
-        # malformed payload)
-        if (pdf["conv_id"] == "conv-00000007").any():
+        # deterministic partial failure: any batch slice containing a
+        # poison-conversation turn blows up (like a plugin crashing on
+        # a malformed payload) — bisection must isolate those rows.
+        if (pdf["conv_id"] == POISON).any():
             raise ValueError("poison conversation")
         return pdf
 
@@ -36,14 +42,16 @@ def test_partial_failure_splits_ok_and_dlq(spark, transcripts_dir, small_spec, t
 
     data = sink.read_data(spark).toPandas()
     dlq = sink.read_dlq(spark).toPandas()
-    total = len(generate(small_spec))
+    gen = generate(small_spec)
+    total = len(gen)
 
     assert len(data) + len(dlq) == total, "rows lost between data and DLQ"
-    assert len(dlq) > 0, "expected some dead-lettered batches"
+    # single-frame granularity: the DLQ holds the poison conversation's
+    # rows and NOTHING else; innocents in the same Arrow batch commit.
+    assert set(dlq["conv_id"]) == {POISON}
+    assert POISON not in set(data["conv_id"])
     assert (dlq["_error"].str.contains("poison")).all()
-    # the poison conv itself is fully in the DLQ
-    assert "conv-00000007" not in set(data["conv_id"])
-    assert (dlq["conv_id"] == "conv-00000007").any()
+    assert len(dlq) == int((gen["conv_id"] == POISON).sum())
     # no duplicates anywhere
     both = pd.concat([data[["conv_id", "turn_idx"]], dlq[["conv_id", "turn_idx"]]])
     assert not both.duplicated().any()
