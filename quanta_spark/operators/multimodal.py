@@ -170,16 +170,65 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def repartition_by_size(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
-    """Rebalance a media table by cumulative blob size: range-partition
-    on a running-size bucket so each task holds ~target_bytes of
-    payload regardless of row count (blob-size skew is the media
-    analog of the mega-conversation)."""
+def repartition_by_size(
+    df: DataFrame, target_bytes: int = 128 << 20, order_col: str = "media_id"
+) -> DataFrame:
+    """Rebalance a media table by CUMULATIVE blob size: bucket =
+    floor(running_sum_of_bytes / target_bytes) in ``order_col`` order,
+    then range-partition on the bucket — each task holds ~target_bytes
+    of payload regardless of row count (blob-size skew is the media
+    analog of the mega-conversation). Guarantee: a partition's payload
+    never exceeds target_bytes + one blob (greedy by start offset).
+
+    The running sum is a DISTRIBUTED prefix sum, not a global-window
+    sort: rows get a coarse range id (pure function of order_col), a
+    tiny narrow-projection aggregate computes per-range byte totals
+    (O(n_ranges) rows to the driver), and the exact cumsum is the
+    broadcast range offset plus a per-range window cumsum — so the
+    payload bytes cross exactly two shuffles (range window + final
+    repartition) and nothing global-sorts."""
+    from pyspark.sql.window import Window
+
     sized = df.withColumn("_sz", F.length("payload").cast("long"))
-    total = sized.agg(F.sum("_sz")).first()[0] or 1
-    n_parts = max(1, int(total / target_bytes))
-    return (
-        sized.withColumn("_bucket", F.pmod(F.xxhash64("media_id"), F.lit(n_parts * 4)))
-        .repartitionByRange(n_parts * 4 if n_parts > 1 else 1, "_bucket")
-        .drop("_sz", "_bucket")
+    bounds = sized.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return df
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    n_ranges = max(df.sparkSession.sparkContext.defaultParallelism * 4, 4)
+    rid = F.width_bucket(
+        F.col(order_col).cast("double"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_ranges)
+    )
+    per_range = (
+        sized.select(rid.alias("_rid"), "_sz")
+        .groupBy("_rid")
+        .agg(F.sum("_sz").alias("s"))
+        .collect()
+    )
+    sums = {int(r["_rid"]): int(r["s"]) for r in per_range}
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in sorted(sums):
+        offsets[r] = running
+        running += sums[r]
+    off_map = F.create_map(
+        *[x for r, o in sorted(offsets.items()) for x in (F.lit(r), F.lit(o))]
+    )
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_buckets = max(1, -(-running // target_bytes))
+    bucketed = (
+        sized.withColumn("_rid", rid)
+        .withColumn(
+            "_start",
+            F.element_at(off_map, F.col("_rid")) + F.sum("_sz").over(w) - F.col("_sz"),
+        )
+        .withColumn("_bucket", (F.col("_start") / F.lit(target_bytes)).cast("long"))
+    )
+    return bucketed.repartitionByRange(n_buckets, "_bucket").drop(
+        "_sz", "_rid", "_start", "_bucket"
     )

@@ -154,13 +154,27 @@ class IdempotentSink:
         )
 
 
+def build_merge_sql(table: str, source_view: str, key_cols: tuple[str, ...]) -> str:
+    """The MERGE statement used by the Iceberg writer — factored so the
+    generated SQL is unit-testable without the runtime jar. Idempotent
+    under replay: matched keys update to identical values, unmatched
+    insert; replaying a batch is a no-op rewrite."""
+    if not key_cols:
+        raise ValueError("MERGE requires at least one key column")
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def merge_write_iceberg(  # pragma: no cover - requires iceberg runtime jar
     batch_df: DataFrame, batch_id: int, table: str, key_cols: tuple[str, ...]
 ) -> None:
     """Cluster-grade variant: MERGE INTO an Iceberg table keyed by
-    ``key_cols`` (idempotent under replay because matched keys update
-    to identical values). Requires iceberg-spark-runtime on the
-    classpath; raises cleanly when absent."""
+    ``key_cols`` (statement built by build_merge_sql). Requires
+    iceberg-spark-runtime on the classpath; raises cleanly when
+    absent."""
     spark = batch_df.sparkSession
     if "org.apache.iceberg" not in spark.conf.get(
         "spark.sql.extensions", ""
@@ -172,8 +186,4 @@ def merge_write_iceberg(  # pragma: no cover - requires iceberg runtime jar
         )
     view = f"_merge_src_{batch_id}"
     batch_df.createOrReplaceTempView(view)
-    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-    spark.sql(
-        f"MERGE INTO {table} t USING {view} s ON {on} "
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-    )
+    spark.sql(build_merge_sql(table, view, key_cols))

@@ -14,16 +14,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def kafka_payload(batch_df: DataFrame, key_col: str = "conv_id") -> DataFrame:
+    """Serialize rows to the Kafka writer's (key, value) contract:
+    key = the partitioning key column (preserves the reference's
+    per-key partitioning, frame.proto:36), value = JSON of the full
+    row. Factored out so the serialization is contract-testable on a
+    plain batch DataFrame without the connector jar."""
+    return batch_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*batch_df.columns)).alias("value"),
+    )
+
+
 def kafka_batch_writer(bootstrap: str, topic: str):
-    """foreachBatch writer serializing transcript rows to Kafka:
-    key = conv_id (preserves the reference's per-key partitioning,
-    frame.proto:36), value = JSON of the row."""
+    """foreachBatch writer serializing transcript rows to Kafka via
+    kafka_payload."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        payload = batch_df.select(
-            F.col("conv_id").cast("string").alias("key"),
-            F.to_json(F.struct(*batch_df.columns)).alias("value"),
-        )
+        payload = kafka_payload(batch_df)
         try:
             (
                 payload.write.format("kafka")

@@ -54,6 +54,38 @@ def stream_transcripts_files(
     return df
 
 
+def kafka_source_options(
+    bootstrap: str,
+    topics: str,
+    start_from: str = "oldest",
+    max_offsets_per_trigger: int | None = 30000,
+) -> dict[str, str]:
+    """The exact DataStreamReader options map for the Kafka source —
+    factored out so the option wiring is contract-testable without a
+    broker or the connector jar.
+
+    ``start_from`` uses the reference's vocabulary and default
+    (oldest/newest, source/kafka/config.go:86-88 — default oldest);
+    unknown values are REJECTED like the reference's config loader
+    rejects bad enums rather than guessing. The offsets cap default
+    mirrors the reference's backpressure capacity of 30,000 in-flight
+    frames (config.go:74-76).
+    """
+    if start_from not in ("oldest", "newest"):
+        raise ValueError(
+            f"start_from must be oldest|newest, got {start_from!r} "
+            "(reference vocabulary, driver_sarama.go:57-62)"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topics,
+        "startingOffsets": "earliest" if start_from == "oldest" else "latest",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def stream_kafka(  # pragma: no cover - kafka connector jar not in this image
     spark: SparkSession,
     bootstrap: str,
@@ -61,23 +93,13 @@ def stream_kafka(  # pragma: no cover - kafka connector jar not in this image
     start_from: str = "oldest",
     max_offsets_per_trigger: int | None = 30000,
 ) -> DataFrame:
-    """Kafka source matching the reference's consumer semantics.
-
-    ``start_from`` uses the reference's vocabulary (oldest/newest,
-    source/kafka/config.go:86-88); the default offsets cap mirrors the
-    reference's default backpressure capacity of 30,000 in-flight
-    frames (config.go:74-76).
-    """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topics)
-        .option(
-            "startingOffsets", "earliest" if start_from == "oldest" else "latest"
-        )
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    """Kafka source matching the reference's consumer semantics
+    (option map built and pinned by kafka_source_options)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap, topics, start_from, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

@@ -56,13 +56,42 @@ def test_frame_sampling_plan(spark, media):
         assert got == list(range(0, max(row.nf - 1, 0) + 1, 30))
 
 
-def test_repartition_by_size_balances(spark, media):
-    out = repartition_by_size(media, target_bytes=16 << 10)
-    sizes = (
+def _partition_bytes(out):
+    return (
         out.withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
         .agg(F.sum(F.length("payload")).alias("bytes"))
-        .toPandas()
+        .toPandas()["bytes"]
     )
+
+
+def test_repartition_by_size_balances(spark, media):
+    target = 16 << 10
+    out = repartition_by_size(media, target_bytes=target)
+    max_blob = media.agg(F.max(F.length("payload"))).first()[0]
+    sizes = _partition_bytes(out)
     assert len(sizes) > 1
     assert out.count() == 64
+    # the contract: cumulative-size bucketing bounds every partition by
+    # target + one blob (greedy by start offset)
+    assert sizes.max() <= target + max_blob
+
+
+def test_repartition_by_size_one_giant_blob(spark):
+    """One 5 MB blob among 1,000 tiny ones: the giant must not drag
+    neighbors into its partition beyond the bound, and tiny blobs must
+    pack to ~target instead of one-partition-per-row."""
+    import numpy as np
+
+    rows = [(i, bytearray(b"x" * 1024)) for i in range(1000)]
+    rows.append((1000, bytearray(b"y" * (5 << 20))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    target = 1 << 20  # 1 MB
+    out = repartition_by_size(df, target_bytes=target)
+    sizes = _partition_bytes(out)
+    total = 1000 * 1024 + (5 << 20)
+    assert out.count() == 1001
+    assert sizes.max() <= target + (5 << 20)
+    # tiny blobs pack: the 1 MB worth of tiny rows occupies ~1 bucket,
+    # so partition count stays near ceil(total/target), not 1001
+    assert len(sizes) <= int(np.ceil(total / target)) + 1
