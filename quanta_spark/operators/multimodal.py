@@ -2,11 +2,16 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct; all
 per-blob compute flows through Arrow-batched ``mapInPandas`` so bytes
-never round-trip through Python row objects. Decode itself is STUBBED
-(no codec libraries in this environment — each stub either raises
-NotImplementedError or produces a deterministic fake, clearly marked);
-the Spark-side plumbing — schema, batch shape, partition sizing,
-UDF signatures — is real and tested.
+never round-trip through Python row objects.
+
+Decode is REAL for every format implementable without codec
+libraries: pure-numpy BMP (24-bit), RIFF/PCM16 WAV, and the QVID
+raw-frame video container (operators/codecs.py) — decode_media,
+resize_images and sample_video_frames operate on actual pixels/PCM.
+Compressed formats (JPEG/PNG/H.264/AAC) raise NotImplementedError
+naming the format: that gate is per-FORMAT, not per-operator, and
+plugging a real codec lib into the same mapInPandas bodies is the
+only change a cluster deployment needs.
 
 Scale notes: blobs dominate partition bytes, so media tables must be
 split by bytes not rows (spark.sql.files.maxPartitionBytes); the
@@ -138,35 +143,197 @@ def decode_header(df: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
-    """STUB: real resize needs an image codec (not in this image).
-    The plumbing (filter to images, batch UDF, output schema) is real."""
+# ---------------------------------------------------------------------------
+# REAL decode path — pure-numpy codecs (operators/codecs.py): BMP for
+# images, RIFF/PCM16 for audio, QVID raw-frame container for video.
+# Compressed formats (JPEG/H.264/AAC) still need external codec libs
+# absent in this environment and raise a clear NotImplementedError —
+# that gate is now per-FORMAT, not per-operator.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded files:
+    24-bit BMPs, PCM16 WAVs (seeded sine + noise), and QVID raw video —
+    every blob round-trips through the actual decoders."""
+    from quanta_spark.operators.codecs import encode_bmp, encode_qvid, encode_wav
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, meta = encode_bmp(px), (w, h, None, None, "bmp")
+        elif kind == "audio":
+            sr, n_samp = 16000, int(rng.integers(800, 4000))
+            t = np.arange(n_samp) / sr
+            freq = float(rng.integers(100, 2000))
+            wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samp)
+            payload = encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), sr)
+            meta = (None, None, sr, None, "pcm16")
+        else:
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            nf = int(rng.integers(2, 90))
+            frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            payload, meta = encode_qvid(frames, fps=30), (w, h, None, nf, "qvid")
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def solid_media_from_documents(docs: DataFrame) -> DataFrame:
+    """REAL encoded media (24-bit BMPs and QVID raw videos — actual
+    container bytes built by the codecs) whose decode output is
+    exactly predictable from doc_id alone: solid GRAY content, so the
+    decoder's mean-pixel statistic equals the gray level with no
+    float-summation ambiguity. This is what makes the real decode
+    path oracle-checkable end to end in plain SQL (q44)."""
+    from quanta_spark.operators.codecs import encode_bmp, encode_qvid
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, kinds, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % 256
+                w, h = 16 + d % 48, 16 + (d * 3) % 48
+                if d % 2 == 0:
+                    kind = "image"
+                    payload = encode_bmp(np.full((h, w, 3), g, dtype=np.uint8))
+                else:
+                    kind = "video"
+                    nf = 2 + d % 7
+                    payload = encode_qvid(np.full((nf, h, w, 3), g, dtype=np.uint8))
+                ids.append(d)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real decode over Arrow batches: dispatch on container magic,
+    emit per-blob typed features (dims / sample geometry plus a
+    content statistic proving pixel/PCM-level access). Unknown or
+    compressed containers raise NotImplementedError naming the format."""
+    from quanta_spark.operators import codecs
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, not present in this "
-            "environment; plug a decoder into this mapInPandas body"
-        )
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {
+                "media_id": [], "decoded_kind": [], "width": [], "height": [],
+                "n_frames": [], "sample_rate": [], "n_samples": [], "feature_milli": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if b[:2] == b"BM":
+                    px = codecs.decode_bmp(b)
+                    vals = ("image", px.shape[1], px.shape[0], None, None, None,
+                            float(px.mean()) / 255.0)
+                elif b[:4] == b"RIFF":
+                    samples, sr = codecs.decode_wav(b)
+                    vals = ("audio", None, None, None, sr, samples.shape[0],
+                            float(np.sqrt((samples ** 2).mean())))
+                elif b[:4] == b"QVID":
+                    w, h, nf, _ = codecs.qvid_info(b)
+                    first = codecs.decode_qvid_frame(b, 0)
+                    vals = ("video", w, h, nf, None, None, float(first.mean()) / 255.0)
+                else:
+                    raise NotImplementedError(
+                        f"no pure-python decoder for container magic {b[:4]!r} "
+                        "(JPEG/PNG/H.264 need codec libs not present here)"
+                    )
+                kind, w_, h_, nf_, sr_, ns_, feat = vals
+                out["media_id"].append(mid)
+                out["decoded_kind"].append(kind)
+                out["width"].append(w_)
+                out["height"].append(h_)
+                out["n_frames"].append(nf_)
+                out["sample_rate"].append(sr_)
+                out["n_samples"].append(ns_)
+                # explicit half-up rounding: reproducible as
+                # floor(x*1000 + 0.5) in any SQL engine (Python round()
+                # is banker's and would diverge on exact halves)
+                out["feature_milli"].append(int(np.floor(feat * 1000 + 0.5)))
+            yield pd.DataFrame(out)
 
-    return df.filter(F.col("kind") == "image").mapInPandas(
+    return df.select("media_id", "payload").mapInPandas(
+        fn,
+        schema="media_id long, decoded_kind string, width int, height int, "
+        "n_frames int, sample_rate int, n_samples long, feature_milli long",
+    )
+
+
+def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
+    """REAL image resize (nearest-neighbor, pure numpy) for BMP
+    payloads: decode -> resize -> re-encode, all inside one Arrow
+    batch pass. Non-BMP image formats raise NotImplementedError
+    naming the format (codec libs absent)."""
+    from quanta_spark.operators.codecs import decode_bmp, encode_bmp, resize_nearest
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, payloads, ws, hs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(p))
+                resized = resize_nearest(px, target, target)
+                ids.append(mid)
+                payloads.append(encode_bmp(np.ascontiguousarray(resized)))
+                ws.append(target)
+                hs.append(target)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         fn, schema="media_id long, payload binary, width int, height int"
     )
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Frame sampling metadata plan: which frame indices to extract per
-    video (pure column math — real); the extraction itself would plug
-    into a decode UDF like resize_images."""
-    return (
-        df.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
-                )
-            ).alias("frame_idx"),
-        )
+    """REAL frame sampling: every_n-th frame of each QVID video is
+    random-access decoded (no full-video materialization) and emitted
+    as a standalone BMP blob — the fan-out shape of a frame-extraction
+    training pipeline (one row per sampled frame)."""
+    from quanta_spark.operators.codecs import decode_qvid_frame, encode_bmp, qvid_info
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                _, _, nf, _ = qvid_info(b)
+                for k in range(0, nf, every_n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(encode_bmp(np.ascontiguousarray(decode_qvid_frame(b, k))))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bmp": frames,
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        fn, schema="media_id long, frame_idx int, frame_bmp binary"
     )
 
 

@@ -47,7 +47,10 @@ from quanta_spark.operators.windows import (
     tumbling_turn_stats,
     with_watermark,
 )
+from quanta_spark.sinks.console import StdoutSink
+from quanta_spark.sinks.fanout import FanoutSink
 from quanta_spark.sinks.idempotent import IdempotentSink
+from quanta_spark.sinks.kafka import kafka_batch_writer
 from quanta_spark.sources import readers
 from quanta_spark.streaming.engine import QueryHandle, start_pipeline
 
@@ -58,9 +61,14 @@ SCHEMA_VERSION = "v1"
 class CompiledPipeline:
     name: str
     df: DataFrame
+    #: primary idempotent sink (read-back + DLQ anchor); None when the
+    #: spec only configures console/kafka sinks
     sink: IdempotentSink | None
     checkpoint: str
     trigger: dict[str, Any]
+    #: the composed foreachBatch target: the single configured sink, or
+    #: a FanoutSink committing every configured sink as one unit
+    sink_fn: Any = None
     #: Set when a terminal operator consumes the transformed flow: the
     #: operator aggregates OK rows, so dead-letter rows must be teed
     #: off BEFORE it (they are not window/join input) and committed by
@@ -70,11 +78,11 @@ class CompiledPipeline:
     dlq_sink: IdempotentSink | None = None
 
     def start(self) -> QueryHandle:
-        if self.sink is None:
+        if self.sink_fn is None:
             raise ValueError("pipeline has no sink; use .df for ad-hoc queries")
         handle = start_pipeline(
             self.df,
-            self.sink,
+            self.sink_fn,
             self.checkpoint,
             query_name=self.name,
             trigger_available_now=self.trigger.get("available_now", False),
@@ -196,21 +204,42 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
     elif df.isStreaming and p.get("watermark"):
         df = with_watermark(df, watermark)
 
-    sink_spec = p.get("sink")
+    # sink registry (≙ sink adapter registry, sink/adapter.go:10-31;
+    # multiple sinks fan out under ONE commit, runner.go:192-198 /
+    # compiler.go:69-98). Spec: a single `sink:` block or a `sinks:`
+    # list; the first idempotent-parquet sink is the primary (exposed
+    # for reads and as the DLQ anchor).
+    sink_specs = p.get("sinks") or ([p["sink"]] if p.get("sink") else [])
     sink = None
     dlq_sink = None
-    if sink_spec:
-        if sink_spec.get("kind", "idempotent-parquet") != "idempotent-parquet":
-            raise ValueError(f"unknown sink kind {sink_spec.get('kind')!r}")
-        key_cols = tuple(sink_spec.get("key_cols", ("conv_id", "turn_idx")))
-        sink = IdempotentSink(base_dir=sink_spec["path"], key_cols=key_cols)
-        if dlq_df is not None:
-            # companion sink rooted under the main sink's dir; ERROR
-            # rows land in <path>/dlq_stream/dlq/batch_id=N
-            dlq_sink = IdempotentSink(
-                base_dir=os.path.join(sink_spec["path"], "dlq_stream"),
-                key_cols=(),
+    writers = []
+    for s in sink_specs:
+        kind = s.get("kind", "idempotent-parquet")
+        if kind == "idempotent-parquet":
+            key_cols = tuple(s.get("key_cols", ("conv_id", "turn_idx")))
+            w = IdempotentSink(base_dir=s["path"], key_cols=key_cols)
+            if sink is None:
+                sink = w
+            writers.append(w)
+        elif kind in ("console", "stdout"):
+            writers.append(
+                StdoutSink(
+                    max_rows=s.get("max_rows", 20),
+                    truncate=s.get("truncate", 60),
+                    delay_ms=s.get("delay_ms", 0),
+                )
             )
+        elif kind == "kafka":
+            writers.append(kafka_batch_writer(s["bootstrap"], s["topic"]))
+        else:
+            raise ValueError(f"unknown sink kind {kind!r}")
+    if dlq_df is not None and sink is not None:
+        # companion sink rooted under the primary sink's dir; ERROR
+        # rows land in <path>/dlq_stream/dlq/batch_id=N
+        dlq_sink = IdempotentSink(
+            base_dir=os.path.join(sink.base_dir, "dlq_stream"),
+            key_cols=(),
+        )
 
     trigger_spec = p.get("trigger", "available_now")
     trigger: dict[str, Any]
@@ -221,12 +250,17 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
     else:
         trigger = {}
 
+    sink_fn = None
+    if writers:
+        sink_fn = writers[0] if len(writers) == 1 else FanoutSink(*writers)
+
     return CompiledPipeline(
         name=p.get("name", "quanta_pipeline"),
         df=df,
         sink=sink,
         checkpoint=p.get("checkpoint", "/tmp/quanta_ckpt"),
         trigger=trigger,
+        sink_fn=sink_fn,
         dlq_df=dlq_df,
         dlq_sink=dlq_sink,
     )

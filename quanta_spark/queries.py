@@ -1111,6 +1111,33 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q44_real_media_decode",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS decoded_kind,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id * 3) % 48 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS INT)
+            ELSE CAST(2 + doc_id % 7 AS INT) END AS n_frames,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(floor((doc_id % 256) / 255.0 * 1000 + 0.5) AS BIGINT) AS feature_milli
+FROM documents
+""",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary decode, oracle-checked end to end: actual BMP/QVID
+    container bytes are built per doc_id (solid gray content), then
+    the pure-numpy decoders parse them back — dimensions, frame counts
+    and the mean-pixel statistic must equal what SQL predicts from
+    doc_id arithmetic alone. Proves the decode path touches real
+    pixels, not just headers."""
+    from quanta_spark.operators.multimodal import decode_media, solid_media_from_documents
+
+    return decode_media(solid_media_from_documents(spark.table("documents")))
+
+
+@query(
     "q43_embedding_neardup",
     """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -59,6 +59,14 @@ def get_spark(
         # streaming: local FS checkpoints are fine in tests; on a cluster
         # this must point at durable storage (S3/HDFS) via the pipeline spec.
         .config("spark.sql.streaming.stateStore.compression.codec", "zstd")
+        # RocksDB changelog checkpointing: per-batch commits upload the
+        # changelog instead of a full snapshot — measured 39.8s -> 30.3s
+        # (+31% tps) on the sf0.1 join->session composite, where the
+        # ~3s/batch state-commit fixed cost was the main throughput tax.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         # parquet scan tuning: at 100 TB the scan must split well.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")

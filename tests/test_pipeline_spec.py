@@ -78,6 +78,46 @@ def test_operator_pipeline_compiles(spark, transcripts_dir, tmp_workdir):
     assert "session_start" in compiled.df.columns
 
 
+def test_multi_sink_spec_fans_out_under_one_commit(
+    spark, transcripts_dir, small_spec, tmp_workdir, capsys
+):
+    """``sinks:`` list ≙ the reference wiring multiple sinks from the
+    spec (compiler.go:69-98); all writers commit as one unit."""
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "fanout-spec",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir,
+                       "max_files_per_trigger": 8},
+            "transformers": ["uppercase"],
+            "sinks": [
+                {"kind": "idempotent-parquet", "path": os.path.join(tmp_workdir, "out")},
+                {"kind": "console", "max_rows": 1},
+            ],
+            "checkpoint": os.path.join(tmp_workdir, "ckpt"),
+        },
+    }
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.sink is not None  # primary = the idempotent sink
+    run_to_completion(compiled.start())
+    assert compiled.sink.read_data(spark).count() == len(generate(small_spec))
+    assert "[stdout-sink] batch=" in capsys.readouterr().out
+
+
+def test_unknown_sink_kind_rejected(spark, transcripts_dir):
+    with pytest.raises(ValueError, match="sink kind"):
+        compile_pipeline(
+            spark,
+            {
+                "schema_version": "v1",
+                "pipeline": {
+                    "source": {"kind": "parquet-stream", "path": transcripts_dir},
+                    "sink": {"kind": "quantum-teleport", "path": "/tmp/x"},
+                },
+            },
+        )
+
+
 def test_env_override_interpolation(spark, transcripts_dir, monkeypatch):
     """config env overrides, ≙ source/kafka/config.go:46-71."""
     monkeypatch.setenv("QS_TEST_PATH", transcripts_dir)
