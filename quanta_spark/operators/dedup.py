@@ -255,6 +255,81 @@ def minhash_near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id,
+    component_id) with component_id = min doc_id in the component —
+    the step that turns pairwise near-dup evidence into dedup GROUPS
+    (pick one survivor per component).
+
+    Algorithm: iterative min-label propagation — each round, every
+    vertex takes the min of its own label and its neighbors' labels;
+    converges in O(graph diameter) rounds, which for near-dup clusters
+    is small. Each round is one shuffle (join on vertex) + one
+    aggregate; lineage is truncated with localCheckpoint so the plan
+    doesn't grow with iterations. At extreme scale swap the inner step
+    for large-star/small-star (same join primitives, fewer rounds on
+    high-diameter graphs); the convergence loop is identical.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+                ).alias("component_id"),
+                (F.coalesce("nbr_min", F.col("component_id")) < F.col("component_id"))
+                .alias("_changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter("_changed").count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    else:  # pragma: no cover - diameter > max_iterations
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iterations} rounds; "
+            "raise max_iterations or switch to large-star/small-star"
+        )
+    return labels
+
+
+def stream_dedup_exact(
+    df: DataFrame, watermark: str = "1 hour", text_col: str = "text", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint ONCE among
+    all arrivals within the watermark window
+    (dropDuplicatesWithinWatermark — state evicted by event time, the
+    only dedup contract possible with finite state on an unbounded
+    stream). Output is the fingerprint set (projected before dedup so
+    the result is deterministic regardless of which duplicate arrives
+    first)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .select(
+            F.md5(normalized(F.col(text_col))).alias("fingerprint"),
+            F.col(ts_col),
+        )
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
+    )
+
+
 def _token_bit(h: Column, i: int, hasher: str) -> Column:
     """Bit i (0..63) of a token's hash. xxhash64: plain bit of the
     64-bit value. md5: bit of the first 16 hex nibbles — nibble i//4,

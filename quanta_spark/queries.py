@@ -665,8 +665,7 @@ _MINHASH_COEF = (
     f"unnest([{', '.join(str(int(v)) for v in MINHASH_B)}]) AS b"
 )
 
-_Q28_ORACLE = f"""
-WITH {_DOCS2},
+_Q28_CTES = f"""{_DOCS2},
 nrm AS (SELECT doc_id, {DUCK_NORM} AS norm FROM docs2),
 g AS (
   SELECT doc_id,
@@ -690,7 +689,9 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+)"""
+
+_Q28_SELECT = """
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(ga.grams, gb.grams)) AS INT) AS n_common,
        CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS INT) AS n_union,
@@ -700,6 +701,8 @@ FROM cand c JOIN g ga ON ga.doc_id = c.doc_a JOIN g gb ON gb.doc_id = c.doc_b
 WHERE round(len(list_intersect(ga.grams, gb.grams)) /
             greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1), 4) >= 0.8
 """
+
+_Q28_ORACLE = f"WITH {_Q28_CTES}\n{_Q28_SELECT}"
 
 
 @query("q28_minhash_neardup", _Q28_ORACLE)
@@ -860,7 +863,14 @@ def _write_transcript_stream(spark: SparkSession, jitter: bool) -> str:
     return d
 
 
-def _run_stream_query(spark: SparkSession, op, jitter: bool) -> DataFrame:
+def _run_stream_query(
+    spark: SparkSession, op, jitter: bool, heartbeat_in_output: bool = True
+) -> DataFrame:
+    """``heartbeat_in_output=False``: the operator's output carries no
+    conv_id to filter the watermark-heartbeat row by, so the heartbeat
+    is excluded at the SOURCE instead — valid for operators that emit
+    rows eagerly (e.g. streaming dedup) and only use the watermark to
+    evict state, never to release held results."""
     import pandas as pd
 
     from quanta_spark.datagen import HEARTBEAT_CONV, write_heartbeat_file
@@ -871,13 +881,16 @@ def _run_stream_query(spark: SparkSession, op, jitter: bool) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="qs_stream_ckpt_")
     rows: list = []
     src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=2, with_lineage=False)
+    if not heartbeat_in_output:
+        src = src.filter(F.col("conv_id") != HEARTBEAT_CONV)
     h = start_pipeline(op(src), lambda b, i: rows.extend(b.collect()), ckpt)
     h.process_all_available()
     max_ts = pd.Timestamp(spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"])
     write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=30))
     run_to_completion(h)
     out_pdf = pd.DataFrame([r.asDict() for r in rows])
-    out_pdf = out_pdf[out_pdf["conv_id"] != HEARTBEAT_CONV]
+    if heartbeat_in_output:
+        out_pdf = out_pdf[out_pdf["conv_id"] != HEARTBEAT_CONV]
     return spark.createDataFrame(out_pdf, schema=op(src).schema)
 
 
@@ -1135,6 +1148,62 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.multimodal import decode_media, solid_media_from_documents
 
     return decode_media(solid_media_from_documents(spark.table("documents")))
+
+
+@query(
+    "q45_dedup_components",
+    f"""
+WITH RECURSIVE {_Q28_CTES},
+pairs AS ({_Q28_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+""",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components (iterative min-label
+    propagation, one shuffle per round) — the step that turns pairwise
+    evidence into dedup GROUPS. Oracle: DuckDB recursive CTE computing
+    min reachable id over the same (oracle-re-derived) edge set."""
+    from quanta_spark.operators.dedup import dedup_components, minhash_near_dup_pairs
+
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
+    pairs = minhash_near_dup_pairs(docs2, threshold=0.8, hasher="md5")
+    return dedup_components(pairs.select("doc_a", "doc_b"))
+
+
+@query(
+    "q46_stream_dedup",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT DISTINCT md5({DUCK_NORM}) AS fingerprint FROM transcripts
+""",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup: each content fingerprint emitted once
+    across all arrivals within the watermark
+    (dropDuplicatesWithinWatermark, state evicted by event time).
+    Duplicates separated by MORE than the watermark may legitimately
+    re-emit (bounded state is the whole point), so for a deterministic
+    oracle the gate variant uses a watermark spanning the entire
+    input: the streamed fingerprint set then equals batch DISTINCT.
+    Short-watermark eviction behavior is pinned in pytest instead."""
+    from quanta_spark.operators.dedup import stream_dedup_exact
+
+    return _run_stream_query(
+        spark,
+        lambda src: stream_dedup_exact(src, watermark="3650 days"),
+        jitter=True,
+        heartbeat_in_output=False,
+    )
 
 
 @query(

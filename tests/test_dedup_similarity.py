@@ -83,6 +83,105 @@ def test_ngram_jaccard_identical_docs_is_one(spark, docs2):
     assert out["jaccard"] == 1.0
 
 
+def test_dedup_components_chain_and_islands(spark):
+    """Min-label propagation must follow transitive chains (diameter >
+    1), keep islands separate, and label every component by its min id."""
+    from quanta_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 12), (12, 20), (40, 41), (50, 41)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component_id"] for r in dedup_components(pairs).collect()}
+    assert got == {3: 3, 7: 3, 12: 3, 20: 3, 40: 40, 41: 40, 50: 40}
+
+
+def test_stream_dedup_eviction_boundary(spark, tmp_workdir):
+    """Within-watermark duplicates are suppressed; duplicates farther
+    apart than the watermark re-emit after state eviction — the
+    bounded-state contract of streaming dedup."""
+    import os
+
+    import pandas as pd
+
+    from quanta_spark.operators.dedup import stream_dedup_exact
+    from quanta_spark.sources.readers import stream_transcripts_files
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    # batch 1: first occurrences; batch 2: near-dup of alpha (state
+    # alive -> suppressed) + a filler far in the future; batch 3:
+    # another filler — needed because batch N's watermark is batch
+    # N-1's max event time minus delay, and state cleanup runs AFTER
+    # row processing: beta's state is only evicted at the end of
+    # batch 3; batch 4: beta again AFTER eviction -> re-emitted.
+    batches = [
+        [
+            ("c1", 0, "user", "alpha text", None, base),
+            ("c2", 0, "user", "beta text", None, base),
+        ],
+        [
+            ("c1", 1, "user", "alpha text", None, base + pd.Timedelta(minutes=10)),
+            ("cf", 0, "user", "filler text", None, base + pd.Timedelta(days=5)),
+        ],
+        [
+            ("cf", 1, "user", "filler2 text", None, base + pd.Timedelta(days=5, minutes=1)),
+        ],
+        [
+            ("c2", 1, "user", "beta text", None, base + pd.Timedelta(days=10)),
+        ],
+    ]
+    frames = [
+        pd.DataFrame(
+            b, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).astype({"turn_idx": "int32"})
+        for b in batches
+    ]
+    data_dir = os.path.join(tmp_workdir, "in")
+    os.makedirs(data_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    # one file per micro-batch; mtimes pinned so the file source
+    # processes them strictly in order with maxFilesPerTrigger=1
+    import time as _time
+
+    t0 = _time.time() - 3600
+    for i, frame in enumerate(frames):
+        path = os.path.join(data_dir, f"part-{i:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=schema, preserve_index=False), path
+        )
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+
+    out: list = []
+    src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=1)
+    h = start_pipeline(
+        stream_dedup_exact(src, watermark="1 hour"),
+        lambda b, i: out.extend(r["fingerprint"] for r in b.collect()),
+        os.path.join(tmp_workdir, "ckpt"),
+    )
+    run_to_completion(h)
+    from collections import Counter
+    from hashlib import md5
+
+    counts = Counter(out)
+    fp = lambda t: md5(t.encode()).hexdigest()  # noqa: E731 (normalized == raw here)
+    assert counts[fp("alpha text")] == 1, counts  # within-watermark dup suppressed
+    assert counts[fp("beta text")] == 2, counts  # re-emitted after state eviction
+    assert counts[fp("filler text")] == 1 and counts[fp("filler2 text")] == 1, counts
+
+
 @pytest.fixture(scope="module")
 def emb2(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
