@@ -141,6 +141,14 @@ def _build_source(spark: SparkSession, src: dict) -> DataFrame:
         return readers.stream_transcripts_files(
             spark, src["path"], max_files_per_trigger=src.get("max_files_per_trigger", 1)
         )
+    if kind == "json-stream":
+        return readers.stream_transcripts_json(
+            spark, src["path"], max_files_per_trigger=src.get("max_files_per_trigger", 1)
+        )
+    if kind == "csv-stream":
+        return readers.stream_transcripts_csv(
+            spark, src["path"], max_files_per_trigger=src.get("max_files_per_trigger", 1)
+        )
     if kind == "parquet-batch":
         return readers.read_transcripts_batch(spark, src["path"])
     if kind == "rate":

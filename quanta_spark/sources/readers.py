@@ -54,6 +54,46 @@ def stream_transcripts_files(
     return df
 
 
+def stream_transcripts_json(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """JSON-lines streaming source with the transcript schema enforced
+    (no inference — schema drift fails loudly instead of silently
+    widening types). Same admission-control and lineage contract as
+    the parquet stream."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("latestFirst", "false").json(path)
+    if with_lineage:
+        df = df.withColumn("_src_file", F.col("_metadata.file_path"))
+    return df
+
+
+def stream_transcripts_csv(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """CSV streaming source (header, enforced schema, proper timestamp
+    parse)."""
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("latestFirst", "false").csv(path)
+    if with_lineage:
+        df = df.withColumn("_src_file", F.col("_metadata.file_path"))
+    return df
+
+
 def kafka_source_options(
     bootstrap: str,
     topics: str,
@@ -128,6 +168,8 @@ def stream_rate_transcripts(
 
 SOURCE_FACTORIES = {
     "parquet-stream": stream_transcripts_files,
+    "json-stream": stream_transcripts_json,
+    "csv-stream": stream_transcripts_csv,
     "kafka": stream_kafka,
     "rate": stream_rate_transcripts,
     "parquet-batch": read_transcripts_batch,

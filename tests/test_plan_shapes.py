@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: the properties that decide whether
+a plan survives a 100x scale-up, pinned as assertions so an operator
+rewrite can't silently lose them.
+
+- filters/pruning reach the parquet scan (PushedFilters / ReadSchema);
+- dimension joins broadcast (no shuffle of the big side);
+- no relational gate query plans a CartesianProduct;
+- vectorized stages stay inside one scan (no plan blowup — detailed
+  asserts in test_stage_chain.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quanta_spark import queries as q
+
+SF_DIR = os.environ.get("QS_ORACLE_SF", "/root/testdata/sf0.01")
+
+# relational gate queries whose build is side-effect-free (no driver
+# collect inside the builder), so .explain is cheap
+_RELATIONAL = [
+    "q01_pricing_summary", "q02_top_orders", "q03_regional_revenue",
+    "q04_distinct_counts", "q05_rollup", "q06_topk_per_brand",
+    "q07_setops", "q08_anti_join", "q09_monthly_orders",
+    "q10_string_funcs", "q11_tumbling_events", "q12_sliding_events",
+    "q13_session_windows", "q14_reply_join", "q16_two_phase_conv_stats",
+    "q17_topk_turns_salted", "q21_exact_dedup", "q22_ngram_jaccard",
+    "q23_quality_features", "q24_language_id", "q25_fingerprint",
+    "q26_explode_tokens", "q35_cube", "q36_intersect", "q37_exists_semi",
+    "q38_scalar_subquery", "q39_pivot_roles", "q40_window_funcs",
+    "q41_asof_join", "q42_approx_stats",
+]
+
+
+def _plan(spark, name: str) -> str:
+    df = q.QUERY_FNS[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _RELATIONAL)
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # the shipdate predicate must reach the parquet reader, not sit in
+    # a post-scan Filter over all columns
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q01_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # ReadSchema must carry only the referenced columns — pruning the
+    # 16-column lineitem to the 6 used ones
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read, read
+
+
+def test_q10_filter_pushed(spark):
+    plan = _plan(spark, "q10_string_funcs")
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in plan, plan
+
+
+def test_q03_dimension_joins_broadcast(spark):
+    """region/nation/customer are dims vs the lineitem fact: every join
+    on the path must be broadcast — a shuffle join here moves the fact
+    table N times at 100 TB."""
+    plan = _plan(spark, "q03_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q02_join_strategy(spark):
+    plan = _plan(spark, "q02_top_orders")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q22_gram_materialization_parallel(spark):
+    """The n-gram transform must sit ABOVE a repartition exchange in
+    >= defaultParallelism tasks (the measured 25x regexp-in-lambda and
+    single-partition-AQE pitfalls — see dedup._norm_grams_df)."""
+    plan = _plan(spark, "q22_ngram_jaccard")
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_entry_plan_single_scan_per_table(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # flagship pipeline reads the events table exactly twice (events ->
+    # transcripts requires a window over raw rows; the chain itself must
+    # not multiply scans)
+    assert plan.count("Scan parquet") <= 2, plan

@@ -37,6 +37,50 @@ def test_fanout_sink_single_commit(spark, transcripts_dir, small_spec, tmp_workd
     assert set(la.batch_id) == set(lb.batch_id)
 
 
+def test_json_and_csv_stream_sources_match_parquet(spark, small_spec, tmp_workdir):
+    """The same transcripts streamed from JSON-lines and CSV must land
+    identically to the parquet stream (schema enforced, timestamps
+    parsed, lineage attached)."""
+    import pandas as pd
+
+    from quanta_spark.datagen import generate
+    from quanta_spark.sources.readers import (
+        stream_transcripts_csv,
+        stream_transcripts_json,
+    )
+
+    pdf = generate(small_spec).drop(columns=["arrival_ts"])
+    jdir = os.path.join(tmp_workdir, "json")
+    cdir = os.path.join(tmp_workdir, "csv")
+    os.makedirs(jdir)
+    os.makedirs(cdir)
+    jpdf = pdf.copy()
+    jpdf["ts"] = jpdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+    jpdf.to_json(os.path.join(jdir, "part-0.json"), orient="records", lines=True)
+    cpdf = pdf.copy()
+    cpdf["ts"] = cpdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    cpdf.to_csv(os.path.join(cdir, "part-0.csv"), index=False)
+
+    for src_fn, d in [(stream_transcripts_json, jdir), (stream_transcripts_csv, cdir)]:
+        rows: list = []
+        src = src_fn(spark, d, max_files_per_trigger=None)
+        h = start_pipeline(
+            src, lambda b, i: rows.extend(b.collect()),
+            os.path.join(tmp_workdir, f"ckpt_{os.path.basename(d)}"),
+        )
+        run_to_completion(h)
+        got = (
+            pd.DataFrame([r.asDict() for r in rows])
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(pdf)
+        want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert (got["text"] == want["text"]).all()
+        assert (got["ts"].dt.floor("s") == want["ts"].dt.floor("s")).all()
+        assert got["_src_file"].str.endswith((".json", ".csv")).all()
+
+
 def test_rate_source_produces_transcript_rows(spark, tmp_workdir):
     src = stream_rate_transcripts(spark, rows_per_second=500, n_convs=10)
     assert src.isStreaming
