@@ -137,11 +137,109 @@ class IdempotentSink:
         finally:
             batch_df.unpersist()
 
+    # -- compaction --------------------------------------------------------
+    # Per-batch dirs are the exactly-once unit, but at streaming scale
+    # they accumulate small files (10^12 turns => millions of dirs).
+    # compact() rewrites all batch dirs <= a high-water batch into one
+    # size-targeted generation dir. Commit protocol (crash-safe):
+    #   1. write gen=<G> parquet (invisible to readers until step 2);
+    #   2. atomically rename _manifest.json.tmp -> _manifest.json
+    #      recording {gen, upto_batch_id} — THE commit point;
+    #   3. delete the covered batch dirs (idempotent; a crash between
+    #      2 and 3 leaves extra dirs that readers ignore via the
+    #      manifest and the next compact() re-deletes).
+    # Readers = compacted generation (if any) + batch dirs beyond it.
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, "_manifest.json")
+
+    def _read_manifest(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _committed_batch_ids(self) -> list[int]:
+        if not os.path.isdir(self.data_dir):
+            return []
+        out = []
+        for name in os.listdir(self.data_dir):
+            if name.startswith("batch_id="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> dict:
+        """Rewrite committed batch dirs into one compacted generation.
+        Returns the new manifest. Safe to call repeatedly and safe to
+        crash at any point (see commit protocol above)."""
+        import json
+        import shutil
+
+        manifest = self._read_manifest()
+        prev_gen = manifest["gen"] if manifest else -1
+        prev_upto = manifest["upto_batch_id"] if manifest else -1
+        batch_ids = [b for b in self._committed_batch_ids() if b > prev_upto]
+        if not batch_ids:
+            return manifest or {"gen": prev_gen, "upto_batch_id": prev_upto}
+        gen = prev_gen + 1
+        gen_dir = os.path.join(self.base_dir, f"gen={gen}")
+        src = self.read_data(spark)  # old generation + live batch dirs
+        total_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for d in ([os.path.join(self.base_dir, f"gen={prev_gen}")] if prev_gen >= 0 else [])
+            + [os.path.join(self.data_dir, f"batch_id={b}") for b in batch_ids]
+            for root, _, files in os.walk(d)
+            for f in files
+        )
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        src.repartition(n_files).write.mode("overwrite").parquet(gen_dir)
+        new_manifest = {"gen": gen, "upto_batch_id": max(batch_ids)}
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+        # post-commit cleanup (idempotent)
+        for b in batch_ids:
+            shutil.rmtree(os.path.join(self.data_dir, f"batch_id={b}"), ignore_errors=True)
+        if prev_gen >= 0:
+            shutil.rmtree(os.path.join(self.base_dir, f"gen={prev_gen}"), ignore_errors=True)
+        return new_manifest
+
     # -- readers (committed data only) ------------------------------------
     def read_data(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.data_dir).parquet(
-            os.path.join(self.data_dir, "batch_id=*")
-        )
+        """Committed rows = compacted generation (if any) + batch dirs
+        beyond its high-water mark; ``batch_id`` is carried as a long
+        column either way."""
+        manifest = self._read_manifest()
+        live = [
+            os.path.join(self.data_dir, f"batch_id={b}")
+            for b in self._committed_batch_ids()
+            if manifest is None or b > manifest["upto_batch_id"]
+        ]
+        parts = []
+        if manifest is not None:
+            parts.append(
+                spark.read.parquet(os.path.join(self.base_dir, f"gen={manifest['gen']}"))
+            )
+        if live:
+            df = spark.read.option("basePath", self.data_dir).parquet(*live)
+            parts.append(df.withColumn("batch_id", F.col("batch_id").cast("long")))
+        if not parts:
+            df = spark.read.option("basePath", self.data_dir).parquet(
+                os.path.join(self.data_dir, "batch_id=*")
+            )
+            return df.withColumn("batch_id", F.col("batch_id").cast("long"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_dlq(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.dlq_dir).parquet(

@@ -37,6 +37,68 @@ def test_fanout_sink_single_commit(spark, transcripts_dir, small_spec, tmp_workd
     assert set(la.batch_id) == set(lb.batch_id)
 
 
+def test_compaction_preserves_data_and_survives_partials(
+    spark, transcripts_dir, small_spec, tmp_workdir
+):
+    """Small-file compaction: batch dirs -> one generation dir behind
+    an atomic manifest. Before/after row sets identical (incl.
+    batch_id), new batches after compaction remain visible, a second
+    compaction folds them in, and an orphaned gen dir WITHOUT a
+    manifest (crash before the commit point) is invisible."""
+    import shutil
+
+    import pandas as pd
+
+    sink = IdempotentSink(base_dir=os.path.join(tmp_workdir, "sink"))
+    src = stream_transcripts_files(spark, transcripts_dir, max_files_per_trigger=2)
+    run_to_completion(
+        start_pipeline(apply_chain(src, ["uppercase"]), sink, os.path.join(tmp_workdir, "c1"))
+    )
+
+    def snapshot() -> pd.DataFrame:
+        return (
+            sink.read_data(spark)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    before = snapshot()
+    assert before["batch_id"].nunique() >= 2, "need multiple batches to compact"
+
+    # crash-before-commit: an orphan gen dir must be ignored
+    os.makedirs(os.path.join(sink.base_dir, "gen=99"))
+    pd.testing.assert_frame_equal(snapshot(), before)
+    shutil.rmtree(os.path.join(sink.base_dir, "gen=99"))
+
+    m1 = sink.compact(spark, target_file_bytes=1 << 20)
+    assert m1["gen"] == 0
+    after = snapshot()
+    pd.testing.assert_frame_equal(after, before)
+    assert not any(
+        n.startswith("batch_id=") for n in os.listdir(sink.data_dir)
+    ), "covered batch dirs must be deleted after the manifest commit"
+
+    # new batches after compaction stay visible...
+    next_id = int(before["batch_id"].max()) + 1
+    from datetime import datetime
+
+    extra = spark.createDataFrame(
+        [("conv-zz", 0, "user", "late row", None, datetime(2025, 6, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    sink(extra, next_id)
+    mid = snapshot()
+    assert len(mid) == len(before) + 1
+    # ...and a second compaction folds them into gen=1
+    m2 = sink.compact(spark)
+    assert m2 == {"gen": 1, "upto_batch_id": next_id}
+    assert not os.path.isdir(os.path.join(sink.base_dir, "gen=0"))
+    pd.testing.assert_frame_equal(snapshot(), mid)
+    # idempotent no-op when nothing new
+    assert sink.compact(spark) == m2
+
+
 def test_json_and_csv_stream_sources_match_parquet(spark, small_spec, tmp_workdir):
     """The same transcripts streamed from JSON-lines and CSV must land
     identically to the parquet stream (schema enforced, timestamps
