@@ -1207,6 +1207,37 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q47_sink_roundtrip",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, upper(text) AS text FROM transcripts
+""",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once sink, value-checked in the gate: stream the
+    derived transcripts through the uppercase stage into the
+    idempotent batch-dir sink, COMPACT the batch dirs behind the
+    atomic manifest, and read committed data back — every turn must
+    match the batch oracle exactly (no dup, no loss, text
+    transformed). This puts the sink+compaction commit protocol under
+    the same value-level check as the operators."""
+    from quanta_spark.operators.stages import apply_chain
+    from quanta_spark.sinks.idempotent import IdempotentSink
+    from quanta_spark.sources.readers import stream_transcripts_files
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    data_dir = _write_transcript_stream(spark, jitter=False)
+    sink = IdempotentSink(base_dir=tempfile.mkdtemp(prefix="qs_sink_rt_"))
+    src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=3)
+    h = start_pipeline(
+        apply_chain(src, ["uppercase"]), sink, tempfile.mkdtemp(prefix="qs_sink_rt_ckpt_")
+    )
+    run_to_completion(h)
+    sink.compact(spark)
+    return sink.read_data(spark).select("conv_id", "turn_idx", "text")
+
+
+@query(
     "q43_embedding_neardup",
     """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -23,7 +23,7 @@ SF_DIR = os.environ.get("QS_ORACLE_SF", "/root/testdata/sf0.01")
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
 # streaming e2e queries are exercised in test_streaming_queries (slow)
-_SLOW = {"q32_stream_sessionize", "q33_stream_turn_order", "q46_stream_dedup"}
+_SLOW = {"q32_stream_sessionize", "q33_stream_turn_order", "q46_stream_dedup", "q47_sink_roundtrip"}
 
 
 def _duck(sql: str) -> pd.DataFrame:
