@@ -52,6 +52,13 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     (DuckDB comparability), map-merge policy, package on executors."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # a driver-created session may default to 200 shuffle partitions;
+    # size to the box (AQE coalesces further) — matters most for the
+    # iterative q45 joins (4 rounds) at gate scale
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     # see session.py: keeps explode'd array exprs above the repartition
     # barrier (runtime-settable, so driver-created sessions get it too)
     spark.conf.set(
