@@ -78,17 +78,24 @@ def prepare_input(n_turns: int) -> tuple[str, int]:
         return cache, int(f.read())
 
 
-def worker(cores: int, data_dir: str, n_turns: int) -> None:
+def worker(cores: int, data_dir: str, n_turns: int, pipeline: str = "composite") -> None:
     import shutil
     import tempfile
 
-    from quanta_spark.operators.stateful import reply_session_stats
+    from quanta_spark.operators.stateful import enforce_turn_order, reply_session_stats
     from quanta_spark.session import get_spark
     from quanta_spark.sources.readers import stream_transcripts_files
     from quanta_spark.streaming.engine import attach_metrics, run_to_completion, start_pipeline
 
+    ops = {
+        "composite": lambda src: reply_session_stats(src, watermark="1 hour", gap="30 minutes"),
+        # the custom CEP operator — the only Python-hop stateful path;
+        # scaling evidence for applyInPandasWithState specifically
+        "turn_order": lambda src: enforce_turn_order(src, watermark="1 hour"),
+    }
+    op = ops[pipeline]
     spark = get_spark(
-        app_name=f"qs_scaling_{cores}", cores=cores, shuffle_partitions=cores
+        app_name=f"qs_scaling_{pipeline}_{cores}", cores=cores, shuffle_partitions=cores
     )
 
     def run(src_dir: str, collect_metrics: bool):
@@ -98,7 +105,7 @@ def worker(cores: int, data_dir: str, n_turns: int) -> None:
         src = stream_transcripts_files(
             spark, src_dir, max_files_per_trigger=FILES_PER_TRIGGER, with_lineage=False
         )
-        pipe = reply_session_stats(src, watermark="1 hour", gap="30 minutes")
+        pipe = op(src)
         t0 = time.perf_counter()
         h = start_pipeline(pipe, lambda b, i: rows.append(b.count()), ckpt)
         run_to_completion(h)
@@ -143,10 +150,11 @@ def worker(cores: int, data_dir: str, n_turns: int) -> None:
     )
 
 
-def run_config(cores: int, data_dir: str, n_turns: int) -> dict:
+def run_config(cores: int, data_dir: str, n_turns: int, pipeline: str = "composite") -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         "--cores", str(cores), "--data", data_dir, "--turns", str(n_turns)],
+         "--cores", str(cores), "--data", data_dir, "--turns", str(n_turns),
+         "--pipeline", pipeline],
         capture_output=True, text=True, timeout=7200, cwd=REPO,
     )
     if out.returncode != 0:
@@ -172,22 +180,30 @@ def main() -> None:
                     default=int(os.environ.get("QS_SCALING_TURNS", 20_000_000)))
     ap.add_argument("--full", action="store_true",
                     help="also measure supplementary core counts (16, 32)")
+    ap.add_argument("--pipeline", choices=["composite", "turn_order"],
+                    default="composite")
+    ap.add_argument("--write-md", action="store_true",
+                    help="rewrite BENCH/BASELINE.md (it is hand-annotated; off by default)")
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.cores, args.data, args.turns)
+        worker(args.cores, args.data, args.turns, args.pipeline)
         return
 
     data_dir, n_turns = prepare_input(args.turns)
     results = {}
     for cores in [N_CORES, N4_CORES] + (SUPPLEMENTARY_CORES if args.full else []):
-        results[cores] = run_config(cores, data_dir, n_turns)
+        results[cores] = run_config(cores, data_dir, n_turns, args.pipeline)
     r_n, r_4n = results[N_CORES], results[N4_CORES]
     eff = (r_4n["sustained_turns_per_sec"] / r_n["sustained_turns_per_sec"]) / (
         N4_CORES / N_CORES
     )
+    descriptions = {
+        "composite": "stream-stream user/reply join -> session windows (one streaming query)",
+        "turn_order": "per-conversation turn-order enforcement (applyInPandasWithState CEP)",
+    }
     result = {
-        "pipeline": "stream-stream user/reply join -> session windows (one streaming query)",
+        "pipeline": descriptions[args.pipeline],
         "input_turns": n_turns,
         "input_files": N_FILES,
         "configs": results,
@@ -197,8 +213,14 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    out_name = (
+        "scaling.json" if args.pipeline == "composite" else f"scaling_{args.pipeline}.json"
+    )
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=2)
+    if not args.write_md:
+        print(json.dumps(result))
+        return
 
     rows_md = "\n".join(
         f"| local[{c}] | {r['data_batches']} | {r['data_sec']} | {r['flush_sec']} "
