@@ -191,10 +191,30 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
     raise ValueError(f"unknown operator kind {kind!r}")
 
 
+def _resolve_stage(t) -> stage_mod.Stage:
+    """A transformers entry is a bare stage name or a dict carrying
+    per-stage policy overrides — the reference's spec shape
+    (internal/spec/spec.go:22-27: timeout_ms / attempts / backoff_ms
+    per transformer)."""
+    import dataclasses
+
+    if isinstance(t, str):
+        return stage_mod.get_stage(t)
+    stage = stage_mod.get_stage(t["name"])
+    overrides = {
+        k: t[k] for k in ("attempts", "backoff_ms", "timeout_ms") if k in t
+    }
+    if overrides:
+        stage = dataclasses.replace(
+            stage, retry=dataclasses.replace(stage.retry, **overrides)
+        )
+    return stage
+
+
 def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
     p = _load(spec)
     df = _build_source(spark, p.get("source", {}))
-    chain = [t["name"] if isinstance(t, dict) else t for t in p.get("transformers", [])]
+    chain = [_resolve_stage(t) for t in p.get("transformers", [])]
     if chain:
         df = stage_mod.apply_chain(df, chain)
     watermark = p.get("watermark", "1 hour")

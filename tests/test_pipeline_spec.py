@@ -104,6 +104,27 @@ def test_multi_sink_spec_fans_out_under_one_commit(
     assert "[stdout-sink] batch=" in capsys.readouterr().out
 
 
+def test_per_stage_policy_overrides(spark, transcripts_dir):
+    """≙ spec.go:22-27: timeout_ms / attempts / backoff_ms per
+    transformer entry override the registered stage's policy."""
+    import pandas as pd
+
+    from quanta_spark.operators.stages import RetryPolicy, Stage, register
+
+    register(Stage(name="pol-probe", batch_fn=lambda pdf: pdf,
+                   retry=RetryPolicy(attempts=3, backoff_ms=200, timeout_ms=1000)))
+    from quanta_spark.plans.pipeline import _resolve_stage
+
+    s = _resolve_stage({"name": "pol-probe", "attempts": 1, "timeout_ms": 50})
+    assert (s.retry.attempts, s.retry.backoff_ms, s.retry.timeout_ms) == (1, 200, 50)
+    # the registered stage is untouched (replace, not mutate)
+    from quanta_spark.operators.stages import get_stage
+
+    assert get_stage("pol-probe").retry.attempts == 3
+    # bare-name entries resolve unchanged
+    assert _resolve_stage("pol-probe").retry.attempts == 3
+
+
 def test_unknown_sink_kind_rejected(spark, transcripts_dir):
     with pytest.raises(ValueError, match="sink kind"):
         compile_pipeline(
