@@ -1244,6 +1244,76 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_data(spark).select("conv_id", "turn_idx", "text")
 
 
+_HEX16_DUCK = (
+    "list_sum([CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT) "
+    "* (1::BIGINT << ((4 - j) * 4)) for j in generate_series(1, 4)])"
+)
+
+
+@query(
+    "q48_stratified_sample",
+    f"""
+SELECT doc_id, lang, CAST({_HEX16_DUCK} AS INT) AS bucket16
+FROM documents
+WHERE {_HEX16_DUCK} <
+      CASE lang WHEN 'en' THEN 32768
+                WHEN 'de' THEN 16384 WHEN 'fr' THEN 16384 WHEN 'es' THEN 16384
+                ELSE 8192 END
+""",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (training-data
+    mixing): keep a row iff md5-bucket16(doc_id) < fraction * 65536.
+    A pure filter — no shuffle, no RNG state, membership reproducible
+    across runs and engines."""
+    from quanta_spark.operators.sampling import _hash16, deterministic_sample
+
+    docs = spark.table("documents")
+    out = deterministic_sample(
+        docs,
+        {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25},
+        stratum_col="lang",
+        id_col="doc_id",
+        default_fraction=0.125,
+    )
+    return out.select(
+        "doc_id", "lang", _hash16(F.col("doc_id")).alias("bucket16")
+    )
+
+
+@query(
+    "q49_token_budget_mix",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+  FROM documents
+),
+r AS (
+  SELECT *, sum(n_ws_tokens) OVER (PARTITION BY lang
+                                   ORDER BY n_ws_tokens DESC, doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS running
+  FROM t
+)
+SELECT doc_id, lang, n_ws_tokens FROM r WHERE running <= 2000
+""",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum token-budget enforcement ("mix <= 2000 tokens of
+    each language, biggest documents first") — the data-mixing step of
+    a training pipeline. One shuffle (window per stratum)."""
+    from quanta_spark.operators.sampling import token_budget_per_stratum
+    from quanta_spark.operators.text import ws_token_count
+
+    docs = spark.table("documents").select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("n_ws_tokens")
+    )
+    return token_budget_per_stratum(
+        docs, budget=2000, stratum_col="lang", tokens_col="n_ws_tokens"
+    )
+
+
 @query(
     "q43_embedding_neardup",
     """
