@@ -144,7 +144,7 @@ class IdempotentSink:
     # size-targeted generation dir. Commit protocol (crash-safe):
     #   1. write gen=<G> parquet (invisible to readers until step 2);
     #   2. atomically rename _manifest.json.tmp -> _manifest.json
-    #      recording {gen, upto_batch_id} — THE commit point;
+    #      recording {gen, covered: [batch ids]} — THE commit point;
     #   3. delete the covered batch dirs (idempotent; a crash between
     #      2 and 3 leaves extra dirs that readers ignore via the
     #      manifest and the next compact() re-deletes).
@@ -178,16 +178,22 @@ class IdempotentSink:
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> dict:
         """Rewrite committed batch dirs into one compacted generation.
         Returns the new manifest. Safe to call repeatedly and safe to
-        crash at any point (see commit protocol above)."""
+        crash at any point (see commit protocol above).
+
+        The manifest carries the EXPLICIT set of covered batch ids
+        (not a high-water mark): DLQ replays commit under negative
+        batch ids, so coverage is membership, not an ordering. The
+        list grows by one id per compacted micro-batch — metadata-
+        scale even at years of batches."""
         import json
         import shutil
 
         manifest = self._read_manifest()
         prev_gen = manifest["gen"] if manifest else -1
-        prev_upto = manifest["upto_batch_id"] if manifest else -1
-        batch_ids = [b for b in self._committed_batch_ids() if b > prev_upto]
+        prev_covered = set(manifest["covered"]) if manifest else set()
+        batch_ids = [b for b in self._committed_batch_ids() if b not in prev_covered]
         if not batch_ids:
-            return manifest or {"gen": prev_gen, "upto_batch_id": prev_upto}
+            return manifest or {"gen": prev_gen, "covered": []}
         gen = prev_gen + 1
         gen_dir = os.path.join(self.base_dir, f"gen={gen}")
         src = self.read_data(spark)  # old generation + live batch dirs
@@ -200,7 +206,7 @@ class IdempotentSink:
         )
         n_files = max(1, -(-total_bytes // target_file_bytes))
         src.repartition(n_files).write.mode("overwrite").parquet(gen_dir)
-        new_manifest = {"gen": gen, "upto_batch_id": max(batch_ids)}
+        new_manifest = {"gen": gen, "covered": sorted(prev_covered | set(batch_ids))}
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_manifest, f)
@@ -218,10 +224,11 @@ class IdempotentSink:
         beyond its high-water mark; ``batch_id`` is carried as a long
         column either way."""
         manifest = self._read_manifest()
+        covered = set(manifest["covered"]) if manifest else set()
         live = [
             os.path.join(self.data_dir, f"batch_id={b}")
             for b in self._committed_batch_ids()
-            if manifest is None or b > manifest["upto_batch_id"]
+            if b not in covered
         ]
         parts = []
         if manifest is not None:

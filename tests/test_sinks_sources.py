@@ -92,7 +92,7 @@ def test_compaction_preserves_data_and_survives_partials(
     assert len(mid) == len(before) + 1
     # ...and a second compaction folds them into gen=1
     m2 = sink.compact(spark)
-    assert m2 == {"gen": 1, "upto_batch_id": next_id}
+    assert m2["gen"] == 1 and next_id in m2["covered"]
     assert not os.path.isdir(os.path.join(sink.base_dir, "gen=0"))
     pd.testing.assert_frame_equal(snapshot(), mid)
     # idempotent no-op when nothing new
