@@ -93,6 +93,45 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*exprs)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    overlap: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks —
+    context-window preparation for training pipelines. One row per
+    chunk: (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Pure Column expressions (split -> sequence of starts -> slice ->
+    array_join): the explode is the only row-multiplying step and the
+    whole thing stays inside whole-stage codegen — no Python in a path
+    that fans out every document at 100 TB."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.size(toks)
+    last_idx = F.floor((n - 1) / step).cast("int")
+    out = df.select(
+        "doc_id",
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+    )
+    start = out.chunk_idx * step + 1  # slice() is 1-indexed
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("_toks", start, F.lit(chunk_tokens)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.col("_n") - out.chunk_idx * step)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized text (lowercased,
     non-alphanumeric collapsed) — the canonical content key used for

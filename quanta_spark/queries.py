@@ -1315,6 +1315,32 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q50_chunk_documents",
+    """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((len(toks) - 1) / 12) AS INT))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' ') AS chunk_text,
+       CAST(least(16, len(toks) - chunk_idx * 12) AS INT) AS n_chunk_tokens
+FROM c
+""",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 16-token chunks with 4-token overlap
+    (step 12), one row per chunk, exact text reassembly — the fan-out
+    step that prepares documents for fixed-window training."""
+    from quanta_spark.operators.text import chunk_documents
+
+    return chunk_documents(spark.table("documents"), chunk_tokens=16, overlap=4)
+
+
+@query(
     "q43_embedding_neardup",
     """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -44,6 +44,27 @@ def test_sample_subset_property(spark, docs):
     assert small <= large
 
 
+def test_chunking_reconstructs_documents(spark, docs):
+    """Dropping each chunk's overlap prefix and concatenating in
+    chunk_idx order must reproduce the original token stream exactly —
+    no token lost, duplicated, or reordered by the fan-out."""
+    from quanta_spark.operators.text import chunk_documents
+
+    import re
+
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4).toPandas()
+    orig = {r["doc_id"]: re.split(r"\s+", r["text"].strip()) for r in docs.collect()}
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        rebuilt: list[str] = []
+        for _, row in grp.iterrows():
+            toks = row["chunk_text"].split(" ")
+            assert len(toks) == row["n_chunk_tokens"]
+            rebuilt.extend(toks if row["chunk_idx"] == 0 else toks[4:])
+        assert rebuilt == orig[doc_id], doc_id
+    assert chunks["n_chunk_tokens"].max() <= 16
+
+
 def test_token_budget_invariants(spark, docs):
     from quanta_spark.operators.text import ws_token_count
 
