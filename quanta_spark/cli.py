@@ -5,10 +5,17 @@ Control gRPC service, which is defined but registered Unimplemented
 - ``run``    ≙ DeployPipeline: compile a YAML pipeline spec and run it
 - ``validate`` ≙ the compiler's schema/config checks without starting
 - ``ping``   ≙ Control.Ping: build a session, report versions
+- ``replay`` : re-run the spec's dead-letter rows through its (fixed)
+  stage chain and commit survivors back to the data sink — the
+  recovery half of the DLQ contract, as an operator action rather
+  than a Python import (sinks/replay.py holds the crash-safe
+  protocol; the reference has no equivalent, it drops failed frames
+  forever, runner.go:147-156)
 
 Usage:
     python -m quanta_spark.cli run pipeline.yml [--drain]
     python -m quanta_spark.cli validate pipeline.yml
+    python -m quanta_spark.cli replay pipeline.yml
     python -m quanta_spark.cli ping
 """
 
@@ -30,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_val = sub.add_parser("validate", help="compile a spec without starting it")
     p_val.add_argument("spec")
+    p_rep = sub.add_parser(
+        "replay", help="re-run dead-letter rows through the spec's stage chain"
+    )
+    p_rep.add_argument("spec")
     sub.add_parser("ping", help="session liveness + versions")
     args = ap.parse_args(argv)
 
@@ -53,6 +64,23 @@ def main(argv: list[str] | None = None) -> int:
             "streaming": compiled.df.isStreaming,
             "columns": compiled.df.columns,
         }))
+        return 0
+    if args.cmd == "replay":
+        from quanta_spark.sinks.replay import replay_dlq
+
+        targets = [
+            (label, s)
+            for label, s in (("data", compiled.sink), ("dlq_stream", compiled.dlq_sink))
+            if s is not None
+        ]
+        if not targets:
+            print(json.dumps({"status": "error", "error": "spec has no idempotent-parquet sink"}))
+            return 1
+        report = {
+            label: replay_dlq(spark, s, compiled.stages or [])
+            for label, s in targets
+        }
+        print(json.dumps({"status": "ok", "pipeline": compiled.name, "replay": report}))
         return 0
 
     handle = compiled.start()

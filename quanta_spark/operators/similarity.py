@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _bp_half_away(sims: np.ndarray) -> np.ndarray:
+    """Basis points with HALF-AWAY-FROM-ZERO ties — the same rule as
+    Spark's F.round (_cosine_bp) and DuckDB's round(), unlike np.rint
+    (banker's half-to-even), so all three cosine paths agree on exact
+    .5 bp values of either sign."""
+    scaled = sims * 10_000.0
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
 def _topk_window(df: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_bp").desc(), F.col("vec_id").asc()
@@ -83,7 +92,7 @@ def brute_force_cosine_topk(
                 {
                     "query_id": np.repeat(qi, n),
                     "vec_id": np.tile(pdf["vec_id"].to_numpy(), q),
-                    "sim_bp": np.rint(sims.T.reshape(-1) * 10_000).astype(np.int64),
+                    "sim_bp": _bp_half_away(sims.T.reshape(-1)),
                 }
             )
 
@@ -239,7 +248,7 @@ def exact_allpairs_cosine(
             {
                 "vec_a": va,
                 "vec_b": vb,
-                "sim_bp": np.rint(sims[ii, jj] * 10_000).astype(np.int64),
+                "sim_bp": _bp_half_away(sims[ii, jj]),
             }
         )
 

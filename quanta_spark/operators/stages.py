@@ -255,9 +255,14 @@ def apply_stage(df: DataFrame, stage: Stage) -> DataFrame:
             df = df.withColumn(c, F.when(_ok(), e).otherwise(old))
         return df
     if stage.predicate is not None:
+        # NULL predicates drop the row, like SQL WHERE (and like the
+        # pre-status-column df.filter): without the coalesce,
+        # _ok() & ~NULL is NULL, which when() treats as "not matched"
+        # and the row would silently flow on as OK.
+        keeps = F.coalesce(stage.predicate, F.lit(False))
         marked = df.withColumn(
             STATUS_COL,
-            F.when(_ok() & ~stage.predicate, STATUS_DROP).otherwise(F.col(STATUS_COL)),
+            F.when(_ok() & ~keeps, STATUS_DROP).otherwise(F.col(STATUS_COL)),
         )
         return marked.filter(F.col(STATUS_COL) != STATUS_DROP)
     if stage.batch_fn is not None:

@@ -76,6 +76,10 @@ class CompiledPipeline:
     #: in aggregates and their DLQ record would be lost.
     dlq_df: DataFrame | None = None
     dlq_sink: IdempotentSink | None = None
+    #: the resolved transform chain (with per-stage policy overrides
+    #: applied) — exposed so DLQ replay can re-run the same stages
+    #: as an operator action (cli.py replay verb)
+    stages: list = None
 
     def start(self) -> QueryHandle:
         if self.sink_fn is None:
@@ -268,6 +272,15 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
             base_dir=os.path.join(sink.base_dir, "dlq_stream"),
             key_cols=(),
         )
+    elif dlq_df is not None:
+        # A stage chain feeding a terminal operator produced a DLQ tee,
+        # but no idempotent sink exists to anchor it — dead-letter rows
+        # would be silently discarded, the exact loss the tee prevents.
+        raise ValueError(
+            "pipeline has transform stages + a terminal operator but no "
+            "idempotent-parquet sink to commit dead-letter rows; add one "
+            "(or drop the operator so ERROR rows reach the console sink)"
+        )
 
     trigger_spec = p.get("trigger", "available_now")
     trigger: dict[str, Any]
@@ -291,4 +304,5 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
         sink_fn=sink_fn,
         dlq_df=dlq_df,
         dlq_sink=dlq_sink,
+        stages=chain,
     )

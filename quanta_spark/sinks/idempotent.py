@@ -191,6 +191,26 @@ class IdempotentSink:
         manifest = self._read_manifest()
         prev_gen = manifest["gen"] if manifest else -1
         prev_covered = set(manifest["covered"]) if manifest else set()
+        # Re-run the post-commit cleanup FIRST (idempotent): a crash
+        # between the manifest commit and the deletes leaves covered
+        # batch dirs and a stale gen dir behind — readers ignore them
+        # via the manifest, but they'd leak forever if compact()
+        # early-returned below before re-deleting them.
+        for b in prev_covered:
+            d = os.path.join(self.data_dir, f"batch_id={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+        if os.path.isdir(self.base_dir):
+            for name in os.listdir(self.base_dir):
+                if name.startswith("gen="):
+                    try:
+                        g = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if g < prev_gen:
+                        shutil.rmtree(
+                            os.path.join(self.base_dir, name), ignore_errors=True
+                        )
         batch_ids = [b for b in self._committed_batch_ids() if b not in prev_covered]
         if not batch_ids:
             return manifest or {"gen": prev_gen, "covered": []}

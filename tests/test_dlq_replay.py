@@ -89,3 +89,84 @@ def test_replay_with_still_failing_rows(spark, transcripts_dir, small_spec, tmp_
     stats2 = replay_dlq(spark, sink, [stage])
     assert stats2["replay_batch_id"] == stats["replay_batch_id"] - 1
     assert stats2["still_failed"] == n_poison
+
+
+def test_replay_crash_before_finalize_reuses_rid(
+    spark, transcripts_dir, small_spec, tmp_workdir, monkeypatch
+):
+    """Crash between the sink write and the consumed-dir deletes: the
+    re-run must reuse the SAME replay batch id (from the persisted
+    manifest) — a live re-listing would see the crashed run's
+    dlq/batch_id=<rid> dir, derive a more-negative id, and duplicate
+    the already-recovered rows."""
+    from quanta_spark.sinks import replay as replay_mod
+
+    sink = _run_poisoned(spark, transcripts_dir, tmp_workdir)
+    total = len(generate(small_spec))
+    n_poison = sink.read_dlq(spark).count()
+    expected_rid = -(max(abs(b) for b in replay_mod._dlq_batch_ids(sink)) + 1)
+
+    identity = Stage(name="fixed-crash", batch_fn=lambda pdf: pdf)
+    real_finalize = replay_mod._finalize
+    monkeypatch.setattr(
+        replay_mod,
+        "_finalize",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        replay_dlq(spark, sink, [identity])
+    monkeypatch.setattr(replay_mod, "_finalize", real_finalize)
+
+    # manifest pins the plan; dlq now holds consumed dirs + batch_id=rid
+    assert replay_mod._read_manifest(sink)["rid"] == expected_rid
+    stats = replay_dlq(spark, sink, [identity])
+    assert stats["replay_batch_id"] == expected_rid  # NOT expected_rid - 1
+    assert stats["recovered"] == n_poison
+    data = sink.read_data(spark).toPandas()
+    assert len(data) == total  # no duplicates from the re-run
+    assert not data.duplicated(["conv_id", "turn_idx"]).any()
+    assert replay_mod._read_manifest(sink) is None  # finalized
+
+
+def test_replay_crash_mid_finalize_skips_rewrite(
+    spark, transcripts_dir, small_spec, tmp_workdir, monkeypatch
+):
+    """Crash AFTER some consumed dirs were deleted: the sink write is
+    known complete (deletes only start after it), so the re-run must
+    NOT re-run the sink with the now-partial input — it finishes the
+    deletes and reports from the committed state."""
+    import shutil as sh
+
+    from quanta_spark.sinks import replay as replay_mod
+
+    sink = _run_poisoned(spark, transcripts_dir, tmp_workdir)
+    total = len(generate(small_spec))
+    n_poison = sink.read_dlq(spark).count()
+    expected_rid = -(max(abs(b) for b in replay_mod._dlq_batch_ids(sink)) + 1)
+
+    identity = Stage(name="fixed-mid", batch_fn=lambda pdf: pdf)
+    real_finalize = replay_mod._finalize
+    monkeypatch.setattr(
+        replay_mod,
+        "_finalize",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        replay_dlq(spark, sink, [identity])
+    monkeypatch.setattr(replay_mod, "_finalize", real_finalize)
+    # simulate the partial delete the crash interrupted
+    consumed = replay_mod._read_manifest(sink)["consumed"]
+    sh.rmtree(os.path.join(sink.dlq_dir, f"batch_id={consumed[0]}"))
+
+    stats = replay_dlq(spark, sink, [identity])
+    assert stats["replay_batch_id"] == expected_rid
+    assert stats["recovered"] == n_poison
+    assert stats["still_failed"] == 0
+    data = sink.read_data(spark).toPandas()
+    assert len(data) == total
+    assert not data.duplicated(["conv_id", "turn_idx"]).any()
+    assert replay_mod._read_manifest(sink) is None

@@ -78,6 +78,24 @@ def test_operator_pipeline_compiles(spark, transcripts_dir, tmp_workdir):
     assert "session_start" in compiled.df.columns
 
 
+def test_operator_dlq_tee_without_idempotent_sink_rejected(spark, transcripts_dir):
+    """Stages + terminal operator produce a DLQ tee; with only a
+    console sink there is nowhere to commit dead-letter rows — the
+    compiler must refuse rather than silently discard them."""
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "lossy",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "transformers": [{"name": "uppercase"}],
+            "operator": {"kind": "sessionize", "gap": "30 minutes"},
+            "sink": {"kind": "console"},
+        },
+    }
+    with pytest.raises(ValueError, match="dead-letter"):
+        compile_pipeline(spark, spec)
+
+
 def test_multi_sink_spec_fans_out_under_one_commit(
     spark, transcripts_dir, small_spec, tmp_workdir, capsys
 ):

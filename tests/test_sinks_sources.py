@@ -98,6 +98,19 @@ def test_compaction_preserves_data_and_survives_partials(
     # idempotent no-op when nothing new
     assert sink.compact(spark) == m2
 
+    # crash between manifest commit and cleanup: leaked covered batch
+    # dirs and a stale gen dir must be re-deleted even on the
+    # nothing-new early return (they'd otherwise leak forever)
+    covered_id = m2["covered"][0]
+    leaked_batch = os.path.join(sink.data_dir, f"batch_id={covered_id}")
+    leaked_gen = os.path.join(sink.base_dir, "gen=0")
+    os.makedirs(leaked_batch)
+    os.makedirs(leaked_gen)
+    assert sink.compact(spark) == m2
+    assert not os.path.isdir(leaked_batch)
+    assert not os.path.isdir(leaked_gen)
+    pd.testing.assert_frame_equal(snapshot(), mid)
+
 
 def test_json_and_csv_stream_sources_match_parquet(spark, small_spec, tmp_workdir):
     """The same transcripts streamed from JSON-lines and CSV must land
@@ -197,3 +210,51 @@ pipeline:
     assert out["status"] == "drained"
     got = spark.read.parquet(os.path.join(tmp_workdir, "out", "data", "batch_id=*"))
     assert got.count() > 0
+
+
+def test_cli_replay_recovers_dlq(spark, transcripts_dir, small_spec, tmp_workdir, capsys):
+    """The `replay` CLI verb: run a pipeline whose stage poisons one
+    conversation (rows dead-letter), "fix the bug" (remove the poison
+    flag), replay via the CLI — recovered rows committed, DLQ empty."""
+    import json as _json
+
+    from quanta_spark.cli import main as cli_main
+    from quanta_spark.operators.stages import RetryPolicy, Stage, register
+
+    poison_flag = os.path.join(tmp_workdir, "POISON_ON")
+    open(poison_flag, "w").close()
+
+    def flaky(pdf):
+        if os.path.exists(poison_flag) and (pdf["conv_id"] == "conv-00000003").any():
+            raise ValueError("flaky stage")
+        return pdf
+
+    register(Stage(name="flaky-cli", batch_fn=flaky, retry=RetryPolicy(attempts=0, backoff_ms=1)))
+    spec_path = os.path.join(tmp_workdir, "p.yml")
+    with open(spec_path, "w") as f:
+        f.write(f"""
+schema_version: v1
+pipeline:
+  name: cli-replay
+  source: {{kind: parquet-stream, path: {transcripts_dir}, max_files_per_trigger: 4}}
+  transformers: [{{name: flaky-cli}}]
+  sink: {{kind: idempotent-parquet, path: {tmp_workdir}/out}}
+  checkpoint: {tmp_workdir}/ckpt
+  trigger: available_now
+""")
+    assert cli_main(["run", spec_path, "--drain"]) == 0
+    capsys.readouterr()
+    sink = IdempotentSink(base_dir=os.path.join(tmp_workdir, "out"))
+    n_poison = sink.read_dlq(spark).count()
+    assert n_poison > 0
+
+    os.remove(poison_flag)  # "the bug is fixed"
+    assert cli_main(["replay", spec_path]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["status"] == "ok"
+    assert report["replay"]["data"]["recovered"] == n_poison
+    assert report["replay"]["data"]["still_failed"] == 0
+    assert sink.read_dlq(spark).count() == 0
+    data = sink.read_data(spark).toPandas()
+    assert not data.duplicated(["conv_id", "turn_idx"]).any()
+    assert len(generate(small_spec)) == len(data)

@@ -71,6 +71,19 @@ def test_filter_stages_compose_linearly(spark, frame_df):
     assert out.count() == 5  # turn_idx 3..7 survive
 
 
+def test_null_predicate_rows_dropped(spark, frame_df):
+    """A predicate evaluating to NULL must DROP the row, like SQL WHERE
+    (and like plain df.filter): `_ok() & ~NULL` is NULL, which when()
+    would treat as not-matched, silently passing the row as OK."""
+    with_null = frame_df.withColumn(
+        "flag", F.when(F.col("turn_idx") < 4, F.lit(True))  # NULL for idx >= 4
+    )
+    out = apply_chain(with_null, [native_filter("nullpred", F.col("flag"))])
+    rows = out.select("turn_idx", STATUS_COL).collect()
+    assert {r["turn_idx"] for r in rows} == {0, 1, 2, 3}
+    assert all(r[STATUS_COL] == "OK" for r in rows)
+
+
 def test_vectorized_chain_single_scan_and_passthrough(spark, frame_df):
     """ERROR rows produced by stage 1 must flow through stages 2..4
     untouched (text/error preserved) with the plan still scanning the
