@@ -11,10 +11,15 @@ runs are reproducible, resumable and cross-engine verifiable:
 - token_budget_per_stratum: per-stratum token budget enforcement ("mix
   N tokens of each language, best documents first") — rank documents
   within each stratum, keep rows while the running token sum fits the
-  budget. One shuffle (window per stratum). For mega-strata at 10^12
-  docs, pre-aggregate candidates per stratum with a coarse quality
-  cutoff first so the per-stratum sort stays bounded (the same
-  two-phase trade as skew.two_phase_conv_stats).
+  budget. TWO-PHASE so a mega-stratum never sorts in one task (real
+  language mixes have one dominant stratum — at 10^12 docs a
+  single-task sort of "en" is the plan that dies): phase 1 computes
+  the running sum per (stratum, salt-bucket) — each bucket ~1/S of
+  the stratum, S parallel sorts — and discards rows whose LOCAL
+  running sum already exceeds the budget; phase 2 runs the exact
+  per-stratum windowed cumsum over the survivors only, which is a
+  bounded set (<= S x budget tokens per stratum) independent of
+  stratum size. Same trade as skew.two_phase_topk.
 """
 
 from __future__ import annotations
@@ -53,20 +58,70 @@ def token_budget_per_stratum(
     stratum_col: str = "lang",
     tokens_col: Column | str = "n_tokens",
     order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+    n_salt: int = 32,
 ) -> DataFrame:
     """Keep the best rows of each stratum while the RUNNING token sum
     stays within ``budget`` (a row is kept iff the budget still has
     room for it entirely — greedy by rank order). ``order_by`` defines
-    "best" (default: most tokens first, id tie-break)."""
+    "best" (default: most tokens first, id tie-break; a custom order
+    must be a TOTAL order for the result to be deterministic).
+
+    Two-phase plan (mega-stratum safe), exact for non-negative token
+    counts. The kept set is a PREFIX of the ranked stratum (cumsum is
+    non-decreasing), so the job is to find the budget boundary without
+    one whole-stratum sort:
+
+    - Phase 1 salts the stratum into ``n_salt`` hash buckets of the
+      row id and computes the running sum per (stratum, salt) —
+      n_salt parallel bounded sorts. It forwards (a) rows whose LOCAL
+      cumsum fits the budget (a superset of the final prefix, since
+      local <= global cumsum under the same total order) and (b) each
+      bucket's FIRST over-budget row, tagged ``_overflow``. Everything
+      past a bucket's first overflow is discarded: its global cumsum
+      exceeds its local cumsum, which already exceeds the budget.
+    - Phase 2 sorts only the forwarded rows (at most budget-worth per
+      bucket + n_salt sentinels, independent of stratum size) and
+      keeps a row iff its candidate cumsum fits AND no overflow
+      sentinel ranks at-or-before it. Before the earliest sentinel no
+      row was discarded, so the candidate cumsum IS the true global
+      cumsum there; at and beyond it, the true cumsum is known to
+      exceed the budget — the sentinel check is what keeps the
+      two-phase result identical to the single-window plan (dropping
+      phase-1 losers naively would shrink later rows' cumsum and
+      wrongly re-admit them).
+
+    Caveat: rows with 0 tokens never exhaust a local budget, so a
+    corpus dominated by empty documents defeats the phase-1 bound —
+    filter those first.
+    """
     tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    order = order_by or [tokens.desc(), F.col("doc_id").asc()]
-    w = (
+    order = order_by or [tokens.desc(), F.col(id_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    w_local = (
+        Window.partitionBy(stratum_col, "_salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        df.withColumn("_salt", salt)
+        .withColumn("_local_tokens", F.sum(tokens).over(w_local))
+    )
+    fits = F.col("_local_tokens") <= budget
+    first_over = ~fits & ((F.col("_local_tokens") - tokens) <= budget)
+    candidates = (
+        local.filter(fits | first_over)
+        .withColumn("_overflow", (~fits).cast("int"))
+        .drop("_salt", "_local_tokens")
+    )
+    w_global = (
         Window.partitionBy(stratum_col)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        df.withColumn("_running_tokens", F.sum(tokens).over(w))
-        .filter(F.col("_running_tokens") <= budget)
-        .drop("_running_tokens")
+        candidates.withColumn("_running_tokens", F.sum(tokens).over(w_global))
+        .withColumn("_any_overflow", F.max("_overflow").over(w_global))
+        .filter((F.col("_running_tokens") <= budget) & (F.col("_any_overflow") == 0))
+        .drop("_running_tokens", "_any_overflow", "_overflow")
     )

@@ -82,3 +82,74 @@ def test_token_budget_invariants(spark, docs):
             assert excluded["n_tokens"].max() <= row_min or (
                 sums[lang] + excluded["n_tokens"].min() > 500
             )
+
+
+def _naive_budget(pdf, budget):
+    """Single-machine oracle: the operator's running-sum rule — a row
+    is kept iff the cumulative token sum over ALL ranked rows up to and
+    including it (kept or not) fits the budget. Matches the q49 SQL
+    oracle's windowed cumsum, not skip-and-continue knapsack greed."""
+    keep = []
+    for lang, grp in pdf.groupby("lang"):
+        grp = grp.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        running = 0
+        for _, row in grp.iterrows():
+            running += row["n_tokens"]
+            if running <= budget:
+                keep.append(row["doc_id"])
+    return set(keep)
+
+
+def test_token_budget_matches_naive_on_mega_stratum(spark):
+    """One stratum holds ~90% of all rows (the real shape of language
+    mixes): the two-phase plan must return exactly the single-machine
+    greedy answer."""
+    import pandas as pd
+
+    rows = [("en", i, (i * 37) % 97 + 1) for i in range(9000)]
+    rows += [("de", 100000 + i, (i * 13) % 50 + 1) for i in range(700)]
+    rows += [("fr", 200000 + i, (i * 7) % 30 + 1) for i in range(300)]
+    pdf = pd.DataFrame(rows, columns=["lang", "doc_id", "n_tokens"])
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = token_budget_per_stratum(df, budget=1500, tokens_col="n_tokens").toPandas()
+    assert set(out["doc_id"]) == _naive_budget(pdf, 1500)
+    assert (out.groupby("lang")["n_tokens"].sum() <= 1500).all()
+
+
+def test_token_budget_plan_never_sorts_whole_stratum_in_one_task(spark):
+    """Plan-shape gate for the 100 TB case: the FIRST window over the
+    data must partition by (stratum, salt) — n_salt parallel bounded
+    sorts — and only the bounded survivor set may hit the per-stratum
+    window. A plan whose first exchange keys on the stratum alone
+    would co-locate a mega-stratum into one task."""
+    df = spark.range(1000).select(
+        F.lit("en").alias("lang"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 40 + 1).alias("n_tokens"),
+    )
+    out = token_budget_per_stratum(df, budget=300, tokens_col="n_tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_window = plan[plan.rindex("Window"):]  # executed plan prints leaves last
+    assert "_salt" in first_window, plan
+    windows = plan.count("Window ")
+    assert windows == 2, plan
+
+
+def test_token_budget_overflow_sentinel_blocks_readmission(spark):
+    """Adversarial two-phase case: two 9-token rows share a salt
+    bucket, a 1-token row sits in another. Single-window semantics
+    (cumsums 9, 18, 19 vs budget 10) keeps only the first 9 — a naive
+    two-phase that silently drops the second 9 would shrink the small
+    row's cumsum to 10 and wrongly re-admit it."""
+    ids = spark.range(100).select(
+        "id", F.pmod(F.xxhash64(F.col("id")), F.lit(2)).alias("s")
+    ).collect()
+    same = [r["id"] for r in ids if r["s"] == 0]
+    other = [r["id"] for r in ids if r["s"] == 1]
+    a, b, c = same[0], same[1], other[0]
+    df = spark.createDataFrame(
+        [("en", a, 9), ("en", b, 9), ("en", c, 1)],
+        "lang string, doc_id long, n_tokens int",
+    )
+    out = token_budget_per_stratum(df, budget=10, tokens_col="n_tokens", n_salt=2)
+    assert {r["doc_id"] for r in out.collect()} == {min(a, b)}
