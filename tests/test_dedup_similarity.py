@@ -96,6 +96,45 @@ def test_dedup_components_chain_and_islands(spark):
     assert got == {3: 3, 7: 3, 12: 3, 20: 3, 40: 40, 41: 40, 50: 40}
 
 
+def test_dedup_components_high_diameter_chain(spark):
+    """A 1,000-node chain (diameter 999 — the topology of shingled
+    spam) must converge within the default round budget: alternating
+    large/small-star contracts in O(log n) rounds where per-hop label
+    propagation needs one round per hop."""
+    from quanta_spark.operators.dedup import dedup_components
+
+    n = 1000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    # shift ids so the min vertex is NOT 0 (guards accidental zeros)
+    chain = chain.select((F.col("doc_a") + 5).alias("doc_a"), (F.col("doc_b") + 5).alias("doc_b"))
+    labels = dedup_components(chain).toPandas()
+    assert len(labels) == n
+    assert set(labels["doc_id"]) == set(range(5, n + 5))
+    assert (labels["component_id"] == 5).all()
+
+
+def test_dedup_components_two_chains_interleaved(spark):
+    """Two interleaved odd/even chains must stay separate components
+    through the star contractions (adjacent ids in different
+    components stress the min-attachment steps)."""
+    from quanta_spark.operators.dedup import dedup_components
+
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 2) for i in range(0, n, 2)]
+        + [(i, i + 2) for i in range(1, n, 2)],
+        "doc_a long, doc_b long",
+    )
+    labels = dedup_components(pairs).toPandas()
+    evens = labels[labels["doc_id"] % 2 == 0]
+    odds = labels[labels["doc_id"] % 2 == 1]
+    assert (evens["component_id"] == 0).all()
+    assert (odds["component_id"] == 1).all()
+    assert len(labels) == n + 2
+
+
 def test_stream_dedup_eviction_boundary(spark, tmp_workdir):
     """Within-watermark duplicates are suppressed; duplicates farther
     apart than the watermark re-emit after state eviction — the
