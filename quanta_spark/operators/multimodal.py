@@ -353,19 +353,31 @@ def repartition_by_size(
     (O(n_ranges) rows to the driver), and the exact cumsum is the
     broadcast range offset plus a per-range window cumsum — so the
     payload bytes cross exactly two shuffles (range window + final
-    repartition) and nothing global-sorts."""
+    repartition) and nothing global-sorts.
+
+    Non-numeric ``order_col`` (e.g. a string media id) gets a
+    deterministic numeric surrogate key (xxhash64) — any total order
+    satisfies the size guarantee; a silent double-cast would have
+    produced NULL range ids and broken the bucketing."""
+    from pyspark.sql.types import NumericType
     from pyspark.sql.window import Window
 
-    sized = df.withColumn("_sz", F.length("payload").cast("long"))
+    if isinstance(df.schema[order_col].dataType, NumericType):
+        key = F.col(order_col).cast("double")
+    else:
+        key = F.xxhash64(F.col(order_col)).cast("double")
+    sized = df.withColumn("_sz", F.length("payload").cast("long")).withColumn(
+        "_key", key
+    )
     bounds = sized.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        F.min("_key").alias("lo"), F.max("_key").alias("hi")
     ).first()
     if bounds["lo"] is None:
         return df
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     n_ranges = max(df.sparkSession.sparkContext.defaultParallelism * 4, 4)
     rid = F.width_bucket(
-        F.col(order_col).cast("double"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_ranges)
+        F.col("_key"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_ranges)
     )
     per_range = (
         sized.select(rid.alias("_rid"), "_sz")
@@ -384,7 +396,7 @@ def repartition_by_size(
     )
     w = (
         Window.partitionBy("_rid")
-        .orderBy(order_col)
+        .orderBy("_key", order_col)  # order_col breaks surrogate-hash ties
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     n_buckets = max(1, -(-running // target_bytes))
@@ -397,5 +409,5 @@ def repartition_by_size(
         .withColumn("_bucket", (F.col("_start") / F.lit(target_bytes)).cast("long"))
     )
     return bucketed.repartitionByRange(n_buckets, "_bucket").drop(
-        "_sz", "_rid", "_start", "_bucket"
+        "_sz", "_key", "_rid", "_start", "_bucket"
     )

@@ -22,6 +22,7 @@ the same integers via list_cosine_similarity on DOUBLE[]).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -104,12 +105,18 @@ def brute_force_cosine_topk(
 
 
 def hyperplane_signature(df: DataFrame, n_bits: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (JVM-free except one
-    vectorized UDF pass). Fixed seed => deterministic buckets."""
+    """Random-hyperplane LSH bucket id per vector (one vectorized UDF
+    pass). Fixed seed => deterministic buckets. All input columns are
+    carried THROUGH the Arrow batch and the bucket appended — join-free
+    by construction (re-attaching via a vec_id self-join would add an
+    avoidable shuffle+join per signature pass)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     sc = df.sparkSession.sparkContext
     b_planes = sc.broadcast(planes)
+    out_schema = StructType(df.schema.fields + [StructField("bucket", LongType())])
 
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = b_planes.value
@@ -119,13 +126,11 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 8, dim: int = 64, seed: in
             v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             bits = (v @ pl.T) > 0  # (n, n_bits)
             bucket = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
-            out = pdf[["vec_id"]].copy()
+            out = pdf.copy()
             out["bucket"] = bucket.astype(np.int64)
             yield out
 
-    return df.mapInPandas(sig, schema="vec_id long, bucket long").join(
-        df, "vec_id"
-    )
+    return df.mapInPandas(sig, schema=out_schema)
 
 
 def _cosine_bp(a: str, b: str):
@@ -198,8 +203,34 @@ def axis_bucket_expr(n_bits: int = 8, stride: int = 8):
     return acc.cast("long")
 
 
+def auto_n_blocks(
+    n_rows: int,
+    dim: int,
+    target_task_bytes: int = 256 << 20,
+    parallelism: int = 32,
+) -> int:
+    """Derive the all-pairs block count so one block-pair task fits the
+    memory target: the (n/B)^2 float64 sims matrix must take at most
+    half the target, the two (n/B, dim) operand matrices the other
+    half; and B(B+1)/2 block pairs must at least fill the cores. A
+    static B that was right at sf0.1 would OOM at 100x — this makes
+    per-task memory invariant to corpus growth (B grows ~linearly in
+    n, shuffle volume O(n*B) grows accordingly: the inherent price of
+    an exact O(n^2) answer)."""
+    if n_rows <= 1:
+        return 1
+    sims_bound = math.ceil(n_rows / math.sqrt(target_task_bytes / 16.0))
+    mats_bound = math.ceil(32.0 * n_rows * dim / target_task_bytes)
+    par_bound = math.ceil(math.sqrt(2.0 * parallelism))
+    return min(n_rows, max(1, sims_bound, mats_bound, par_bound))
+
+
 def exact_allpairs_cosine(
-    emb: DataFrame, threshold: float = 0.4, n_blocks: int = 8
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int | None = None,
+    dim: int = 64,
+    target_task_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Distributed EXACT all-pairs cosine >= threshold — no driver
     collect, no broadcast of the corpus.
@@ -208,12 +239,22 @@ def exact_allpairs_cosine(
     replicated to the B block-pair keys {(min(g,k), max(g,k))} it
     participates in; every unordered vector pair meets in EXACTLY one
     key, where a numpy matmul scores it. Costs: shuffle O(n*B) rows,
-    per-task memory O(n/B * dim) — tune n_blocks ~ sqrt(n*dim*8 /
-    task_mem) at scale. Total compute is O(n^2), inherent to an exact
-    answer; the sublinear path is the LSH bucket join (this operator
-    is its exactness baseline / recall oracle)."""
+    per-task memory O((n/B)^2 + n/B * dim) floats. ``n_blocks=None``
+    (default) derives B from a corpus count() + ``dim`` via
+    auto_n_blocks so tasks stay under ``target_task_bytes`` at any
+    corpus size. Total compute is O(n^2), inherent to an exact answer;
+    the sublinear path is the LSH bucket join (this operator is its
+    exactness baseline / recall oracle)."""
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(
+            emb.count(),  # one O(1)-result driver action
+            dim,
+            target_task_bytes=target_task_bytes,
+            parallelism=emb.sparkSession.sparkContext.defaultParallelism,
+        )
 
     g = F.pmod(F.col("vec_id"), F.lit(n_blocks))
     keys = F.array(*[

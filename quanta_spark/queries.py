@@ -1363,4 +1363,6 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.similarity import exact_allpairs_cosine
 
     emb = spark.table("embeddings").select("vec_id", "embedding")
-    return exact_allpairs_cosine(emb, threshold=0.4, n_blocks=8)
+    # n_blocks auto-derived from corpus count x dim so per-task memory
+    # stays under the target at any scale (similarity.auto_n_blocks)
+    return exact_allpairs_cosine(emb, threshold=0.4)

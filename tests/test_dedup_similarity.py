@@ -258,3 +258,54 @@ def test_lsh_recall_vs_brute_force(spark, emb2):
     bf = {r["vec_id"] for r in brute_force_cosine_topk(emb2, queries, k=10).collect()}
     ls = {r["vec_id"] for r in lsh_cosine_topk(emb2, queries, k=10, n_bits=4).collect()}
     assert len(bf & ls) / len(bf) >= 0.2, f"LSH recall collapsed: {bf & ls}"
+
+
+def test_hyperplane_signature_is_join_free(spark, emb2):
+    """The gaussian-LSH signature pass must carry the embedding through
+    the Arrow batch instead of re-attaching it with a vec_id self-join
+    (an avoidable shuffle+join per signature pass at corpus scale)."""
+    from quanta_spark.operators.similarity import hyperplane_signature
+
+    sig = hyperplane_signature(emb2, n_bits=8, dim=64)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert set(sig.columns) == {"vec_id", "embedding", "bucket"}
+    # buckets deterministic + within range
+    row = sig.filter(F.col("vec_id") == 0).first()
+    assert 0 <= row["bucket"] < 256
+
+
+def test_auto_n_blocks_bounds_task_memory(spark):
+    """Derived block count keeps one block-pair task under the memory
+    target at every corpus size, scales with n, and never exceeds n."""
+    from quanta_spark.operators.similarity import auto_n_blocks
+
+    target = 256 << 20
+    last = 1
+    for n in [100, 10_000, 1_000_000, 100_000_000, 10_000_000_000]:
+        b = auto_n_blocks(n, dim=64, target_task_bytes=target, parallelism=32)
+        assert 1 <= b <= n
+        assert b >= last  # monotone in corpus size
+        last = b
+        rows_per_block = -(-n // b)
+        sims_bytes = rows_per_block * rows_per_block * 8
+        mats_bytes = 2 * rows_per_block * 64 * 8
+        assert sims_bytes <= target / 2 * 1.01, (n, b)
+        assert mats_bytes <= target / 2 * 1.01, (n, b)
+    # enough block pairs to fill the cores
+    b = auto_n_blocks(10_000_000, dim=64, parallelism=32)
+    assert b * (b + 1) / 2 >= 32
+
+
+def test_exact_allpairs_auto_blocks_matches_static(spark, emb2):
+    """Auto-derived blocking returns the same pair set as any static
+    blocking (exactness is invariant to B)."""
+    from quanta_spark.operators.similarity import exact_allpairs_cosine
+
+    sample = emb2.filter(F.col("vec_id") % 5 == 0)
+    auto = {(r["vec_a"], r["vec_b"]) for r in exact_allpairs_cosine(sample, 0.4).collect()}
+    static = {
+        (r["vec_a"], r["vec_b"])
+        for r in exact_allpairs_cosine(sample, 0.4, n_blocks=3).collect()
+    }
+    assert auto == static and len(auto) > 0

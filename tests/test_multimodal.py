@@ -189,3 +189,18 @@ def test_repartition_by_size_one_giant_blob(spark):
     # tiny blobs pack: the 1 MB worth of tiny rows occupies ~1 bucket,
     # so partition count stays near ceil(total/target), not 1001
     assert len(sizes) <= int(np.ceil(total / target)) + 1
+
+
+def test_repartition_by_size_string_ids(spark):
+    """A string media id must get a deterministic numeric surrogate
+    (hash), not a silent double-cast to NULL: the size bound has to
+    hold for non-numeric keys too."""
+    rows = [(f"media-{i:04d}", bytearray(b"x" * (512 + 64 * (i % 7)))) for i in range(400)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    target = 32 << 10
+    out = repartition_by_size(df, target_bytes=target)
+    assert out.count() == 400
+    max_blob = df.agg(F.max(F.length("payload"))).first()[0]
+    sizes = _partition_bytes(out)
+    assert len(sizes) > 1
+    assert sizes.max() <= target + max_blob
