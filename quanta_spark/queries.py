@@ -720,6 +720,19 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs2, threshold=0.8, hasher="md5")
 
 
+def bench_minhash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28's PRODUCTION hash family (xxhash64, the dedup.py default and
+    the path a cluster deployment runs) — bench-only, NOT a gate query:
+    xxhash64 has no cross-engine DuckDB reproduction, which is exactly
+    why the gate q28 uses the md5 family. Identical plan shape; only
+    the scalar hash expression differs."""
+    from quanta_spark.operators.dedup import minhash_near_dup_pairs
+
+    _prepare(spark, sf_dir)
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
+    return minhash_near_dup_pairs(docs2, threshold=0.8, hasher="xxhash64")
+
+
 _Q29_SIG_CHUNKS = ",\n".join(
     "         CAST(sum(CASE WHEN s > 0 AND i // 16 = {c} THEN (1::BIGINT << (i % 16)) "
     "ELSE 0 END) AS INT) AS c{c}".format(c=c)

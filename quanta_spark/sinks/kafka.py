@@ -26,19 +26,29 @@ def kafka_payload(batch_df: DataFrame, key_col: str = "conv_id") -> DataFrame:
     )
 
 
+def kafka_writer_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """The exact DataFrameWriter options map for the Kafka sink —
+    factored out (like readers.kafka_source_options) so the writer
+    wiring is contract-testable without a broker or the connector jar.
+    Empty bootstrap/topic are rejected eagerly: the producer would
+    otherwise fail at flush time, after the batch's work is done."""
+    if not bootstrap or not topic:
+        raise ValueError("kafka sink requires non-empty bootstrap and topic")
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+    }
+
+
 def kafka_batch_writer(bootstrap: str, topic: str):
     """foreachBatch writer serializing transcript rows to Kafka via
-    kafka_payload."""
+    kafka_payload (options pinned by kafka_writer_options)."""
+    opts = kafka_writer_options(bootstrap, topic)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         payload = kafka_payload(batch_df)
         try:
-            (
-                payload.write.format("kafka")
-                .option("kafka.bootstrap.servers", bootstrap)
-                .option("topic", topic)
-                .save()
-            )
+            payload.write.format("kafka").options(**opts).save()
         except Exception as exc:  # pragma: no cover - jar not in image
             raise NotImplementedError(
                 "spark-sql-kafka connector jar is not on the classpath in "

@@ -146,3 +146,93 @@ def attach_metrics(spark: SparkSession, out_path: str | None = None) -> MetricsL
     listener = MetricsListener(out_path)
     spark.streams.addListener(listener)
     return listener
+
+
+class MetricsHttpServer:
+    """Pull-based /metrics endpoint over a MetricsListener — the
+    working realization of the reference's Prometheus handler
+    (internal/telemetry/metrics.go:10-15, an EMPTY registry: the
+    endpoint exists but no counter is ever registered). Serves:
+
+    - ``/metrics``: Prometheus text format — per-query-id gauges for
+      batch id, input rows, rates, and state rows from the listener's
+      LATEST progress per query;
+    - ``/metrics.json``: the same, raw.
+
+    Driver-local observability (one process serves one driver), daemon
+    thread, zero cost when unused. start() picks a free port when
+    ``port=0`` and returns it."""
+
+    def __init__(self, listener: MetricsListener, port: int = 0) -> None:
+        self.listener = listener
+        self.port = port
+        self._httpd = None
+        self._thread: threading.Thread | None = None
+
+    def _latest_by_query(self) -> dict[str, dict]:
+        with self.listener._lock:
+            latest: dict[str, dict] = {}
+            for rec in self.listener.progress:
+                latest[rec["id"]] = rec
+        return latest
+
+    def _render_prom(self) -> str:
+        lines = [
+            "# HELP quanta_batch_id Last completed micro-batch id",
+            "# TYPE quanta_batch_id gauge",
+        ]
+        gauges = [
+            ("quanta_batch_id", "batchId"),
+            ("quanta_input_rows", "numInputRows"),
+            ("quanta_input_rows_per_second", "inputRowsPerSecond"),
+            ("quanta_processed_rows_per_second", "processedRowsPerSecond"),
+        ]
+        latest = self._latest_by_query()
+        for qid, rec in sorted(latest.items()):
+            for metric, key in gauges:
+                val = rec.get(key)
+                if val is not None:
+                    lines.append(f'{metric}{{query="{qid}"}} {val}')
+            state_rows = sum(
+                s.get("numRowsTotal") or 0 for s in rec.get("stateOperators", [])
+            )
+            lines.append(f'quanta_state_rows_total{{query="{qid}"}} {state_rows}')
+        return "\n".join(lines) + "\n"
+
+    def start(self) -> int:
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802
+                if self.path == "/metrics":
+                    body = server._render_prom().encode()
+                    ctype = "text/plain; version=0.0.4"
+                elif self.path == "/metrics.json":
+                    body = json.dumps(server._latest_by_query()).encode()
+                    ctype = "application/json"
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a) -> None:  # silence per-request noise
+                pass
+
+        self._httpd = HTTPServer(("127.0.0.1", self.port), Handler)
+        self.port = self._httpd.server_port
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

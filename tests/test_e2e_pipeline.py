@@ -95,3 +95,45 @@ def test_restart_resumes_exactly_once(spark, transcripts_dir, small_spec, tmp_wo
     n_files = len([f for f in os.listdir(transcripts_dir) if f.endswith(".parquet")])
     assert lin["src_partition"].nunique() == n_files, "missing source files in lineage"
     assert int(lin["n_rows"].sum()) == len(want)
+
+
+def test_metrics_http_endpoint_scrapes(spark, transcripts_dir, tmp_workdir):
+    """Pull-based /metrics: after a drained run, the endpoint serves
+    Prometheus gauges (and raw JSON) from the listener's latest
+    per-query progress — the working realization of the reference's
+    empty /metrics registry (internal/telemetry/metrics.go:10-15)."""
+    import json as _json
+    import urllib.request
+
+    from quanta_spark.streaming.engine import MetricsHttpServer, attach_metrics
+
+    listener = attach_metrics(spark)
+    server = MetricsHttpServer(listener)
+    port = server.start()
+    try:
+        sink = IdempotentSink(base_dir=os.path.join(tmp_workdir, "sink"))
+        src = stream_transcripts_files(spark, transcripts_dir, max_files_per_trigger=4)
+        run_to_completion(
+            start_pipeline(apply_chain(src, ["uppercase"]), sink,
+                           os.path.join(tmp_workdir, "ckpt"))
+        )
+        text = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ).read().decode()
+        assert "quanta_batch_id{" in text
+        assert "quanta_input_rows{" in text
+        raw = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics.json", timeout=10
+        ).read().decode())
+        assert raw and all("batchId" in rec for rec in raw.values())
+        assert sum(rec["numInputRows"] for rec in raw.values()) >= 0
+        # 404 for anything else
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/other", timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
+        spark.streams.removeListener(listener)

@@ -66,3 +66,49 @@ def test_merge_sql_composite_key():
 def test_merge_sql_requires_keys():
     with pytest.raises(ValueError, match="key column"):
         build_merge_sql("t", "s", ())
+
+
+def test_kafka_writer_options_map():
+    """Writer option map pinned like the source's: broker list + topic,
+    empties rejected eagerly (a producer would otherwise only fail at
+    flush time, after the batch's work is done)."""
+    from quanta_spark.sinks.kafka import kafka_writer_options
+
+    opts = kafka_writer_options("broker1:9092,broker2:9092", "transcripts-out")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "topic": "transcripts-out",
+    }
+    with pytest.raises(ValueError):
+        kafka_writer_options("", "t")
+    with pytest.raises(ValueError):
+        kafka_writer_options("b:9092", "")
+
+
+def test_kafka_payload_roundtrips_through_json(spark):
+    """The serialization leg of a broker round-trip, minus the broker
+    (no jar exists in this sandbox): rows -> kafka (key, value JSON) ->
+    from_json must reproduce every row bit-for-bit, so a consumer of
+    the produced topic sees exactly the sink's input."""
+    from pyspark.sql import functions as F
+
+    from quanta_spark.sinks.kafka import kafka_payload
+
+    rows = [
+        ("conv-1", 0, "user", "hello — ünïcode", None),
+        ("conv-1", 1, "assistant", 'quotes "and" commas, too', "search"),
+        ("conv-2", 0, "user", "", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    payload = kafka_payload(df)
+    assert payload.columns == ["key", "value"]
+    back = payload.select(
+        F.from_json("value", df.schema).alias("r"), "key"
+    ).select("r.*", "key")
+    got = {tuple(r[c] for c in df.columns) for r in back.collect()}
+    assert got == set(rows)
+    # key IS the partitioning column (per-conv ordering contract)
+    keys = {r["key"] for r in back.collect()}
+    assert keys == {"conv-1", "conv-2"}
