@@ -132,6 +132,65 @@ def chunk_documents(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data DECONTAMINATION: flag corpus documents that share
+    any word n-gram with an eval/benchmark set (the standard 8-to-13-
+    gram overlap rule for keeping test sets out of training data).
+    Output: (doc_id, n_contaminated_grams, contaminated) — one row per
+    corpus document, count = distinct overlapping n-grams.
+
+    Plan shape at 100 TB: the benchmark's distinct gram set is tiny
+    relative to the corpus (eval sets are fixed-size), so the overlap
+    join BROADCASTS it — the corpus is touched by exactly one scan +
+    one explode, no corpus-sized shuffle; the per-doc count shuffles
+    only the matched (doc_id, gram) hits. Tokenization is materialized
+    behind an exchange barrier before the per-element gram transform
+    (see dedup._norm_grams_df: transform() re-evaluates captured
+    expressions once PER ELEMENT, and AQE would serialize the tiny
+    exchange onto one core without the explicit partition count)."""
+    from quanta_spark.operators.dedup import normalized
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+
+    def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = ["doc_id"] if keep_id else []
+        toked = df.select(
+            *cols, F.split(normalized(F.col(text_col)), " ").alias("_toks")
+        )
+        toked = (
+            toked.repartition(n_parts, *cols) if cols else toked.repartition(n_parts)
+        )
+        toks = F.col("_toks")
+        starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        gram_arr = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return toked.select(*cols, F.explode(gram_arr).alias("gram"))
+
+    doc_grams = grams_of(docs, keep_id=True)
+    bench_grams = grams_of(benchmark, keep_id=False).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized text (lowercased,
     non-alphanumeric collapsed) — the canonical content key used for

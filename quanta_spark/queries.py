@@ -1327,6 +1327,62 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q51_ORACLE = """
+WITH nd AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+bench AS (
+  SELECT array_to_string(list_slice(string_split(t, ' '), 1, 12), ' ') AS t
+  FROM nd WHERE doc_id % 50 = 0
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(
+           list_slice(string_split(t, ' '), i, i + 7), ' ') AS gram
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(string_split(t, ' ')) - 7)) AS i
+    FROM nd
+  )
+),
+bg AS (
+  SELECT DISTINCT array_to_string(
+           list_slice(string_split(t, ' '), i, i + 7), ' ') AS gram
+  FROM (
+    SELECT t, unnest(generate_series(1, len(string_split(t, ' ')) - 7)) AS i
+    FROM bench
+  )
+),
+hits AS (
+  SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_contaminated_grams
+  FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+)
+SELECT nd.doc_id,
+       CAST(coalesce(h.n_contaminated_grams, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.n_contaminated_grams, 0) > 0 AS contaminated
+FROM nd LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("q51_decontaminate", _Q51_ORACLE)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag documents sharing any word
+    8-gram with a benchmark set (here: the 12-token prefixes of every
+    50th document, so ~2% of the corpus is contaminated by
+    construction). Broadcast gram join — one corpus scan + explode,
+    no corpus-sized shuffle (text.decontaminate)."""
+    from quanta_spark.operators.dedup import normalized
+    from quanta_spark.operators.text import decontaminate
+
+    docs = spark.table("documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(
+            F.slice(F.split(normalized(F.col("text")), " "), 1, 12), " "
+        ).alias("text")
+    )
+    return decontaminate(docs, bench, n=8)
+
+
 @query(
     "q50_chunk_documents",
     """

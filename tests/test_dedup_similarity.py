@@ -309,3 +309,31 @@ def test_exact_allpairs_auto_blocks_matches_static(spark, emb2):
         for r in exact_allpairs_cosine(sample, 0.4, n_blocks=3).collect()
     }
     assert auto == static and len(auto) > 0
+
+
+def test_decontaminate_flags_planted_overlap(spark, docs2):
+    """Documents whose 12-token prefix is in the benchmark set must be
+    flagged; a benchmark of out-of-vocabulary grams flags nothing; the
+    benchmark gram set reaches the corpus via a broadcast join (no
+    corpus-sized shuffle)."""
+    from quanta_spark.operators.dedup import normalized
+    from quanta_spark.operators.text import decontaminate
+
+    docs = docs2.filter(F.col("doc_id") < 1_000_000)
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.array_join(F.slice(F.split(normalized(F.col("text")), " "), 1, 12), " ")
+        .alias("text")
+    )
+    out = decontaminate(docs, bench, n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    flagged = {r["doc_id"] for r in out.filter("contaminated").collect()}
+    planted = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 100 == 0).collect()}
+    assert planted <= flagged
+
+    nonsense = spark.createDataFrame(
+        [("zz yy xx ww vv uu tt ss rr qq pp oo",)], "text string"
+    )
+    clean = decontaminate(docs, nonsense, n=8)
+    assert clean.filter("contaminated").count() == 0
+    assert clean.count() == docs.count()
