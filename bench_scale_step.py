@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Scale-step benchmark: every batch training-data operator at sf0.1-
+equivalent and sf1-equivalent input (10x rows), same seeded generator,
+so the TIME RATIO measures how the plan scales — the measured evidence
+behind the "would survive 100x" claims (the streaming legs have their
+own 21.7M-turn scaling curve in BENCH/BASELINE.md; this covers the
+batch/document side the driver tables only provide up to sf0.1).
+
+Interpretation: ratio ~10 = linear (one scan / one bounded shuffle);
+minhash/simhash carry an n log n-ish shuffle; exact all-pairs cosine is
+inherently O(n^2) COMPUTE (its ratio is expected ~100x in flops) but
+auto-blocking must keep per-task memory flat — the wall-clock ratio
+stays far below 100 while BLAS soaks the extra flops.
+
+Usage: python bench_scale_step.py   (idle box! ~5-10 min)
+Writes BENCH/scale_step.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from quanta_spark.datagen import write_documents_embeddings  # noqa: E402
+from quanta_spark.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALES = {"sf0.1eq": (5_000, 2_000), "sf1eq": (50_000, 20_000)}
+
+
+def _input_dir(tag: str, n_docs: int, n_vecs: int) -> str:
+    d = f"/tmp/qs_scale_{tag}_{n_docs}_{n_vecs}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_documents_embeddings(d, n_docs, n_vecs, seed=42)
+        open(marker, "w").close()
+    return d
+
+
+def _ops():
+    from quanta_spark.operators.dedup import (
+        dedup_components,
+        exact_dedup_groups,
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from quanta_spark.operators.sampling import (
+        deterministic_sample,
+        token_budget_per_stratum,
+    )
+    from quanta_spark.operators.similarity import (
+        axis_lsh_cosine_topk,
+        exact_allpairs_cosine,
+    )
+    from quanta_spark.operators.text import (
+        chunk_documents,
+        decontaminate,
+        quality_features,
+        ws_token_count,
+    )
+
+    def bench_set(docs):
+        from quanta_spark.operators.dedup import normalized
+
+        return docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.array_join(
+                F.slice(F.split(normalized(F.col("text")), " "), 1, 12), " "
+            ).alias("text")
+        )
+
+    def budget_in(docs):
+        return docs.select(
+            "doc_id", "lang", ws_token_count(F.col("text")).alias("n_tokens")
+        )
+
+    return {
+        "exact_dedup": lambda docs, emb: exact_dedup_groups(docs),
+        "quality_features": lambda docs, emb: quality_features(docs),
+        "ngram_jaccard": lambda docs, emb: ngram_jaccard_pairs(docs),
+        "minhash_xxhash64": lambda docs, emb: minhash_near_dup_pairs(
+            docs, threshold=0.8, hasher="xxhash64"
+        ),
+        "simhash_xxhash64": lambda docs, emb: simhash_near_dup_pairs(
+            docs, max_hamming=3, hasher="xxhash64"
+        ),
+        "dedup_components": lambda docs, emb: dedup_components(
+            minhash_near_dup_pairs(docs, threshold=0.8, hasher="xxhash64").select(
+                "doc_a", "doc_b"
+            )
+        ),
+        "chunk_documents": lambda docs, emb: chunk_documents(
+            docs, chunk_tokens=16, overlap=4
+        ),
+        "decontaminate": lambda docs, emb: decontaminate(docs, bench_set(docs), n=8),
+        "stratified_sample": lambda docs, emb: deterministic_sample(
+            docs, {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+        ),
+        "token_budget_mix": lambda docs, emb: token_budget_per_stratum(
+            budget_in(docs), budget=20_000, tokens_col="n_tokens"
+        ),
+        "lsh_cosine_topk": lambda docs, emb: axis_lsh_cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0).limit(200), k=5
+        ),
+        "allpairs_cosine_auto": lambda docs, emb: exact_allpairs_cosine(
+            emb, threshold=0.4
+        ),
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="quanta_scale_step", cores=CPUS, shuffle_partitions=CPUS
+    )
+    ops = _ops()
+    results: dict[str, dict] = {name: {} for name in ops}
+    for tag, (n_docs, n_vecs) in SCALES.items():
+        d = _input_dir(tag, n_docs, n_vecs)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        docs.count()  # warm file listing before timing
+        # one untimed pass so the first TIMED op doesn't absorb
+        # codegen + python-worker cold start for the whole scale
+        ops["exact_dedup"](docs, emb).count()
+        ops["minhash_xxhash64"](docs, emb).count()
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            out = fn(docs, emb)
+            n_rows = out.count()
+            dt = time.perf_counter() - t0
+            results[name][tag] = {"sec": round(dt, 3), "rows": n_rows}
+    for name, r in results.items():
+        r["time_ratio_10x"] = round(r["sf1eq"]["sec"] / max(r["sf0.1eq"]["sec"], 1e-9), 2)
+    payload = {
+        "metric": "batch operator wall-sec at sf0.1-eq vs sf1-eq (10x rows, same generator seed)",
+        "cores": CPUS,
+        "scales": {k: {"n_docs": v[0], "n_vecs": v[1]} for k, v in SCALES.items()},
+        "ops": results,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scale_step.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -207,3 +207,94 @@ def write_heartbeat_file(out_dir: str, ts: pd.Timestamp, name: str = "zz-heartbe
         pa.Table.from_pandas(row, schema=_ARROW_SCHEMA, preserve_index=False), path
     )
     return path
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings — scale-step bench inputs
+# ---------------------------------------------------------------------------
+
+_DOC_VOCAB = np.array(
+    [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    ]
+)
+_DOC_LANGS = np.array(["en", "de", "es", "fr", "zh"])
+_DOC_LANG_P = np.array([0.41, 0.14, 0.15, 0.15, 0.15])
+
+
+def generate_documents(n: int, seed: int = 42, dup_frac: float = 0.01) -> pd.DataFrame:
+    """Deterministic documents table matching the driver testdata's
+    shape (TESTDATA.md): word-soup text over the same 31-word vocab,
+    10..100 whitespace tokens, langs ~41% en, 20 sources, plus a small
+    planted exact-duplicate fraction. Pure function of (n, seed) so a
+    10x-bigger input is the SAME distribution, which is what makes the
+    scale-step time ratios meaningful."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(10, 101, size=n)
+    total = int(lens.sum())
+    words = _DOC_VOCAB[rng.integers(0, len(_DOC_VOCAB), size=total)]
+    bounds = np.cumsum(lens)[:-1]
+    texts = [" ".join(chunk) for chunk in np.split(words, bounds)]
+    # planted exact duplicates: the last dup_frac of docs copy earlier text
+    n_dup = int(n * dup_frac)
+    if n_dup:
+        src = rng.integers(0, n - n_dup, size=n_dup)
+        for i, s in enumerate(src):
+            texts[n - n_dup + i] = texts[s]
+    langs = _DOC_LANGS[rng.choice(len(_DOC_LANGS), size=n, p=_DOC_LANG_P)]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i % 20}" for i in range(n)],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+def generate_embeddings(n: int, dim: int = 64, seed: int = 42) -> pd.DataFrame:
+    """Deterministic embeddings table matching the driver testdata's
+    shape: (vec_id, embedding float[dim], label int), unit-normal
+    components with a handful of planted near-duplicate pairs."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    n_near = max(1, n // 100)
+    src = rng.integers(0, n - n_near, size=n_near)
+    mat[n - n_near :] = mat[src] + 0.01 * rng.standard_normal((n_near, dim)).astype(
+        np.float32
+    )
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(mat),
+            "label": (np.arange(n) % 10).astype(np.int32),
+        }
+    )
+
+
+def write_documents_embeddings(
+    out_dir: str, n_docs: int, n_vecs: int, seed: int = 42
+) -> None:
+    """Write documents.parquet / embeddings.parquet into ``out_dir``
+    (scale-step bench cache; same layout as the driver's sf dirs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = generate_documents(n_docs, seed=seed)
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    emb = generate_embeddings(n_vecs, seed=seed)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(emb["vec_id"], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in emb["embedding"]], pa.list_(pa.float32())
+            ),
+            "label": pa.array(emb["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
