@@ -272,10 +272,13 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
             base_dir=os.path.join(sink.base_dir, "dlq_stream"),
             key_cols=(),
         )
-    elif dlq_df is not None:
+    elif dlq_df is not None and sink_specs:
         # A stage chain feeding a terminal operator produced a DLQ tee,
-        # but no idempotent sink exists to anchor it — dead-letter rows
+        # and the pipeline WILL run (sinks configured) — but none is an
+        # idempotent sink that could anchor the tee, so dead-letter rows
         # would be silently discarded, the exact loss the tee prevents.
+        # (A spec with no sinks at all can't start and stays compilable
+        # for ad-hoc .df inspection.)
         raise ValueError(
             "pipeline has transform stages + a terminal operator but no "
             "idempotent-parquet sink to commit dead-letter rows; add one "
