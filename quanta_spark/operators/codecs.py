@@ -11,17 +11,22 @@ directly:
   magic + width/height/n_frames/fps header, then n_frames raw RGB24
   frames back to back). Trivial by construction so frame slicing is
   exact.
+- PNG (W3C spec / RFC 2083): a REAL compressed format — DEFLATE via
+  the stdlib zlib (no external codec library), full chunk walk, CRC
+  verification, and all five scanline filters (None/Sub/Up/Average/
+  Paeth) for 8-bit truecolor (RGB) and truecolor+alpha (RGBA),
+  non-interlaced.
 
-Compressed formats (JPEG/PNG/H.264/AAC) still require external codec
-libraries which are absent in this environment; ``decode_media``
-raises a clear NotImplementedError for those MIME types only. The
-Spark-side plumbing is identical either way: bytes in a binary column,
-decoded via Arrow-batched ``mapInPandas``.
+Formats whose entropy coding has no stdlib implementation (JPEG's
+Huffman+DCT, H.264, AAC) still raise a clear NotImplementedError
+naming the format. The Spark-side plumbing is identical either way:
+bytes in a binary column, decoded via Arrow-batched ``mapInPandas``.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -155,3 +160,148 @@ def decode_qvid_frame(data: bytes, frame_idx: int) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8, count=frame_bytes, offset=off).reshape(
         h, w, 3
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit truecolor / truecolor+alpha, non-interlaced
+# (W3C PNG spec; DEFLATE from the stdlib zlib, so this is a REAL
+# compressed-format codec with zero external libraries)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a pixel row (int16 in, uint8
+    out): closest of left/up/upper-left to a+b-c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """uint8 array (h, w, 3|4) -> PNG bytes. ``filter_type`` applies
+    one filter to every scanline (0..4) — exercising decode of each
+    filter family; real encoders choose per-row, which decode handles
+    identically."""
+    h, w, c = pixels.shape
+    assert pixels.dtype == np.uint8 and c in (3, 4)
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    color_type = 2 if c == 3 else 6
+    raw = pixels.astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    else:
+        filt = raw - _paeth(left, up, upleft)
+    scan = np.empty((h, 1 + w * c), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = (filt & 0xFF).astype(np.uint8).reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w, 3|4). Walks chunks with CRC
+    verification, inflates the concatenated IDAT stream, and reverses
+    all five scanline filters. Supports 8-bit color types 2 (RGB) and
+    6 (RGBA), non-interlaced — the shapes a training-data pipeline's
+    synthetic/screenshot corpora actually use; everything else raises
+    naming the unsupported feature."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt_method != 0:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color_type})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    c = 3 if color_type == 2 else 4
+    stride = w * c
+    scan = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if scan.size != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    scan = scan.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = int(scan[y, 0])
+        row = scan[y, 1:].astype(np.int16)
+        prev = out[y - 1].astype(np.int16) if y else zero_row
+        if ft == 0:
+            cur = row
+        elif ft == 1:
+            # Sub: out[x] = row[x] + out[x-c] => per-byte-lane cumsum
+            cur = np.cumsum(row.reshape(w, c), axis=0, dtype=np.int64).reshape(stride)
+        elif ft == 2:
+            cur = row + prev
+        elif ft == 3:
+            cur = row.copy()
+            prev_px = prev.reshape(w, c)
+            cur_px = cur.reshape(w, c)
+            left = np.zeros(c, dtype=np.int16)
+            for x in range(w):
+                cur_px[x] = (cur_px[x] + (left + prev_px[x]) // 2) & 0xFF
+                left = cur_px[x]
+        elif ft == 4:
+            cur = row.copy()
+            prev_px = prev.reshape(w, c)
+            cur_px = cur.reshape(w, c)
+            left = np.zeros(c, dtype=np.int16)
+            upleft = np.zeros(c, dtype=np.int16)
+            for x in range(w):
+                cur_px[x] = (cur_px[x] + _paeth(left, prev_px[x], upleft)) & 0xFF
+                left = cur_px[x]
+                upleft = prev_px[x]
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = (cur & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, c)

@@ -5,13 +5,15 @@ per-blob compute flows through Arrow-batched ``mapInPandas`` so bytes
 never round-trip through Python row objects.
 
 Decode is REAL for every format implementable without codec
-libraries: pure-numpy BMP (24-bit), RIFF/PCM16 WAV, and the QVID
-raw-frame video container (operators/codecs.py) — decode_media,
-resize_images and sample_video_frames operate on actual pixels/PCM.
-Compressed formats (JPEG/PNG/H.264/AAC) raise NotImplementedError
-naming the format: that gate is per-FORMAT, not per-operator, and
-plugging a real codec lib into the same mapInPandas bodies is the
-only change a cluster deployment needs.
+libraries: pure-numpy BMP (24-bit), PNG (8-bit RGB/RGBA — a genuine
+compressed format, DEFLATE via stdlib zlib + all five scanline
+filters), RIFF/PCM16 WAV, and the QVID raw-frame video container
+(operators/codecs.py) — decode_media, resize_images and
+sample_video_frames operate on actual pixels/PCM. Formats whose
+entropy coding has no stdlib implementation (JPEG/H.264/AAC) raise
+NotImplementedError naming the format: that gate is per-FORMAT, not
+per-operator, and plugging a real codec lib into the same mapInPandas
+bodies is the only change a cluster deployment needs.
 
 Scale notes: blobs dominate partition bytes, so media tables must be
 split by bytes not rows (spark.sql.files.maxPartitionBytes); the
@@ -156,7 +158,12 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
     """Deterministic media table whose payloads are REAL encoded files:
     24-bit BMPs, PCM16 WAVs (seeded sine + noise), and QVID raw video —
     every blob round-trips through the actual decoders."""
-    from quanta_spark.operators.codecs import encode_bmp, encode_qvid, encode_wav
+    from quanta_spark.operators.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_qvid,
+        encode_wav,
+    )
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -165,7 +172,14 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
         if kind == "image":
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload, meta = encode_bmp(px), (w, h, None, None, "bmp")
+            if i % 6 == 0:
+                # every other image is a REAL compressed PNG (all-filter
+                # encode rotation exercises each unfilter path)
+                payload, meta = encode_png(px, filter_type=(i // 6) % 5), (
+                    w, h, None, None, "png",
+                )
+            else:
+                payload, meta = encode_bmp(px), (w, h, None, None, "bmp")
         elif kind == "audio":
             sr, n_samp = 16000, int(rng.integers(800, 4000))
             t = np.arange(n_samp) / sr
@@ -189,7 +203,7 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
     decoder's mean-pixel statistic equals the gray level with no
     float-summation ambiguity. This is what makes the real decode
     path oracle-checkable end to end in plain SQL (q44)."""
-    from quanta_spark.operators.codecs import encode_bmp, encode_qvid
+    from quanta_spark.operators.codecs import encode_bmp, encode_png, encode_qvid
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -202,7 +216,15 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
                 w, h = 16 + d % 48, 16 + (d * 3) % 48
                 if d % 2 == 0:
                     kind = "image"
-                    payload = encode_bmp(np.full((h, w, 3), g, dtype=np.uint8))
+                    px = np.full((h, w, 3), g, dtype=np.uint8)
+                    # alternate container: d%4==0 -> REAL compressed PNG
+                    # (deflate + filter), else BMP. Solid gray means the
+                    # q44 oracle's doc_id arithmetic predicts BOTH
+                    # identically — the gate now proves PNG decode too.
+                    if d % 4 == 0:
+                        payload = encode_png(px, filter_type=(d // 4) % 5)
+                    else:
+                        payload = encode_bmp(px)
                 else:
                     kind = "video"
                     nf = 2 + d % 7
@@ -238,6 +260,11 @@ def decode_media(df: DataFrame) -> DataFrame:
                     px = codecs.decode_bmp(b)
                     vals = ("image", px.shape[1], px.shape[0], None, None, None,
                             float(px.mean()) / 255.0)
+                elif b[:8] == codecs._PNG_SIG:
+                    # REAL compressed decode: DEFLATE + filter reversal
+                    px = codecs.decode_png(b)
+                    vals = ("image", px.shape[1], px.shape[0], None, None, None,
+                            float(px.mean()) / 255.0)
                 elif b[:4] == b"RIFF":
                     samples, sr = codecs.decode_wav(b)
                     vals = ("audio", None, None, None, sr, samples.shape[0],
@@ -249,7 +276,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"no pure-python decoder for container magic {b[:4]!r} "
-                        "(JPEG/PNG/H.264 need codec libs not present here)"
+                        "(JPEG/H.264/AAC entropy coding has no stdlib "
+                        "implementation; PNG/BMP/WAV/QVID decode here)"
                     )
                 kind, w_, h_, nf_, sr_, ns_, feat = vals
                 out["media_id"].append(mid)
@@ -273,11 +301,18 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
-    """REAL image resize (nearest-neighbor, pure numpy) for BMP
-    payloads: decode -> resize -> re-encode, all inside one Arrow
-    batch pass. Non-BMP image formats raise NotImplementedError
-    naming the format (codec libs absent)."""
-    from quanta_spark.operators.codecs import decode_bmp, encode_bmp, resize_nearest
+    """REAL image resize (nearest-neighbor, pure numpy) for BMP and
+    PNG payloads: decode -> resize -> re-encode in the SAME container,
+    all inside one Arrow batch pass. Other image formats raise
+    NotImplementedError naming the format."""
+    from quanta_spark.operators.codecs import (
+        _PNG_SIG,
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_nearest,
+    )
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -285,10 +320,16 @@ def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
                 continue
             ids, payloads, ws, hs = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_bmp(bytes(p))
+                b = bytes(p)
+                if b[:8] == _PNG_SIG:
+                    px = decode_png(b)
+                    enc = lambda a: encode_png(np.ascontiguousarray(a))
+                else:
+                    px = decode_bmp(b)
+                    enc = lambda a: encode_bmp(np.ascontiguousarray(a))
                 resized = resize_nearest(px, target, target)
                 ids.append(mid)
-                payloads.append(encode_bmp(np.ascontiguousarray(resized)))
+                payloads.append(enc(resized))
                 ws.append(target)
                 hs.append(target)
             yield pd.DataFrame(

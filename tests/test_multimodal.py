@@ -127,12 +127,24 @@ def test_decode_media_rejects_unknown_container(spark):
 
 
 def test_resize_images_real(spark, real_media):
+    from quanta_spark.operators.codecs import _PNG_SIG, decode_png
+
     out = resize_images(real_media, target=32).toPandas()
     n_images = real_media.filter("kind = 'image'").count()
     assert len(out) == n_images
     assert (out["width"] == 32).all() and (out["height"] == 32).all()
-    px = decode_bmp(bytes(out["payload"].iloc[0]))
-    assert px.shape == (32, 32, 3)
+    # resize preserves each image's container: PNGs stay PNG, BMPs BMP
+    seen = set()
+    for p in out["payload"]:
+        b = bytes(p)
+        if b[:8] == _PNG_SIG:
+            px = decode_png(b)
+            seen.add("png")
+        else:
+            px = decode_bmp(b)
+            seen.add("bmp")
+        assert px.shape == (32, 32, 3)
+    assert seen == {"png", "bmp"}
 
 
 def test_frame_sampling_extracts_real_frames(spark, real_media):
