@@ -1327,6 +1327,32 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q52_hll_merge",
+    """
+SELECT lang,
+       count(DISTINCT text) AS exact_distinct,
+       true AS merge_matches_whole,
+       true AS merged_within_bound
+FROM documents GROUP BY lang
+""",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (operators/sketches.py): per
+    language, HLL sketches built per shard (doc_id % 4) and UNIONED
+    must estimate within 5% of one whole-corpus sketch (merge
+    soundness — what makes storing per-day sketches and merging at
+    read time work; NOT bit-equality, see sketches.py) and within 5%
+    of exact. Exact values + boolean bounds keep the oracle portable
+    (q42 trick)."""
+    from quanta_spark.operators.sketches import mergeable_distinct_check
+
+    docs = spark.table("documents")
+    return mergeable_distinct_check(
+        docs, "lang", F.col("text"), F.pmod(F.col("doc_id"), F.lit(4))
+    )
+
+
 _Q51_ORACLE = """
 WITH nd AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t

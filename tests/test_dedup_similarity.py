@@ -337,3 +337,26 @@ def test_decontaminate_flags_planted_overlap(spark, docs2):
     clean = decontaminate(docs, nonsense, n=8)
     assert clean.filter("contaminated").count() == 0
     assert clean.count() == docs.count()
+
+
+def test_hll_sketch_merge_shard_invariance(spark, docs2):
+    """The merged estimate must be stable (within the HLL error
+    bound) regardless of how the corpus was sharded (2-way vs 7-way vs
+    per-row) — the property that lets a pipeline keep per-day sketches
+    and merge any subset later. Bit-equality does NOT hold: union may
+    resolve sparse-vs-dense sketch modes differently per split."""
+    from quanta_spark.operators.sketches import (
+        merged_distinct_estimate,
+        shard_sketches,
+    )
+
+    docs = docs2.withColumn("lang", F.lit("all"))
+    estimates = []
+    for mod in (2, 7, 1000):
+        sk = shard_sketches(docs, "lang", F.col("text"), F.pmod(F.col("doc_id"), F.lit(mod)))
+        est = merged_distinct_estimate(sk, "lang").first()["distinct_estimate"]
+        estimates.append(est)
+    exact = docs.select("text").distinct().count()
+    for est in estimates:
+        assert abs(est - exact) <= 0.05 * exact, (est, exact)
+    assert max(estimates) - min(estimates) <= 0.02 * exact, estimates
