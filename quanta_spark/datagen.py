@@ -187,19 +187,26 @@ HEARTBEAT_CONV = "__heartbeat__"
 
 
 def write_heartbeat_file(out_dir: str, ts: pd.Timestamp, name: str = "zz-heartbeat") -> str:
-    """Append a single synthetic row with a far-future timestamp to a
-    stream directory. Purpose: advance the event-time watermark past
-    all real data so append-mode windows finalize and stateful
-    timeouts fire at end-of-stream (tests/bench drain helper). Filter
-    ``conv_id == HEARTBEAT_CONV`` out of results."""
+    """Append synthetic far-future rows to a stream directory to
+    advance the event-time watermark past all real data so append-mode
+    windows finalize and stateful timeouts fire at end-of-stream
+    (tests/bench drain helper). Filter ``conv_id == HEARTBEAT_CONV``
+    out of results.
+
+    TWO rows — one 'user', one 'assistant' — because operators that
+    split the stream by role and watermark EACH side (the user/reply
+    joins) take the MIN of the per-side watermarks: a single
+    'system'-role row reaches neither side and leaves the join
+    watermark frozen, so outer-join NULL rows and final state eviction
+    never fire (found via the outer join's end-of-stream flush)."""
     row = pd.DataFrame(
         {
-            "conv_id": pd.array([HEARTBEAT_CONV], dtype="string"),
-            "turn_idx": pd.array([0], dtype="int32"),
-            "role": pd.array(["system"], dtype="string"),
-            "text": pd.array(["heartbeat"], dtype="string"),
-            "tool": pd.array([None], dtype="string"),
-            "ts": pd.to_datetime([ts]).astype("datetime64[us]"),
+            "conv_id": pd.array([HEARTBEAT_CONV] * 2, dtype="string"),
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": pd.array(["user", "assistant"], dtype="string"),
+            "text": pd.array(["heartbeat"] * 2, dtype="string"),
+            "tool": pd.array([None, None], dtype="string"),
+            "ts": pd.to_datetime([ts, ts]).astype("datetime64[us]"),
         }
     )
     path = os.path.join(out_dir, f"{name}.parquet")

@@ -250,6 +250,56 @@ def enforce_turn_order(
     )
 
 
+def join_user_replies_outer(
+    df: DataFrame,
+    watermark: str = "1 hour",
+    max_reply_delay: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like join_user_replies, but user
+    turns with NO qualifying reply are emitted too (reply columns
+    NULL, ``answered`` = false) — the "unanswered turns" monitoring
+    query. In streaming mode the NULL row for an unmatched user turn
+    is emitted only once the watermark passes the end of its
+    reply-delay window (Spark can't know a reply won't arrive until
+    event time moves past the join condition's upper bound) — the
+    outer-join-with-watermark contract, and exactly why both sides
+    MUST carry watermarks + a time-range predicate for the state store
+    to evict. Batch mode plans the same left join directly (the
+    oracle path)."""
+    users = df.filter(F.col("role") == "user").select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("text").alias("user_text"),
+        F.col("ts").alias("user_ts"),
+    )
+    replies = df.filter(F.col("role").isin("assistant", "tool")).select(
+        F.col("conv_id").alias("r_conv_id"),
+        F.col("turn_idx").alias("reply_turn_idx"),
+        F.col("role").alias("reply_role"),
+        F.col("ts").alias("reply_ts"),
+    )
+    if df.isStreaming:
+        users = users.withWatermark("user_ts", watermark)
+        replies = replies.withWatermark("reply_ts", watermark)
+    cond = (
+        (users.conv_id == replies.r_conv_id)
+        & (replies.reply_turn_idx == users.user_turn_idx + 1)
+        & (replies.reply_ts >= users.user_ts)
+        & (replies.reply_ts <= users.user_ts + F.expr(f"INTERVAL {max_reply_delay}"))
+    )
+    out = users.join(replies, cond, "left_outer")
+    return out.select(
+        "conv_id",
+        "user_turn_idx",
+        "user_text",
+        "user_ts",
+        "reply_turn_idx",
+        "reply_role",
+        "reply_ts",
+        F.col("reply_turn_idx").isNotNull().alias("answered"),
+    )
+
+
 def reply_session_stats(
     df: DataFrame,
     watermark: str = "1 hour",

@@ -370,6 +370,34 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q53_unanswered_turns",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT u.conv_id,
+       u.turn_idx AS user_turn_idx, u.text AS user_text, u.ts AS user_ts,
+       r.turn_idx AS reply_turn_idx, r.role AS reply_role, r.ts AS reply_ts,
+       r.turn_idx IS NOT NULL AS answered
+FROM transcripts u
+LEFT JOIN transcripts r
+  ON r.conv_id = u.conv_id
+ AND r.turn_idx = u.turn_idx + 1
+ AND r.ts >= u.ts AND r.ts <= u.ts + INTERVAL 30 MINUTE
+ AND r.role IN ('assistant', 'tool')
+WHERE u.role = 'user'
+""",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER user/reply join — every user turn, answered or not
+    (stateful.join_user_replies_outer; in streaming mode the NULL rows
+    emit once the watermark passes the reply-delay bound — the
+    outer-join-with-watermark contract, pytest-verified vs this batch
+    flavor in test_stateful.py)."""
+    from quanta_spark.operators.stateful import join_user_replies_outer
+
+    return join_user_replies_outer(transcripts_df(spark), max_reply_delay="30 minutes")
+
+
+@query(
     "q15_turn_order",
     f"""
 WITH {TRANSCRIPTS_CTE}

@@ -168,3 +168,74 @@ def test_stream_stream_join_matches_batch(spark, tmp_workdir):
     assert (got["user_turn_idx"].to_numpy() == want["user_turn_idx"].to_numpy()).all()
     assert (got["reply_latency_s"] >= 0).all()
     assert (got["reply_latency_s"] <= 1800).all()
+
+
+def test_stream_outer_join_emits_unanswered_after_watermark(spark, tmp_workdir):
+    """LEFT OUTER stream-stream join: at final watermark the streaming
+    result equals the batch left join — answered rows identical, and
+    every user turn with no qualifying reply appears exactly once with
+    NULL reply columns (emitted only after the watermark passed its
+    reply-delay bound)."""
+    from quanta_spark.operators.stateful import join_user_replies_outer
+
+    # custom harness: outer-join NULL rows emit in the micro-batch
+    # AFTER the watermark advances past their bound, so one heartbeat
+    # is not enough — the batch that RAISES the watermark is the last
+    # to run. A second heartbeat forces the extra batch that flushes
+    # the eviction-ready unmatched rows.
+    data_dir = os.path.join(tmp_workdir, "in")
+    write_transcripts(data_dir, SPEC, n_files=8)
+    batches: list[tuple[int, list]] = []
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    # watermark strictly wider than the generator's 1h arrival
+    # jitter so no user turn is dropped as late — this test measures
+    # outer-join NULL emission, not late-data exclusion (which is
+    # covered by the windowed-late-drop tests)
+    h = start_pipeline(
+        join_user_replies_outer(src, watermark="2 hours", max_reply_delay="30 minutes"),
+        lambda b, i: batches.append((i, b.collect())),
+        os.path.join(tmp_workdir, "ckpt"),
+    )
+    h.process_all_available()
+    max_ts = generate(SPEC)["ts"].max()
+    write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=30))
+    h.process_all_available()
+    write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=60), name="zz-heartbeat2")
+    run_to_completion(h)
+    got = pd.DataFrame([r.asDict() for _bid, rows in batches for r in rows])
+    got = got[got["conv_id"] != HEARTBEAT_CONV].sort_values(
+        ["conv_id", "user_turn_idx"]
+    ).reset_index(drop=True)
+
+    pdf = generate(SPEC).drop(columns=["arrival_ts"])
+    users = pdf[pdf.role == "user"][["conv_id", "turn_idx", "ts"]].rename(
+        columns={"turn_idx": "user_turn_idx", "ts": "user_ts"}
+    )
+    reps = pdf[pdf.role.isin(["assistant", "tool"])][
+        ["conv_id", "turn_idx", "ts"]
+    ].rename(columns={"turn_idx": "reply_turn_idx", "ts": "reply_ts"})
+    m = users.merge(reps, on="conv_id", how="left")
+    ok = (
+        (m.reply_turn_idx == m.user_turn_idx + 1)
+        & (m.reply_ts >= m.user_ts)
+        & (m.reply_ts <= m.user_ts + pd.Timedelta(minutes=30))
+    )
+    answered = m[ok]
+    unanswered = users[~users.set_index(["conv_id", "user_turn_idx"]).index.isin(
+        answered.set_index(["conv_id", "user_turn_idx"]).index
+    )]
+
+    # every user turn appears exactly once
+    assert len(got) == len(users)
+    assert not got.duplicated(["conv_id", "user_turn_idx"]).any()
+    got_answered = got[got["answered"]]
+    got_null = got[~got["answered"]]
+    assert len(got_answered) == len(answered)
+    assert len(got_null) == len(unanswered) > 0
+    assert got_null["reply_turn_idx"].isna().all()
+    # unanswered sets match exactly
+    assert set(map(tuple, got_null[["conv_id", "user_turn_idx"]].to_numpy())) == set(
+        map(tuple, unanswered[["conv_id", "user_turn_idx"]].to_numpy())
+    )
