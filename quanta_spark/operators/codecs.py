@@ -104,23 +104,32 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     sample_rate = channels = bits = None
+    audio_fmt = block_align = None
     pcm = None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt == 1 and bits == 16:
+                pass
+            elif audio_fmt == 0x11 and channels == 1:
+                pass  # IMA ADPCM mono — decoded below
+            else:
                 raise NotImplementedError(
-                    f"only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                    f"only PCM16 and mono IMA-ADPCM supported "
+                    f"(fmt={audio_fmt}, bits={bits}, channels={channels})"
                 )
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks pad to even
     if pcm is None or sample_rate is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 0x11:
+        ints = _decode_adpcm(pcm, block_align)
+        return (ints.astype(np.float32) / 32768.0).reshape(-1, 1), int(sample_rate)
     samples = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
     return samples.reshape(-1, channels), int(sample_rate)
 
@@ -305,3 +314,107 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = (cur & 0xFF).astype(np.uint8)
     return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM — compressed audio (WAV format tag 0x11, the IMA/DVI
+# standard: 4 bits per sample, ~4:1 vs PCM16). Public spec; pure
+# Python/numpy, no codec library. Mono.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    if n & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[n & 7]))
+    return pred, index
+
+
+def encode_adpcm_wav(
+    samples: np.ndarray, sample_rate: int = 16000, block_align: int = 256
+) -> bytes:
+    """int16 mono samples -> RIFF/WAVE IMA-ADPCM (format 0x11) bytes.
+    Lossy by design (~4:1); block layout per the IMA spec: a 4-byte
+    block header (predictor int16, step index, reserved) then 4-bit
+    nibbles, two per byte, low nibble first. The last block is padded
+    with repeats of the final sample."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    n_blocks = max(1, -(-len(samples) // spb))
+    padded = np.full(n_blocks * spb, samples[-1] if len(samples) else 0, dtype=np.int16)
+    padded[: len(samples)] = samples
+    index = 0
+    out = bytearray()
+    for b in range(n_blocks):
+        block = padded[b * spb : (b + 1) * spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = _IMA_STEPS[index]
+            diff = int(s) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            pred, index = _ima_decode_nibble(n, pred, index)
+            nibbles.append(n)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out += bytes([lo | (hi << 4)])
+    data = bytes(out)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _decode_adpcm(pcm: bytes, block_align: int) -> np.ndarray:
+    """IMA-ADPCM data chunk -> int16 mono samples."""
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = len(pcm) // block_align
+    out = np.empty(n_blocks * spb, dtype=np.int16)
+    pos = 0
+    for b in range(n_blocks):
+        pred, index, _ = struct.unpack_from("<hBB", pcm, b * block_align)
+        out[pos] = pred
+        pos += 1
+        body = pcm[b * block_align + 4 : (b + 1) * block_align]
+        for byte in body:
+            for n in (byte & 0xF, byte >> 4):
+                pred, index = _ima_decode_nibble(n, pred, index)
+                out[pos] = pred
+                pos += 1
+    return out

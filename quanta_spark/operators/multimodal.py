@@ -159,6 +159,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
     24-bit BMPs, PCM16 WAVs (seeded sine + noise), and QVID raw video —
     every blob round-trips through the actual decoders."""
     from quanta_spark.operators.codecs import (
+        encode_adpcm_wav,
         encode_bmp,
         encode_png,
         encode_qvid,
@@ -185,8 +186,12 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
             t = np.arange(n_samp) / sr
             freq = float(rng.integers(100, 2000))
             wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samp)
-            payload = encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), sr)
-            meta = (None, None, sr, None, "pcm16")
+            ints = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+            if i % 9 == 1:
+                # every third audio blob is REAL compressed IMA-ADPCM
+                payload, meta = encode_adpcm_wav(ints, sr), (None, None, sr, None, "adpcm")
+            else:
+                payload, meta = encode_wav(ints, sr), (None, None, sr, None, "pcm16")
         else:
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             nf = int(rng.integers(2, 90))

