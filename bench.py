@@ -62,7 +62,7 @@ def bench_input(sf: float, n_files: int = 128) -> tuple[str, int]:
     spec = GenSpec(
         n_convs=n_convs, mean_turns=16, seed=42, mega_frac=0.02, late_frac=0.005
     )
-    cache = f"/tmp/qs_bench_input_v2_{sf}_{n_convs}"
+    cache = f"/tmp/qs_bench_input_v3_{sf}_{n_convs}"
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)
