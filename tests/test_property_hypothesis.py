@@ -1,0 +1,83 @@
+"""Hypothesis property tests — randomized inputs for the invariants a
+fixed fixture can miss: codec round-trips over arbitrary shapes, and
+the two-phase token budget vs a single-machine oracle over arbitrary
+token distributions (the operator whose equivalence proof has the
+subtlest edge cases — see the overflow-sentinel note in sampling.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    c=st.sampled_from([3, 4]),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**16),
+)
+def test_png_roundtrip_random_shapes(h, w, c, ft, seed):
+    from quanta_spark.operators.codecs import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert (decode_png(encode_png(px, filter_type=ft)) == px).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    seed=st.integers(0, 2**16),
+)
+def test_bmp_roundtrip_random_rows(n, seed):
+    from quanta_spark.operators.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(1, 50))
+    h = max(1, n // max(w, 1)) % 50 + 1
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def _naive_budget(pdf: pd.DataFrame, budget: int) -> set:
+    keep = set()
+    for _lang, grp in pdf.groupby("lang"):
+        grp = grp.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        running = 0
+        for _, row in grp.iterrows():
+            running += row["n_tokens"]
+            if running <= budget:
+                keep.add(row["doc_id"])
+    return keep
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2**16),
+    budget=st.integers(1, 400),
+    n_salt=st.sampled_from([1, 2, 3, 32]),
+)
+def test_token_budget_two_phase_equals_naive_random(spark, seed, budget, n_salt):
+    """Random token distributions x random budgets x salt counts: the
+    two-phase plan must equal the single-machine prefix rule exactly.
+    n_salt=1 degenerates to single-phase; small salt counts maximize
+    bucket collisions (the re-admission hazard)."""
+    from quanta_spark.operators.sampling import token_budget_per_stratum
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 120))
+    pdf = pd.DataFrame(
+        {
+            "lang": rng.choice(["en", "de"], size=n, p=[0.8, 0.2]),
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(1, 80, size=n).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = token_budget_per_stratum(
+        df, budget=budget, tokens_col="n_tokens", n_salt=n_salt
+    )
+    assert {r["doc_id"] for r in got.collect()} == _naive_budget(pdf, budget)

@@ -239,3 +239,72 @@ def test_stream_outer_join_emits_unanswered_after_watermark(spark, tmp_workdir):
     assert set(map(tuple, got_null[["conv_id", "user_turn_idx"]].to_numpy())) == set(
         map(tuple, unanswered[["conv_id", "user_turn_idx"]].to_numpy())
     )
+
+
+def test_stream_join_resumes_from_checkpoint_exactly_once(spark, tmp_workdir):
+    """Kill the streaming join mid-run and restart a NEW query on the
+    same checkpoint: the union of both runs' outputs must equal the
+    batch join exactly — no duplicate and no missing (conv, user_turn)
+    pair — i.e. join STATE (not just source offsets) survives restart."""
+    data_dir = os.path.join(tmp_workdir, "in")
+    write_transcripts(data_dir, SPEC, n_files=8)
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    rows: list = []
+
+    def collect(b, i):
+        rows.extend(b.collect())
+
+    def build(src):
+        return join_user_replies(src, watermark="1 hour", max_reply_delay="30 minutes")
+
+    # run 1: only half the files exist yet -> stop mid-stream
+    import shutil as sh
+
+    os.makedirs(data_dir + "_half")
+    files = sorted(os.listdir(data_dir))
+    for f in files[:4]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(data_dir + "_half", f))
+    src = stream_transcripts_files(
+        spark, data_dir + "_half", max_files_per_trigger=2, with_lineage=False
+    )
+    h1 = start_pipeline(build(src), collect, ckpt)
+    h1.process_all_available()
+    h1.stop()
+    n_first = len(rows)
+    assert n_first > 0
+
+    # run 2: remaining files appear; new query, SAME checkpoint
+    for f in files[4:]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(data_dir + "_half", f))
+    src2 = stream_transcripts_files(
+        spark, data_dir + "_half", max_files_per_trigger=2, with_lineage=False
+    )
+    h2 = start_pipeline(build(src2), collect, ckpt)
+    h2.process_all_available()
+    write_heartbeat_file(
+        data_dir + "_half", generate(SPEC)["ts"].max() + pd.Timedelta(days=30)
+    )
+    run_to_completion(h2)
+    assert len(rows) > n_first, "post-restart batches produced nothing"
+
+    got = pd.DataFrame([r.asDict() for r in rows])
+    got = got[got["conv_id"] != HEARTBEAT_CONV]
+    assert not got.duplicated(["conv_id", "user_turn_idx"]).any()
+
+    pdf = generate(SPEC).drop(columns=["arrival_ts"])
+    users = pdf[pdf.role == "user"][["conv_id", "turn_idx", "ts"]].rename(
+        columns={"turn_idx": "user_turn_idx", "ts": "user_ts"}
+    )
+    reps = pdf[pdf.role.isin(["assistant", "tool"])][
+        ["conv_id", "turn_idx", "ts"]
+    ].rename(columns={"turn_idx": "reply_turn_idx", "ts": "reply_ts"})
+    want = users.merge(reps, on="conv_id")
+    want = want[
+        (want.reply_turn_idx == want.user_turn_idx + 1)
+        & (want.reply_ts >= want.user_ts)
+        & (want.reply_ts <= want.user_ts + pd.Timedelta(minutes=30))
+    ]
+    assert len(got) == len(want)
+    assert set(map(tuple, got[["conv_id", "user_turn_idx"]].to_numpy())) == set(
+        map(tuple, want[["conv_id", "user_turn_idx"]].to_numpy())
+    )
