@@ -332,4 +332,34 @@ def uppercase_annotate_stage() -> Stage:
     return Stage(name="uppercase", map_cols=cols)
 
 
+#: shared with the SQL oracle (q54) — keep both in sync
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def redact_pii_stage() -> Stage:
+    """PII redaction as a map stage: emails and phone-number-shaped
+    digit runs replaced with typed placeholders — the compliance
+    transform every training-data pipeline runs before anything else.
+    Pure regexp_replace Column exprs (codegen, scan-speed at 100 TB);
+    patterns shared verbatim with the DuckDB oracle (q54)."""
+
+    def cols() -> dict[str, Column]:
+        redacted = F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        )
+        return {
+            "text": redacted,
+            ATTRS_COL: F.map_concat(
+                F.col(ATTRS_COL),
+                F.create_map(F.lit("transformed_by"), F.lit("redact_pii")),
+            ),
+        }
+
+    return Stage(name="redact_pii", map_cols=cols)
+
+
 register(uppercase_annotate_stage())
+register(redact_pii_stage())

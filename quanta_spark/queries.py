@@ -1356,6 +1356,77 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_redact_pii",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+seeded AS (
+  SELECT conv_id, turn_idx,
+         concat(text, ' contact me at user', CAST(turn_idx AS VARCHAR),
+                '@example.com or +1 (555) 010-', lpad(CAST(turn_idx AS VARCHAR), 4, '0'))
+           AS text
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+         '\\+?[0-9][0-9 ()-]{{7,}}[0-9]', '[PHONE]', 'g') AS text
+FROM seeded
+""",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction through the STAGE CHAIN (stages.redact_pii_stage):
+    every turn gets a synthetic email + phone appended (so redactions
+    really happen on every row), then flows through the registered
+    map stage; the oracle applies the same shared regexes with
+    global replace. Exercises the second built-in plugin end to end
+    at value level."""
+    from quanta_spark.operators.stages import apply_chain
+
+    seeded = transcripts_df(spark).select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact me at user"),
+            F.col("turn_idx").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.col("turn_idx").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = apply_chain(seeded, ["redact_pii"])
+    return out.select("conv_id", "turn_idx", "text")
+
+
+@query(
+    "q55_pooled_embeddings",
+    """
+SELECT label, i - 1 AS pos,
+       CAST(round(avg(embedding[i]) * 10000) AS BIGINT) AS avg_bp
+FROM (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+""",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled (mean) embeddings per label — the class-centroid /
+    conversation-embedding aggregation of a training pipeline. Plan:
+    posexplode -> groupBy(label, pos) partial-aggregates map-side, so
+    the shuffle carries one partial per (label, pos, partition) — never
+    the vectors themselves. Reported in basis points (proven integer
+    trick) with pos 0-based."""
+    emb = spark.table("embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")) * 10_000).cast("long").alias("avg_bp"))
+        .select(F.col("label"), F.col("pos").cast("long").alias("pos"), "avg_bp")
+    )
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,
