@@ -34,7 +34,8 @@ _RELATIONAL = [
     "q23_quality_features", "q24_language_id", "q25_fingerprint",
     "q26_explode_tokens", "q35_cube", "q36_intersect", "q37_exists_semi",
     "q38_scalar_subquery", "q39_pivot_roles", "q40_window_funcs",
-    "q41_asof_join", "q42_approx_stats",
+    "q41_asof_join", "q42_approx_stats", "q53_unanswered_turns",
+    "q54_redact_pii", "q55_pooled_embeddings",
 ]
 
 
@@ -101,3 +102,20 @@ def test_entry_plan_single_scan_per_table(spark):
     # transcripts requires a window over raw rows; the chain itself must
     # not multiply scans)
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_q55_partial_aggregation_before_shuffle(spark):
+    """Pooled embeddings: the per-(label, pos) mean must partial-
+    aggregate map-side — the shuffle carries one partial per group per
+    input partition, never the exploded vector elements."""
+    plan = _plan(spark, "q55_pooled_embeddings")
+    i_exch = plan.index("Exchange hashpartitioning(label")
+    below = plan[i_exch:]
+    assert "HashAggregate" in below and "partial_avg" in below, plan
+
+
+def test_q51_benchmark_grams_broadcast(spark):
+    """Decontamination joins the corpus grams against the (small)
+    benchmark gram set via broadcast — no corpus-sized shuffle."""
+    plan = _plan(spark, "q51_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
