@@ -298,6 +298,132 @@ def exact_allpairs_cosine(
     )
 
 
+#: Hard ceiling on the IVF coarse-centroid count: centroids are
+#: collected to the driver and broadcast, so they must stay O(1) in
+#: the corpus (a real deployment uses n_cells ~ sqrt(n) capped by
+#: what a broadcast comfortably holds; 256 * 64 doubles is ~128 KB).
+MAX_IVF_CELLS = 256
+
+
+def _ivf_centroids(corpus: DataFrame, n_cells: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic seed-free coarse centroids: the ``n_cells`` corpus
+    vectors with the smallest md5(vec_id) (hex-string order, vec_id
+    tie-break). md5 is bit-identical across engines, so an oracle can
+    re-derive the exact same cells — a stand-in for k-means centroids
+    whose iterative float updates would never hash-match cross-engine.
+    Bounded driver action: collects exactly ``n_cells`` rows."""
+    if n_cells > MAX_IVF_CELLS:
+        raise ValueError(f"n_cells={n_cells} exceeds MAX_IVF_CELLS={MAX_IVF_CELLS}")
+    rows = (
+        corpus.select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat  # cell_id i == position i in (h, vec_id) order
+
+
+def _ivf_cells(df: DataFrame, cent_mat: np.ndarray, top: int, id_out: str, emb_out: str) -> DataFrame:
+    """Append the ``top`` nearest cell ids (by cosine, bp-rounded with
+    cell-id tie-break) to every vector — one join-free, shuffle-free
+    Arrow pass with the centroid matrix broadcast, same shape as
+    hyperplane_signature. top=1 is corpus assignment; top=nprobe is
+    query probing."""
+    sc = df.sparkSession.sparkContext
+    b_cent = sc.broadcast(cent_mat)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = b_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims_bp = _bp_half_away(v @ cm.T)  # (n, n_cells)
+            # argsort by (sim_bp desc, cell_id asc): cell ids ARE the
+            # column order, and np.argsort is stable, so sorting -sims_bp
+            # ascending yields exactly that tie-break
+            order = np.argsort(-sims_bp, axis=1, kind="stable")[:, :top]
+            n = len(pdf)
+            out = pdf.loc[pdf.index.repeat(top)].reset_index(drop=True)
+            out["cell_id"] = order.reshape(-1).astype(np.int64)
+            yield out.rename(columns={"vec_id": id_out, "embedding": emb_out})
+
+    out_schema = ", ".join(
+        [f"{id_out} long", f"{emb_out} array<float>", "cell_id long"]
+    )
+    return df.select("vec_id", "embedding").mapInPandas(assign, schema=out_schema)
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-Flat approximate top-k — the inverted-file counterpart of
+    the LSH path, and the other standard sub-linear ANN shape:
+
+    1. coarse quantizer: ``n_cells`` deterministic centroids
+       (md5-least vec_ids — portable; see _ivf_centroids);
+    2. corpus assignment: every vector goes to its single nearest
+       cell (one shuffle-free Arrow pass, broadcast centroids);
+    3. query probing: each query expands to its ``nprobe`` nearest
+       cells, then candidates come from a cell_id equi-join — the
+       scan shrinks to ~nprobe/n_cells of the corpus, and the join is
+       the partition-prunable shape that survives 10^12 rows (cell_id
+       is the natural partition key for the stored index);
+    4. exact cosine (JVM-side, bp-rounded) + per-query top-k on the
+       candidates only.
+
+    Recall < 1 by construction (a true neighbor may live in an
+    unprobed cell); verified against brute force in tests. Each corpus
+    vector is in EXACTLY one cell, so no candidate dedup is needed."""
+    _, cent_mat = _ivf_centroids(corpus, n_cells)
+    assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
+    q_probe = _ivf_cells(queries, cent_mat, nprobe, "query_id", "q_emb")
+    paired = assigned.join(F.broadcast(q_probe), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = paired.select(
+        "query_id", "vec_id", _cosine_bp("embedding", "q_emb").alias("sim_bp")
+    )
+    return _topk_window(scored, k)
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of the embedding
+    column — the standard 4x storage cut for an embedding corpus (at
+    100 TB of float32 vectors, the difference between one cluster and
+    four). Pure Column math, whole-stage codegen, zero shuffle:
+
+    - scale = max(|x_i|) / 127  (per vector, double)
+    - q_i   = floor(x_i / scale + 0.5)  (portable half-up — identical
+      IEEE-double ops in any engine, so q is bit-reproducible, unlike
+      engine-native round() whose half-tie rule varies)
+
+    Returns (vec_id, scale, q, embedding): the quantized codes, the
+    dequant scale, and the original vector (so callers can measure
+    reconstruction error without a re-join)."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    q = F.transform(x, lambda v: F.floor(v / F.col("scale") + F.lit(0.5)).cast("int"))
+    return (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .withColumn("q", q)
+    )
+
+
 def axis_lsh_cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8, stride: int = 8
 ) -> DataFrame:

@@ -1426,6 +1426,122 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q56_CENT_ORDER = "md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC"
+
+_Q56_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_Q56_CENT_ORDER}) - 1 AS BIGINT) AS cell_id,
+         embedding AS c_emb
+  FROM embeddings
+  ORDER BY {_Q56_CENT_ORDER}
+  LIMIT 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(c.c_emb AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM embeddings e, cents c
+),
+cell AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_bp DESC, cell_id ASC) AS rk
+    FROM asg
+  ) t WHERE rk = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_bp DESC, cell_id ASC) AS rk
+    FROM asg WHERE vec_id % 50 = 0 AND vec_id < 2500
+  ) t WHERE rk <= 4
+),
+scored AS (
+  SELECT qp.query_id, c.vec_id,
+         CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(qp.q_emb AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM qp JOIN cell c ON c.cell_id = qp.cell_id AND c.vec_id <> qp.query_id
+)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, sim_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, vec_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk <= 5
+"""
+
+
+@query("q56_ivf_cosine_topk", _Q56_ORACLE)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic md5-least coarse centroids, single-
+    cell corpus assignment, nprobe-cell query probing, exact cosine on
+    candidates only. The inverted-file complement of q30's LSH path —
+    candidates shrink to ~nprobe/n_cells of the corpus and arrive via
+    a cell_id equi-join (the partition-prunable shape at 10^12 rows).
+    The oracle re-derives centroids, assignment and probing from the
+    same md5 order. Query budget fixed at <=50 (vec_id < 2500)."""
+    from quanta_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+    return ivf_cosine_topk(emb, queries_df, k=5, n_cells=16, nprobe=4)
+
+
+_Q57_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0,
+                  1e-12) AS scale
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id, embedding, scale,
+         [CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) for x in embedding] AS q
+  FROM s
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+       CAST(list_sum(q) AS BIGINT) AS qsum,
+       CAST(list_sum([q[i] * i for i in generate_series(1, len(q))]) AS BIGINT) AS qdot,
+       CAST(floor(list_max([abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale)
+                            for i in generate_series(1, len(q))]) * 1000000 + 0.5)
+            AS BIGINT) AS max_err_ppm
+FROM qs
+"""
+
+
+@query("q57_quantize_embeddings", _Q57_ORACLE)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the 4x storage cut for
+    an embedding corpus) with bit-reproducible codes: q_i =
+    floor(x_i/scale + 0.5) is the same IEEE-double expression in both
+    engines, so codes, checksums and the reconstruction-error bound
+    hash-match exactly — no rounding-rule ambiguity. Pure codegen
+    Column math, zero shuffle, zero Python."""
+    from quanta_spark.operators.similarity import quantize_int8
+
+    qd = quantize_int8(spark.table("embeddings"))
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    qsum = F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, v: a + v.cast("long"))
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.sequence(F.lit(1), F.size(F.col("q"))),
+            lambda v, i: v.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    max_err = F.array_max(
+        F.zip_with(xd, F.col("q"), lambda x, v: F.abs(x - v.cast("double") * F.col("scale")))
+    )
+    return qd.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1_000_000 + F.lit(0.5)).cast("long").alias("scale_ppm"),
+        qsum.alias("qsum"),
+        qdot.alias("qdot"),
+        F.floor(max_err * 1_000_000 + F.lit(0.5)).cast("long").alias("max_err_ppm"),
+    )
+
+
 @query(
     "q52_hll_merge",
     """

@@ -311,6 +311,93 @@ def test_exact_allpairs_auto_blocks_matches_static(spark, emb2):
     assert auto == static and len(auto) > 0
 
 
+def test_ivf_top1_is_planted_clone(spark, emb2):
+    """An identical vector lands in the same assignment cell as its
+    original (same argmax over identical sims), and a query always
+    probes its own cell first — so the clone is in the candidate set
+    by construction."""
+    from quanta_spark.operators.similarity import ivf_cosine_topk
+
+    queries = emb2.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    top = ivf_cosine_topk(emb2, queries, k=1, n_cells=8, nprobe=2).collect()
+    assert len(top) > 0
+    for r in top:
+        assert r["vec_id"] == r["query_id"] + 1_000_000, r
+        assert r["sim_bp"] == 10_000
+
+
+def test_ivf_recall_improves_with_nprobe(spark, emb2):
+    """More probed cells can only widen the candidate set; at
+    nprobe == n_cells the scan is exhaustive so recall vs brute force
+    is 1.0 (top-k values identical, modulo equal-sim_bp ties)."""
+    from quanta_spark.operators.similarity import ivf_cosine_topk
+
+    queries = emb2.filter(F.col("vec_id") == 0)
+    bf = {r["vec_id"] for r in brute_force_cosine_topk(emb2, queries, k=10).collect()}
+    narrow = {
+        r["vec_id"]
+        for r in ivf_cosine_topk(emb2, queries, k=10, n_cells=8, nprobe=2).collect()
+    }
+    full = {
+        r["vec_id"]
+        for r in ivf_cosine_topk(emb2, queries, k=10, n_cells=8, nprobe=8).collect()
+    }
+    assert len(bf & full) / len(bf) == 1.0, f"exhaustive probe missed: {bf - full}"
+    assert len(bf & narrow) <= len(bf & full)
+
+
+def test_ivf_assignment_is_join_and_shuffle_free(spark, emb2):
+    """Cell assignment must be a single broadcast-matrix Arrow pass —
+    no join, no exchange (the corpus-side plan at 10^12 rows is scan ->
+    assign -> shuffle-on-cell_id ONLY at the final candidate join)."""
+    from quanta_spark.operators.similarity import _ivf_cells, _ivf_centroids
+
+    _, cm = _ivf_centroids(emb2, 8)
+    assigned = _ivf_cells(emb2, cm, 1, "vec_id", "embedding")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    # every vector in exactly one cell, ids in range
+    n_rows = assigned.count()
+    assert n_rows == emb2.count()
+    assert assigned.filter((F.col("cell_id") < 0) | (F.col("cell_id") >= 8)).count() == 0
+
+
+def test_ivf_centroids_deterministic_and_bounded(spark, emb2):
+    from quanta_spark.operators.similarity import (
+        MAX_IVF_CELLS,
+        _ivf_centroids,
+        ivf_cosine_topk,
+    )
+
+    ids1, m1 = _ivf_centroids(emb2, 8)
+    ids2, m2 = _ivf_centroids(emb2, 8)
+    assert (ids1 == ids2).all() and (m1 == m2).all()
+    with pytest.raises(ValueError, match="MAX_IVF_CELLS"):
+        ivf_cosine_topk(emb2, emb2.limit(1), n_cells=MAX_IVF_CELLS + 1)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, emb2):
+    """Codes stay in int8 range and per-coordinate reconstruction
+    error is <= scale/2 (the half-step bound of round-to-nearest);
+    the plan is pure codegen — no shuffle, no Python eval."""
+    from quanta_spark.operators.similarity import quantize_int8
+
+    qd = quantize_int8(emb2)
+    plan = qd._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    rows = qd.collect()
+    assert len(rows) == emb2.count()
+    for r in rows[:200]:
+        assert all(-127 <= v <= 127 for v in r["q"]), r["vec_id"]
+        recon = [v * r["scale"] for v in r["q"]]
+        for x, y in zip(r["embedding"], recon):
+            assert abs(float(x) - y) <= r["scale"] / 2 + 1e-12
+
+
 def test_decontaminate_flags_planted_overlap(spark, docs2):
     """Documents whose 12-token prefix is in the benchmark set must be
     flagged; a benchmark of out-of-vocabulary grams flags nothing; the
