@@ -78,6 +78,24 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Row-preserving exact dedup: keep the lowest-doc_id row of every
+    normalized-content fingerprint group, all input columns intact —
+    the composition-friendly counterpart of exact_dedup_groups (which
+    returns group summaries, not survivor rows). ONE shuffle (window
+    keyed on the fingerprint); per-group sorts are bounded by the
+    duplicate-group size, never the corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    return (
+        df.withColumn("_fp", F.md5(normalized(F.col(text_col))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
 def _grams_of_norm(norm: Column, n: int) -> Column:
     """Distinct character n-grams of an ALREADY-MATERIALIZED normalized
     column (empty array for too-short texts — sequence() would reverse

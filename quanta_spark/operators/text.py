@@ -37,6 +37,17 @@ def subword_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(_WORD_RE), 0))
 
 
+def quality_keep(text_col: str = "text") -> Column:
+    """The keep predicate of quality_features as a standalone Column —
+    lets a pipeline filter on quality WITHOUT projecting away its
+    payload columns (pure codegen filter, no shuffle, no join-back)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    return (n_chars >= 64) & (ws_token_count(c) >= 10) & (punct_ratio <= 0.3)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: lengths, punctuation ratio,
     stopword ratio, and a boolean keep flag (the filter a training-data
@@ -59,11 +70,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_punct.alias("n_punct"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        (
-            (n_chars >= 64)
-            & (n_tokens >= 10)
-            & (punct_ratio <= 0.3)
-        ).alias("keep"),
+        quality_keep(text_col).alias("keep"),
     )
 
 

@@ -1542,6 +1542,67 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q58_ORACLE = f"""
+WITH kept AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE length(text) >= 64
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+    AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+              / greatest(length(text), 1), 4) <= 0.3
+),
+ded AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT k.*, row_number() OVER (PARTITION BY md5({DUCK_NORM}) ORDER BY doc_id) AS rn
+    FROM kept k
+  ) t WHERE rn = 1
+),
+samp AS (
+  SELECT doc_id, lang, text FROM ded
+  WHERE {_HEX16_DUCK} <
+        CASE lang WHEN 'en' THEN 32768
+                  WHEN 'de' THEN 16384 WHEN 'fr' THEN 16384 WHEN 'es' THEN 16384
+                  ELSE 8192 END
+),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM samp),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(floor((len(toks) - 1) / 18) AS INT))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 18 + 1 : chunk_idx * 18 + 24], ' ') AS chunk_text,
+       CAST(least(24, len(toks) - chunk_idx * 18) AS INT) AS n_chunk_tokens
+FROM c
+"""
+
+
+@query("q58_training_pipeline", _Q58_ORACLE)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline as ONE composed plan:
+    quality filter -> exact dedup (keep first) -> per-language
+    stratified sample -> context-window chunking. The stage order is
+    the scale order — the codegen quality filter and the md5-bucket
+    sample are shuffle-free row reducers, so the ONLY shuffle in the
+    whole pipeline is the dedup fingerprint window, and it runs on
+    pre-filtered data; chunk explode is the only fan-out. At 100 TB
+    this is the plan you want: scan -> filter -> one exchange ->
+    filter -> explode, no joins, no collects."""
+    from quanta_spark.operators.dedup import exact_dedup_keep_first
+    from quanta_spark.operators.sampling import deterministic_sample
+    from quanta_spark.operators.text import chunk_documents, quality_keep
+
+    docs = spark.table("documents").select("doc_id", "lang", "text")
+    kept = docs.filter(quality_keep("text"))
+    ded = exact_dedup_keep_first(kept)
+    samp = deterministic_sample(
+        ded,
+        {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25},
+        stratum_col="lang",
+        default_fraction=0.125,
+    )
+    return chunk_documents(samp, chunk_tokens=24, overlap=6)
+
+
 @query(
     "q52_hll_merge",
     """

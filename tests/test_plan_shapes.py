@@ -119,3 +119,29 @@ def test_q51_benchmark_grams_broadcast(spark):
     benchmark gram set via broadcast — no corpus-sized shuffle."""
     plan = _plan(spark, "q51_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q58_pipeline_single_shuffle_no_joins(spark):
+    """The composed training-data pipeline (quality filter -> dedup ->
+    sample -> chunk) must be scan -> filter -> ONE exchange (the dedup
+    fingerprint window) -> filter -> explode: no joins, no Python, no
+    second shuffle — the whole pipeline rides one exchange at 100 TB."""
+    plan = _plan(spark, "q58_training_pipeline")
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1, plan
+
+
+def test_q56_ivf_candidate_join_is_broadcast(spark):
+    """IVF probing: the (tiny) query-probe side must broadcast into the
+    cell_id equi-join — the corpus side never shuffles for the join."""
+    plan = _plan(spark, "q56_ivf_cosine_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q57_quantize_pure_codegen(spark):
+    plan = _plan(spark, "q57_quantize_embeddings")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
