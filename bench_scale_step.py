@@ -55,14 +55,18 @@ def _ops():
         deterministic_sample,
         token_budget_per_stratum,
     )
+    from quanta_spark.operators.dedup import exact_dedup_keep_first
     from quanta_spark.operators.similarity import (
         axis_lsh_cosine_topk,
         exact_allpairs_cosine,
+        ivf_cosine_topk,
+        quantize_int8,
     )
     from quanta_spark.operators.text import (
         chunk_documents,
         decontaminate,
         quality_features,
+        quality_keep,
         ws_token_count,
     )
 
@@ -110,6 +114,22 @@ def _ops():
         ),
         "allpairs_cosine_auto": lambda docs, emb: exact_allpairs_cosine(
             emb, threshold=0.4
+        ),
+        "ivf_cosine_topk": lambda docs, emb: ivf_cosine_topk(
+            emb,
+            emb.filter(F.col("vec_id") % 50 == 0).limit(200),
+            k=5,
+            n_cells=16,
+            nprobe=4,
+        ),
+        "quantize_int8": lambda docs, emb: quantize_int8(emb),
+        "training_pipeline": lambda docs, emb: chunk_documents(
+            deterministic_sample(
+                exact_dedup_keep_first(docs.filter(quality_keep("text"))),
+                {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25},
+            ),
+            chunk_tokens=24,
+            overlap=6,
         ),
     }
 

@@ -5,15 +5,17 @@ per-blob compute flows through Arrow-batched ``mapInPandas`` so bytes
 never round-trip through Python row objects.
 
 Decode is REAL for every format implementable without codec
-libraries: pure-numpy BMP (24-bit), PNG (8-bit RGB/RGBA — a genuine
-compressed format, DEFLATE via stdlib zlib + all five scanline
-filters), RIFF/PCM16 WAV, and the QVID raw-frame video container
+libraries: pure-numpy BMP (24-bit), PNG (8-bit RGB/RGBA — DEFLATE via
+stdlib zlib + all five scanline filters), baseline JPEG (full
+DCT + Annex K quantization/Huffman pipeline in numpy, 4:4:4),
+RIFF WAV (PCM16 + IMA-ADPCM), and the QVID raw-frame video container
 (operators/codecs.py) — decode_media, resize_images and
 sample_video_frames operate on actual pixels/PCM. Formats whose
-entropy coding has no stdlib implementation (JPEG/H.264/AAC) raise
-NotImplementedError naming the format: that gate is per-FORMAT, not
-per-operator, and plugging a real codec lib into the same mapInPandas
-bodies is the only change a cluster deployment needs.
+decoders would be full protocol stacks (H.264, AAC; progressive/
+subsampled JPEG) raise NotImplementedError naming the feature: that
+gate is per-FORMAT, not per-operator, and plugging a codec lib into
+the same mapInPandas bodies is the only change a cluster deployment
+needs.
 
 Scale notes: blobs dominate partition bytes, so media tables must be
 split by bytes not rows (spark.sql.files.maxPartitionBytes); the
@@ -161,6 +163,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
     from quanta_spark.operators.codecs import (
         encode_adpcm_wav,
         encode_bmp,
+        encode_jpeg,
         encode_png,
         encode_qvid,
         encode_wav,
@@ -178,6 +181,13 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
                 # encode rotation exercises each unfilter path)
                 payload, meta = encode_png(px, filter_type=(i // 6) % 5), (
                     w, h, None, None, "png",
+                )
+            elif i % 12 == 3:
+                # ... and a REAL baseline JPEG (DCT + Huffman) slot
+                # (i%12: image indices are multiples of 3, so i%6==3
+                # would leave no BMPs at all)
+                payload, meta = encode_jpeg(px, quality=90), (
+                    w, h, None, None, "jpeg",
                 )
             else:
                 payload, meta = encode_bmp(px), (w, h, None, None, "bmp")
@@ -208,7 +218,12 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
     decoder's mean-pixel statistic equals the gray level with no
     float-summation ambiguity. This is what makes the real decode
     path oracle-checkable end to end in plain SQL (q44)."""
-    from quanta_spark.operators.codecs import encode_bmp, encode_png, encode_qvid
+    from quanta_spark.operators.codecs import (
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_qvid,
+    )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -222,12 +237,18 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
                 if d % 2 == 0:
                     kind = "image"
                     px = np.full((h, w, 3), g, dtype=np.uint8)
-                    # alternate container: d%4==0 -> REAL compressed PNG
-                    # (deflate + filter), else BMP. Solid gray means the
-                    # q44 oracle's doc_id arithmetic predicts BOTH
-                    # identically — the gate now proves PNG decode too.
-                    if d % 4 == 0:
+                    # alternate containers: d%8==0 -> REAL compressed PNG
+                    # (deflate + filter), d%8==4 -> REAL baseline JPEG
+                    # at quality 75 (luma Q[0,0]=8, so a solid block's
+                    # DC quantizes exactly and AC is zero: decode
+                    # returns the EXACT gray — lossy format, lossless
+                    # on this content by construction), else BMP. The
+                    # q44 oracle's doc_id arithmetic predicts all three
+                    # identically — the gate proves JPEG decode too.
+                    if d % 8 == 0:
                         payload = encode_png(px, filter_type=(d // 4) % 5)
+                    elif d % 8 == 4:
+                        payload = encode_jpeg(px, quality=75)
                     else:
                         payload = encode_bmp(px)
                 else:
@@ -270,6 +291,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                     px = codecs.decode_png(b)
                     vals = ("image", px.shape[1], px.shape[0], None, None, None,
                             float(px.mean()) / 255.0)
+                elif b[:2] == b"\xff\xd8":
+                    # REAL transform-codec decode: baseline JPEG
+                    # (Huffman + dequant + IDCT + YCbCr->RGB)
+                    px = codecs.decode_jpeg(b)
+                    vals = ("image", px.shape[1], px.shape[0], None, None, None,
+                            float(px.mean()) / 255.0)
                 elif b[:4] == b"RIFF":
                     samples, sr = codecs.decode_wav(b)
                     vals = ("audio", None, None, None, sr, samples.shape[0],
@@ -281,8 +308,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"no pure-python decoder for container magic {b[:4]!r} "
-                        "(JPEG/H.264/AAC entropy coding has no stdlib "
-                        "implementation; PNG/BMP/WAV/QVID decode here)"
+                        "(H.264/AAC need full protocol stacks; "
+                        "JPEG/PNG/BMP/WAV/QVID decode here)"
                     )
                 kind, w_, h_, nf_, sr_, ns_, feat = vals
                 out["media_id"].append(mid)
@@ -313,8 +340,10 @@ def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
     from quanta_spark.operators.codecs import (
         _PNG_SIG,
         decode_bmp,
+        decode_jpeg,
         decode_png,
         encode_bmp,
+        encode_jpeg,
         encode_png,
         resize_nearest,
     )
@@ -329,6 +358,9 @@ def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
                 if b[:8] == _PNG_SIG:
                     px = decode_png(b)
                     enc = lambda a: encode_png(np.ascontiguousarray(a))
+                elif b[:2] == b"\xff\xd8":
+                    px = decode_jpeg(b)
+                    enc = lambda a: encode_jpeg(np.ascontiguousarray(a))
                 else:
                     px = decode_bmp(b)
                     enc = lambda a: encode_bmp(np.ascontiguousarray(a))

@@ -360,11 +360,21 @@ def _ivf_cells(df: DataFrame, cent_mat: np.ndarray, top: int, id_out: str, emb_o
     return df.select("vec_id", "embedding").mapInPandas(assign, schema=out_schema)
 
 
+def auto_n_cells(n_rows: int) -> int:
+    """IVF coarse-cell count ~ sqrt(n) (the standard IVF sizing: cell
+    scan cost n/n_cells balances against the n_cells centroid scan),
+    capped by the broadcast ceiling. With nprobe fixed, candidate work
+    per query is O(sqrt(n)) — sublinear in the corpus, vs linear at
+    any static cell count (measured 10.3x wall at 10x rows with 16
+    static cells in BENCH/scale_step.json before this)."""
+    return max(1, min(MAX_IVF_CELLS, math.isqrt(max(n_rows, 1))))
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
     dim: int = 64,
 ) -> DataFrame:
@@ -385,7 +395,14 @@ def ivf_cosine_topk(
 
     Recall < 1 by construction (a true neighbor may live in an
     unprobed cell); verified against brute force in tests. Each corpus
-    vector is in EXACTLY one cell, so no candidate dedup is needed."""
+    vector is in EXACTLY one cell, so no candidate dedup is needed.
+
+    ``n_cells=None`` (default) derives ~sqrt(corpus) cells via
+    auto_n_cells — the sizing that keeps per-query candidate work
+    sublinear; pass an explicit count for reproducible cell layouts
+    (the q56 gate pins 16 so the oracle can re-derive them)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.count())  # one O(1)-result action
     _, cent_mat = _ivf_centroids(corpus, n_cells)
     assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
     q_probe = _ivf_cells(queries, cent_mat, nprobe, "query_id", "q_emb")

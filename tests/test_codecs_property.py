@@ -190,3 +190,85 @@ def test_adpcm_nibble_golden():
     n1 = data[4] >> 4
     p2, _ = _ima_decode_nibble(n1, p1, i1)
     assert abs(p2 - 292) <= abs(p1 - 292)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline DCT codec
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h: int, w: int, seed: int) -> np.ndarray:
+    """Low-frequency test image (JPEG's design domain): seeded sums of
+    2-D cosines, so quality bounds are stable across shapes."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        a, b = rng.uniform(0.5, 3, 2)
+        img[:, :, c] = 127 + 90 * np.cos(a * np.pi * yy / h) * np.cos(b * np.pi * xx / w)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(9, 40),
+    w=st.integers(9, 40),
+    seed=st.integers(0, 10_000),
+)
+def test_jpeg_roundtrip_quality_contract(h, w, seed):
+    """Dims exact; PSNR >= 30 dB at quality 90 on smooth content —
+    the decode is a REAL inverse of the full DCT+Huffman pipeline."""
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _smooth(h, w, seed)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr >= 30.0, psnr
+
+
+@settings(max_examples=20, deadline=None)
+@given(g=st.integers(0, 255), h=st.integers(1, 40), w=st.integers(1, 40))
+def test_jpeg_solid_gray_exact_at_q75(g, h, w):
+    """quality=75 leaves luma Q[0,0] at exactly 8, so a solid block's
+    DC quantizes losslessly and every AC is zero: decode returns the
+    EXACT input — the property the q44 solid-media gate relies on."""
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = np.full((h, w, 3), g, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(img, quality=75)) == g).all()
+
+
+def test_jpeg_grayscale_and_compression():
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _smooth(48, 64, 3)[:, :, 0]
+    blob = encode_jpeg(img, quality=85)
+    assert len(blob) < img.size / 2  # really compressed
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape and out.ndim == 2
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) >= 30.0
+
+
+def test_jpeg_rejects_unsupported_features():
+    import struct
+
+    import pytest
+
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_smooth(16, 16, 1), quality=75))
+    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
+    i = bytes(blob).index(b"\xff\xc0")
+    prog = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # 4:2:0 subsampling flag rejected: patch Y sampling to 0x22
+    patched = bytearray(blob)
+    patched[i + 11] = 0x22  # comp1 sampling nibble pair
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(patched))

@@ -379,6 +379,17 @@ def test_ivf_centroids_deterministic_and_bounded(spark, emb2):
         ivf_cosine_topk(emb2, emb2.limit(1), n_cells=MAX_IVF_CELLS + 1)
 
 
+def test_ivf_auto_n_cells_sqrt_sizing(spark):
+    """Default cell count grows ~sqrt(n) (sublinear candidate work at
+    fixed nprobe) and never exceeds the broadcast ceiling."""
+    from quanta_spark.operators.similarity import MAX_IVF_CELLS, auto_n_cells
+
+    assert auto_n_cells(0) == 1
+    assert auto_n_cells(100) == 10
+    assert auto_n_cells(1_000_000) == min(1000, MAX_IVF_CELLS)
+    assert auto_n_cells(10**12) == MAX_IVF_CELLS
+
+
 def test_quantize_int8_roundtrip_error_bound(spark, emb2):
     """Codes stay in int8 range and per-coordinate reconstruction
     error is <= scale/2 (the half-step bound of round-to-nearest);

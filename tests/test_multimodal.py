@@ -119,32 +119,47 @@ def test_decode_media_real_formats(spark, real_media):
 
 def test_decode_media_rejects_unknown_container(spark):
     df = spark.createDataFrame(
-        [(0, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), (1, 1, None, None, "jpg"))],
+        [(0, "image", bytearray(b"\x00\x01 not a container"), (1, 1, None, None, "raw"))],
         schema=synthesize_media(spark, n=1).schema,
     )
     with pytest.raises(Exception, match="no pure-python decoder"):
         decode_media(df).collect()
 
 
+def test_decode_media_rejects_malformed_jpeg(spark):
+    """A JPEG SOI with no SOF/SOS is a MALFORMED jpeg, not an unknown
+    container — the decoder must say so (it used to be unsupported)."""
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), (1, 1, None, None, "jpg"))],
+        schema=synthesize_media(spark, n=1).schema,
+    )
+    with pytest.raises(Exception, match="JPEG missing SOF0/SOS"):
+        decode_media(df).collect()
+
+
 def test_resize_images_real(spark, real_media):
-    from quanta_spark.operators.codecs import _PNG_SIG, decode_png
+    from quanta_spark.operators.codecs import _PNG_SIG, decode_jpeg, decode_png
 
     out = resize_images(real_media, target=32).toPandas()
     n_images = real_media.filter("kind = 'image'").count()
     assert len(out) == n_images
     assert (out["width"] == 32).all() and (out["height"] == 32).all()
-    # resize preserves each image's container: PNGs stay PNG, BMPs BMP
+    # resize preserves each image's container: PNG stays PNG, JPEG
+    # stays JPEG (re-encoded through the full DCT pipeline), BMP BMP
     seen = set()
     for p in out["payload"]:
         b = bytes(p)
         if b[:8] == _PNG_SIG:
             px = decode_png(b)
             seen.add("png")
+        elif b[:2] == b"\xff\xd8":
+            px = decode_jpeg(b)
+            seen.add("jpeg")
         else:
             px = decode_bmp(b)
             seen.add("bmp")
         assert px.shape == (32, 32, 3)
-    assert seen == {"png", "bmp"}
+    assert seen == {"png", "bmp", "jpeg"}
 
 
 def test_frame_sampling_extracts_real_frames(spark, real_media):
