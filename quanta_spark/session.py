@@ -111,6 +111,12 @@ def _ship_package(spark: SparkSession) -> None:
     if getattr(sc, "_quanta_pkg_shipped", False):
         return
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(pkg_parent):
+        # already imported from a zip — i.e. running under a REAL
+        # ``spark-submit --py-files pkg.zip``, which distributes the
+        # zip to executors itself; nothing to ship
+        sc._quanta_pkg_shipped = True
+        return
     tmp = tempfile.mkdtemp(prefix="quanta_pyfiles_")
     zip_path = shutil.make_archive(
         os.path.join(tmp, "quanta_spark_pkg"),
