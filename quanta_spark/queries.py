@@ -1603,6 +1603,49 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(samp, chunk_tokens=24, overlap=6)
 
 
+_Q59_TIER_DUCK = (
+    "list_sum([CAST(strpos('0123456789abcdef', substr(md5(conv_id), j, 1)) - 1 AS BIGINT)"
+    " * (1::BIGINT << ((4 - j) * 4)) for j in generate_series(1, 4)]) % 4"
+)
+
+_Q59_ORACLE = f"""
+WITH {TRANSCRIPTS_CTE},
+dim AS (
+  SELECT conv_id, CAST({_Q59_TIER_DUCK} AS INT) AS tier
+  FROM (SELECT DISTINCT conv_id FROM transcripts) d
+)
+SELECT t.conv_id, t.turn_idx, t.role, dim.tier
+FROM transcripts t JOIN dim USING (conv_id)
+"""
+
+
+@query("q59_stream_static_enrich", _Q59_ORACLE)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment join — the dimension-lookup
+    shape of a production stream (user tier, account flags, model
+    routing). The static dim broadcasts into every micro-batch task,
+    so the 10^12-row stream side NEVER shuffles for the join and no
+    state store is involved (stateless append). Value-checked row-for-
+    row against the batch join oracle via the streaming harness."""
+    from quanta_spark.operators.sampling import _hash16
+
+    dim = (
+        transcripts_df(spark)
+        .select("conv_id")
+        .distinct()
+        .select(
+            "conv_id", (_hash16(F.col("conv_id")) % 4).cast("int").alias("tier")
+        )
+    )
+
+    def op(src):
+        return src.join(F.broadcast(dim), "conv_id").select(
+            "conv_id", "turn_idx", "role", "tier"
+        )
+
+    return _run_stream_query(spark, op, jitter=False)
+
+
 @query(
     "q52_hll_merge",
     """

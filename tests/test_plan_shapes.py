@@ -141,6 +141,29 @@ def test_q56_ivf_candidate_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_q59_enrich_dim_is_broadcast(spark):
+    """Stream-static enrichment: the dim side must broadcast — the
+    (batch twin of the) per-micro-batch join plan may never shuffle
+    the stream side."""
+    from quanta_spark.operators.sampling import _hash16
+    from pyspark.sql import functions as F
+
+    q.QUERY_FNS["q01_pricing_summary"]  # ensure registry import
+    from quanta_spark.queries import _prepare, transcripts_df
+
+    _prepare(spark, SF_DIR)
+    t = transcripts_df(spark)
+    dim = t.select("conv_id").distinct().select(
+        "conv_id", (_hash16(F.col("conv_id")) % 4).cast("int").alias("tier")
+    )
+    joined = t.join(F.broadcast(dim), "conv_id").select(
+        "conv_id", "turn_idx", "role", "tier"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_q57_quantize_pure_codegen(spark):
     plan = _plan(spark, "q57_quantize_embeddings")
     assert "Exchange" not in plan, plan
