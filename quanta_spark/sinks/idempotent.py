@@ -268,6 +268,23 @@ class IdempotentSink:
             out = out.unionByName(p)
         return out
 
+    def snapshots(self) -> list[int]:
+        """Committed batch ids, ascending — each is a consistent
+        snapshot boundary for read_data_as_of (Iceberg's snapshot-log
+        equivalent under this layout: the batch dirs ARE the snapshots
+        and the compaction manifest records which are folded in)."""
+        manifest = self._read_manifest()
+        covered = set(manifest["covered"]) if manifest else set()
+        return sorted(covered | set(self._committed_batch_ids()))
+
+    def read_data_as_of(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """Iceberg-style TIME TRAVEL: committed rows as of (<=) a batch
+        id. ``batch_id`` survives compaction as a plain column, so
+        this is one filter — partition-pruned on live batch dirs and
+        predicate-pushed into the compacted generation's parquet; the
+        answer is identical before and after compact() (tested)."""
+        return self.read_data(spark).filter(F.col("batch_id") <= F.lit(int(batch_id)))
+
     def read_dlq(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.dlq_dir).parquet(
             os.path.join(self.dlq_dir, "batch_id=*")

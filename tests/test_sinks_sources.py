@@ -258,3 +258,41 @@ pipeline:
     data = sink.read_data(spark).toPandas()
     assert not data.duplicated(["conv_id", "turn_idx"]).any()
     assert len(generate(small_spec)) == len(data)
+
+
+def test_time_travel_read_as_of(spark, transcripts_dir, tmp_workdir):
+    """Snapshot reads: read_data_as_of(b) returns exactly the rows of
+    batches <= b, the answer is IDENTICAL before and after compaction
+    (batch_id survives as a column), and snapshots() lists every
+    committed batch id even after its dir is folded into a gen."""
+    import pandas as pd
+
+    sink = IdempotentSink(base_dir=os.path.join(tmp_workdir, "tt"))
+    src = stream_transcripts_files(spark, transcripts_dir, max_files_per_trigger=2)
+    run_to_completion(
+        start_pipeline(apply_chain(src, ["uppercase"]), sink, os.path.join(tmp_workdir, "ttc"))
+    )
+    snaps = sink.snapshots()
+    assert len(snaps) >= 2
+    full = sink.read_data(spark).toPandas()
+
+    def as_of(b):
+        return (
+            sink.read_data_as_of(spark, b)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    mid = snaps[len(snaps) // 2 - 1] if len(snaps) > 1 else snaps[0]
+    before = {b: as_of(b) for b in (snaps[0], mid, snaps[-1])}
+    # monotone growth and exact per-batch attribution
+    for b, pdf in before.items():
+        assert set(pdf["batch_id"].unique()) <= {s for s in snaps if s <= b}
+        assert len(pdf) == int((full["batch_id"] <= b).sum())
+    assert len(before[snaps[-1]]) == len(full)
+    # compaction must not change any snapshot answer
+    sink.compact(spark, target_file_bytes=1 << 20)
+    assert sink.snapshots() == snaps
+    for b, pdf in before.items():
+        pd.testing.assert_frame_equal(as_of(b), pdf)
