@@ -250,22 +250,33 @@ class IdempotentSink:
             for b in self._committed_batch_ids()
             if b not in covered
         ]
+        # mergeSchema: additive schema EVOLUTION across batches (a new
+        # column appearing mid-stream) — older batches read the new
+        # column as NULL, exactly Iceberg's add-column semantics
         parts = []
         if manifest is not None:
             parts.append(
-                spark.read.parquet(os.path.join(self.base_dir, f"gen={manifest['gen']}"))
+                spark.read.option("mergeSchema", "true").parquet(
+                    os.path.join(self.base_dir, f"gen={manifest['gen']}")
+                )
             )
         if live:
-            df = spark.read.option("basePath", self.data_dir).parquet(*live)
+            df = (
+                spark.read.option("basePath", self.data_dir)
+                .option("mergeSchema", "true")
+                .parquet(*live)
+            )
             parts.append(df.withColumn("batch_id", F.col("batch_id").cast("long")))
         if not parts:
-            df = spark.read.option("basePath", self.data_dir).parquet(
-                os.path.join(self.data_dir, "batch_id=*")
+            df = (
+                spark.read.option("basePath", self.data_dir)
+                .option("mergeSchema", "true")
+                .parquet(os.path.join(self.data_dir, "batch_id=*"))
             )
             return df.withColumn("batch_id", F.col("batch_id").cast("long"))
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def snapshots(self) -> list[int]:

@@ -296,3 +296,32 @@ def test_time_travel_read_as_of(spark, transcripts_dir, tmp_workdir):
     assert sink.snapshots() == snaps
     for b, pdf in before.items():
         pd.testing.assert_frame_equal(as_of(b), pdf)
+
+
+def test_sink_additive_schema_evolution(spark, tmp_workdir):
+    """A new column appearing in a later batch must not break reads:
+    older batches surface it as NULL (Iceberg add-column semantics),
+    before AND after compaction, and time travel to a pre-evolution
+    snapshot still answers."""
+    sink = IdempotentSink(base_dir=os.path.join(tmp_workdir, "evo"), key_cols=())
+    b0 = spark.createDataFrame(
+        [("c-1", 0, "hello")], "conv_id string, turn_idx int, text string"
+    )
+    b1 = spark.createDataFrame(
+        [("c-1", 1, "world", "gpt-x")],
+        "conv_id string, turn_idx int, text string, model string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def check():
+        pdf = sink.read_data(spark).toPandas().sort_values("turn_idx")
+        assert "model" in pdf.columns
+        assert pdf["model"].tolist()[0] is None or pdf["model"].isna().iloc[0]
+        assert pdf["model"].tolist()[1] == "gpt-x"
+        old = sink.read_data_as_of(spark, 0).toPandas()
+        assert len(old) == 1 and old["text"].iloc[0] == "hello"
+
+    check()
+    sink.compact(spark, target_file_bytes=1 << 20)
+    check()
