@@ -12,10 +12,16 @@ Control gRPC service, which is defined but registered Unimplemented
   protocol; the reference has no equivalent, it drops failed frames
   forever, runner.go:147-156)
 
+- ``compact`` / ``snapshots`` : sink maintenance — fold small batch
+  dirs into a generation behind the atomic manifest, and list the
+  committed snapshot ids time travel can read as-of.
+
 Usage:
     python -m quanta_spark.cli run pipeline.yml [--drain]
     python -m quanta_spark.cli validate pipeline.yml
     python -m quanta_spark.cli replay pipeline.yml
+    python -m quanta_spark.cli compact /path/to/sink [--target-mb 128]
+    python -m quanta_spark.cli snapshots /path/to/sink
     python -m quanta_spark.cli ping
 """
 
@@ -41,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
         "replay", help="re-run dead-letter rows through the spec's stage chain"
     )
     p_rep.add_argument("spec")
+    p_cmp = sub.add_parser("compact", help="fold sink batch dirs into a generation")
+    p_cmp.add_argument("sink_dir", help="IdempotentSink base dir")
+    p_cmp.add_argument("--target-mb", type=int, default=128, help="target file size")
+    p_snap = sub.add_parser("snapshots", help="list committed snapshot (batch) ids")
+    p_snap.add_argument("sink_dir")
     sub.add_parser("ping", help="session liveness + versions")
     args = ap.parse_args(argv)
 
@@ -49,6 +60,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ping":
         spark = get_spark(app_name="quanta_cli")
         print(json.dumps({"status": "ok", "spark": spark.version}))
+        return 0
+
+    if args.cmd in ("compact", "snapshots"):
+        from quanta_spark.sinks.idempotent import IdempotentSink
+
+        sink = IdempotentSink(base_dir=args.sink_dir)
+        if args.cmd == "snapshots":
+            print(json.dumps({"status": "ok", "snapshots": sink.snapshots()}))
+            return 0
+        spark = get_spark(app_name="quanta_cli")
+        manifest = sink.compact(spark, target_file_bytes=args.target_mb << 20)
+        print(json.dumps({"status": "ok", "manifest": manifest}))
         return 0
 
     from quanta_spark.plans.pipeline import compile_pipeline

@@ -325,3 +325,37 @@ def test_sink_additive_schema_evolution(spark, tmp_workdir):
     check()
     sink.compact(spark, target_file_bytes=1 << 20)
     check()
+
+
+def test_cli_compact_and_snapshots(spark, transcripts_dir, tmp_workdir, capsys):
+    """Sink maintenance as an operator action: run a drained pipeline,
+    then `snapshots` and `compact` via the CLI; snapshot ids are
+    unchanged by compaction and the manifest covers them."""
+    import json as _json
+
+    from quanta_spark.cli import main as cli_main
+
+    spec_path = os.path.join(tmp_workdir, "pc.yml")
+    with open(spec_path, "w") as f:
+        f.write(f"""
+schema_version: v1
+pipeline:
+  name: cli-compact
+  source: {{kind: parquet-stream, path: {transcripts_dir}, max_files_per_trigger: 2}}
+  transformers: [{{name: uppercase}}]
+  sink: {{kind: idempotent-parquet, path: {tmp_workdir}/cout}}
+  checkpoint: {tmp_workdir}/cckpt
+  trigger: available_now
+""")
+    assert cli_main(["run", spec_path, "--drain"]) == 0
+    capsys.readouterr()
+    sink_dir = os.path.join(tmp_workdir, "cout")
+    assert cli_main(["snapshots", sink_dir]) == 0
+    snaps = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["snapshots"]
+    assert len(snaps) >= 2
+    assert cli_main(["compact", sink_dir, "--target-mb", "1"]) == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["manifest"]
+    assert set(manifest["covered"]) == set(snaps)
+    assert cli_main(["snapshots", sink_dir]) == 0
+    snaps2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["snapshots"]
+    assert snaps2 == snaps
