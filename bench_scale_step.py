@@ -60,6 +60,7 @@ def _ops():
         axis_lsh_cosine_topk,
         exact_allpairs_cosine,
         ivf_cosine_topk,
+        pq_adc_topk,
         quantize_int8,
     )
     from quanta_spark.operators.text import (
@@ -125,6 +126,9 @@ def _ops():
             nprobe=4,
         ),
         "quantize_int8": lambda docs, emb: quantize_int8(emb),
+        "pq_adc_topk": lambda docs, emb: pq_adc_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0).limit(200), k=5
+        ),
         "training_pipeline": lambda docs, emb: chunk_documents(
             deterministic_sample(
                 exact_dedup_keep_first(docs.filter(quality_keep("text"))),

@@ -1646,6 +1646,66 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_query(spark, op, jitter=False)
 
 
+_Q60_DMIC = (
+    "CAST(floor(list_sum([ (CAST({v}[t.s * 8 + i] AS DOUBLE) - CAST(c.c_emb[t.s * 8 + i] AS DOUBLE))"
+    " * (CAST({v}[t.s * 8 + i] AS DOUBLE) - CAST(c.c_emb[t.s * 8 + i] AS DOUBLE))"
+    " for i in generate_series(1, 8)]) * 1000000 + 0.5) AS BIGINT)"
+)
+
+_Q60_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_Q56_CENT_ORDER}) - 1 AS BIGINT) AS cid,
+         embedding AS c_emb
+  FROM embeddings
+  ORDER BY {_Q56_CENT_ORDER}
+  LIMIT 16
+),
+vd AS (
+  SELECT e.vec_id, t.s, c.cid, {_Q60_DMIC.format(v='e.embedding')} AS dmic
+  FROM embeddings e, generate_series(0, 7) t(s), cents c
+),
+codes AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dmic ASC, cid ASC) AS rk
+    FROM vd
+  ) z WHERE rk = 1
+),
+qd AS (
+  SELECT e.vec_id AS query_id, t.s, c.cid, {_Q60_DMIC.format(v='e.embedding')} AS dmic
+  FROM embeddings e, generate_series(0, 7) t(s), cents c
+  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+),
+scored AS (
+  SELECT qd.query_id, codes.vec_id, CAST(sum(qd.dmic) AS BIGINT) AS adist_micro
+  FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.code
+  WHERE codes.vec_id <> qd.query_id
+  GROUP BY qd.query_id, codes.vec_id
+)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, adist_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_micro ASC, vec_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk <= 5
+"""
+
+
+@query("q60_pq_adc_topk", _Q60_ORACLE)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + ADC top-k: 64-dim float vectors compress
+    to 8 one-byte codes (32x — the memory-bound ANN path at 10^12
+    vectors); queries scan CODES, not vectors, via per-query lookup
+    tables of micro-int subspace distances. Codebooks are the same
+    deterministic md5-least selection as IVF, and all distances are
+    fixed-point integers, so the SQL oracle re-derives codebooks,
+    codes, LUTs and the full ranking exactly. Query budget <=50."""
+    from quanta_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+    return pq_adc_topk(emb, queries_df, k=5, n_sub=8, n_cent=16)
+
+
 @query(
     "q52_hll_merge",
     """

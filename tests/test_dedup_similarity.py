@@ -390,6 +390,50 @@ def test_ivf_auto_n_cells_sqrt_sizing(spark):
     assert auto_n_cells(10**12) == MAX_IVF_CELLS
 
 
+def test_pq_clone_achieves_minimum_distance(spark, emb2):
+    """ADC is ASYMMETRIC: the distance to an identical vector is the
+    query's own quantization error, NOT zero — but the clone's codes
+    minimize every subspace term independently, so its distance is the
+    global minimum any candidate can achieve. The clone must be ranked
+    first (modulo exact-code ties, which share its distance)."""
+    from quanta_spark.operators.similarity import pq_adc_topk
+
+    queries = emb2.filter(F.col("vec_id") == 0)
+    rows = pq_adc_topk(emb2, queries, k=5).collect()
+    assert len(rows) == 5
+    clone = [r for r in rows if r["vec_id"] == 1_000_000]
+    assert clone, rows
+    assert clone[0]["adist_micro"] == rows[0]["adist_micro"], rows
+
+
+def test_pq_codes_shape_and_determinism(spark, emb2):
+    from quanta_spark.operators.similarity import _pq_centroids, pq_encode
+
+    cent = _pq_centroids(emb2, 16, 8, 8)
+    assert cent.shape == (8, 16, 8)
+    codes = pq_encode(emb2, cent)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    pdf = codes.toPandas()
+    assert len(pdf) == emb2.count()
+    for c in pdf["codes"].head(100):
+        assert len(c) == 8 and all(0 <= x < 16 for x in c)
+    # deterministic: same codes on re-run
+    pdf2 = pq_encode(emb2, cent).toPandas()
+    a = pdf.sort_values("vec_id").reset_index(drop=True)
+    b = pdf2.sort_values("vec_id").reset_index(drop=True)
+    assert all((x == y).all() for x, y in zip(a["codes"], b["codes"]))
+
+
+def test_pq_recall_floor_vs_brute_force(spark, emb2):
+    from quanta_spark.operators.similarity import pq_adc_topk
+
+    queries = emb2.filter(F.col("vec_id") == 0)
+    bf = {r["vec_id"] for r in brute_force_cosine_topk(emb2, queries, k=10).collect()}
+    pq = {r["vec_id"] for r in pq_adc_topk(emb2, queries, k=10).collect()}
+    assert len(bf & pq) >= 1, f"PQ recall collapsed: bf={bf}, pq={pq}"
+
+
 def test_quantize_int8_roundtrip_error_bound(spark, emb2):
     """Codes stay in int8 range and per-coordinate reconstruction
     error is <= scale/2 (the half-step bound of round-to-nearest);
