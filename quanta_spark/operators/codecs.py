@@ -735,6 +735,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Motion-JPEG — compressed VIDEO as a stream of concatenated JFIF
+# frames (the de-facto MJPEG wire format: multipart HTTP cameras,
+# AVI 'MJPG' payloads). Random access via a STRUCTURAL index walk:
+# each frame's end is found by parsing marker segments and the
+# byte-stuffed entropy stream — NOT by naive 0xFFD9 byte search,
+# which false-triggers on FF D9 sequences inside table payloads.
+# ---------------------------------------------------------------------------
+
+
+def encode_mjpeg(frames: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 array (n, h, w, 3) -> concatenated-JFIF MJPEG bytes."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    return b"".join(encode_jpeg(frames[i], quality=quality) for i in range(n))
+
+
+def _jpeg_end(data: bytes, start: int) -> int:
+    """Offset one past the EOI of the JPEG starting at ``start``, by
+    structural walk (segment lengths, then entropy scan honoring byte
+    stuffing)."""
+    if data[start : start + 2] != b"\xff\xd8":
+        raise ValueError("frame does not start with SOI")
+    pos = start + 2
+    in_scan = False
+    while pos < len(data):
+        if not in_scan:
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI (headers-only frame)
+                return pos + 2
+            pos += 2
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # parameterless
+                continue
+            (length,) = struct.unpack_from(">H", data, pos)
+            pos += length
+            if marker == 0xDA:  # SOS -> entropy data follows
+                in_scan = True
+        else:
+            if data[pos] == 0xFF:
+                nxt = data[pos + 1]
+                if nxt == 0x00:  # stuffed data byte
+                    pos += 2
+                elif nxt == 0xD9:  # EOI
+                    return pos + 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                    pos += 2
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            else:
+                pos += 1
+    raise ValueError("JPEG stream ended without EOI")
+
+
+def mjpeg_index(data: bytes) -> list[tuple[int, int]]:
+    """[(start, end)] of every JFIF frame in the stream."""
+    spans = []
+    pos = 0
+    while pos < len(data):
+        end = _jpeg_end(data, pos)
+        spans.append((pos, end))
+        pos = end
+    return spans
+
+
+def mjpeg_info(data: bytes) -> tuple[int, int, int]:
+    """-> (width, height, n_frames) from the index + first SOF0."""
+    spans = mjpeg_index(data)
+    first = decode_jpeg(data[spans[0][0] : spans[0][1]])
+    return first.shape[1], first.shape[0], len(spans)
+
+
+def decode_mjpeg_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Random-access decode of ONE frame — only the indexed byte span
+    is entropy-decoded, never the whole video."""
+    spans = mjpeg_index(data)
+    if not 0 <= frame_idx < len(spans):
+        raise IndexError(f"frame {frame_idx} out of range [0, {len(spans)})")
+    s, e = spans[frame_idx]
+    return decode_jpeg(data[s:e])
+
+
+# ---------------------------------------------------------------------------
 # IMA ADPCM — compressed audio (WAV format tag 0x11, the IMA/DVI
 # standard: 4 bits per sample, ~4:1 vs PCM16). Public spec; pure
 # Python/numpy, no codec library. Mono.

@@ -164,6 +164,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
         encode_adpcm_wav,
         encode_bmp,
         encode_jpeg,
+        encode_mjpeg,
         encode_png,
         encode_qvid,
         encode_wav,
@@ -206,7 +207,13 @@ def synthesize_real_media(spark: SparkSession, n: int = 48, seed: int = 42) -> D
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             nf = int(rng.integers(2, 90))
             frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
-            payload, meta = encode_qvid(frames, fps=30), (w, h, None, nf, "qvid")
+            if i % 9 == 2:
+                # every third video is REAL compressed Motion-JPEG
+                payload, meta = encode_mjpeg(frames, quality=90), (
+                    w, h, None, nf, "mjpeg",
+                )
+            else:
+                payload, meta = encode_qvid(frames, fps=30), (w, h, None, nf, "qvid")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -292,11 +299,20 @@ def decode_media(df: DataFrame) -> DataFrame:
                     vals = ("image", px.shape[1], px.shape[0], None, None, None,
                             float(px.mean()) / 255.0)
                 elif b[:2] == b"\xff\xd8":
-                    # REAL transform-codec decode: baseline JPEG
-                    # (Huffman + dequant + IDCT + YCbCr->RGB)
-                    px = codecs.decode_jpeg(b)
-                    vals = ("image", px.shape[1], px.shape[0], None, None, None,
-                            float(px.mean()) / 255.0)
+                    # REAL transform-codec decode: baseline JPEG.
+                    # A multi-frame JFIF stream is Motion-JPEG video
+                    # (a 1-frame MJPEG IS a JPEG) — the structural
+                    # index distinguishes them without a probe decode.
+                    spans = codecs.mjpeg_index(b)
+                    if len(spans) > 1:
+                        w_v, h_v, nf_v = codecs.mjpeg_info(b)
+                        first = codecs.decode_mjpeg_frame(b, 0)
+                        vals = ("video", w_v, h_v, nf_v, None, None,
+                                float(first.mean()) / 255.0)
+                    else:
+                        px = codecs.decode_jpeg(b)
+                        vals = ("image", px.shape[1], px.shape[0], None, None, None,
+                                float(px.mean()) / 255.0)
                 elif b[:4] == b"RIFF":
                     samples, sr = codecs.decode_wav(b)
                     vals = ("audio", None, None, None, sr, samples.shape[0],
@@ -384,11 +400,18 @@ def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """REAL frame sampling: every_n-th frame of each QVID video is
-    random-access decoded (no full-video materialization) and emitted
-    as a standalone BMP blob — the fan-out shape of a frame-extraction
-    training pipeline (one row per sampled frame)."""
-    from quanta_spark.operators.codecs import decode_qvid_frame, encode_bmp, qvid_info
+    """REAL frame sampling: every_n-th frame of each video (raw QVID
+    or COMPRESSED Motion-JPEG) is random-access decoded — only the
+    sampled frame's byte span is entropy-decoded, never the whole
+    video — and emitted as a standalone BMP blob: the fan-out shape
+    of a frame-extraction training pipeline (one row per frame)."""
+    from quanta_spark.operators.codecs import (
+        decode_mjpeg_frame,
+        decode_qvid_frame,
+        encode_bmp,
+        mjpeg_info,
+        qvid_info,
+    )
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -397,11 +420,16 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
-                _, _, nf, _ = qvid_info(b)
+                if b[:2] == b"\xff\xd8":
+                    _, _, nf = mjpeg_info(b)
+                    dec = decode_mjpeg_frame
+                else:
+                    _, _, nf, _ = qvid_info(b)
+                    dec = decode_qvid_frame
                 for k in range(0, nf, every_n):
                     ids.append(mid)
                     idxs.append(k)
-                    frames.append(encode_bmp(np.ascontiguousarray(decode_qvid_frame(b, k))))
+                    frames.append(encode_bmp(np.ascontiguousarray(dec(b, k))))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -272,3 +272,37 @@ def test_jpeg_rejects_unsupported_features():
     patched[i + 11] = 0x22  # comp1 sampling nibble pair
     with pytest.raises(NotImplementedError, match="subsampling"):
         decode_jpeg(bytes(patched))
+
+
+def test_mjpeg_roundtrip_and_random_access():
+    """Concatenated-JFIF Motion-JPEG: per-frame random access decodes
+    only the indexed span; every frame meets the PSNR contract."""
+    from quanta_spark.operators.codecs import (
+        decode_mjpeg_frame,
+        encode_mjpeg,
+        mjpeg_index,
+        mjpeg_info,
+    )
+
+    frames = np.stack([_smooth(24, 32, s) for s in range(4)])
+    blob = encode_mjpeg(frames, quality=90)
+    assert mjpeg_info(blob) == (32, 24, 4)
+    spans = mjpeg_index(blob)
+    assert len(spans) == 4 and spans[0][0] == 0 and spans[-1][1] == len(blob)
+    for t in range(4):
+        out = decode_mjpeg_frame(blob, t)
+        mse = ((out.astype(float) - frames[t].astype(float)) ** 2).mean()
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) >= 30.0
+
+
+def test_mjpeg_structural_index_not_fooled_by_embedded_eoi():
+    """The frame index must come from a STRUCTURAL walk: an FF D9
+    byte pair inside a table payload is data, not a frame boundary."""
+    from quanta_spark.operators.codecs import _jpeg_end
+
+    fake = (
+        b"\xff\xd8"                       # SOI
+        + b"\xff\xdb" + (5).to_bytes(2, "big") + b"\x00\xff\xd9"  # DQT w/ FF D9 payload
+        + b"\xff\xd9"                     # real EOI
+    )
+    assert _jpeg_end(fake, 0) == len(fake)

@@ -127,13 +127,14 @@ def test_decode_media_rejects_unknown_container(spark):
 
 
 def test_decode_media_rejects_malformed_jpeg(spark):
-    """A JPEG SOI with no SOF/SOS is a MALFORMED jpeg, not an unknown
-    container — the decoder must say so (it used to be unsupported)."""
+    """A JPEG SOI followed by garbage is a MALFORMED jpeg, not an
+    unknown container — the structural walk must say so (it used to be
+    rejected as unsupported)."""
     df = spark.createDataFrame(
         [(0, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), (1, 1, None, None, "jpg"))],
         schema=synthesize_media(spark, n=1).schema,
     )
-    with pytest.raises(Exception, match="JPEG missing SOF0/SOS"):
+    with pytest.raises(Exception, match="JPEG"):
         decode_media(df).collect()
 
 
@@ -168,12 +169,27 @@ def test_frame_sampling_extracts_real_frames(spark, real_media):
         "media_id", F.col("meta.n_frames").alias("nf"), "payload"
     ).toPandas()
     assert set(frames["media_id"]) == set(vids["media_id"])
+    seen = set()
     for _, row in vids.iterrows():
         got = frames[frames.media_id == row.media_id].sort_values("frame_idx")
         assert got["frame_idx"].tolist() == list(range(0, row.nf, 30))
-        # extracted frame is pixel-identical to the source video frame
-        want = decode_qvid_frame(bytes(row.payload), int(got["frame_idx"].iloc[0]))
-        assert (decode_bmp(bytes(got["frame_bmp"].iloc[0])) == want).all()
+        payload = bytes(row.payload)
+        extracted = decode_bmp(bytes(got["frame_bmp"].iloc[0])).astype(float)
+        if payload[:2] == b"\xff\xd8":
+            # compressed Motion-JPEG: the sampled frame is the codec's
+            # (lossy) reconstruction — assert close, not identical
+            from quanta_spark.operators.codecs import decode_mjpeg_frame
+
+            want = decode_mjpeg_frame(payload, int(got["frame_idx"].iloc[0])).astype(float)
+            assert extracted.shape == want.shape
+            assert (extracted == want).all()  # BMP of the decoded frame is exact
+            seen.add("mjpeg")
+        else:
+            # raw QVID: extracted frame is pixel-identical to the source
+            want = decode_qvid_frame(payload, int(got["frame_idx"].iloc[0]))
+            assert (extracted == want).all()
+            seen.add("qvid")
+    assert seen == {"mjpeg", "qvid"}
 
 
 # --- size-aware repartition --------------------------------------------------
