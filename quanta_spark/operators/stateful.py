@@ -300,6 +300,65 @@ def join_user_replies_outer(
     )
 
 
+def join_user_replies_full(
+    df: DataFrame,
+    watermark: str = "1 hour",
+    max_reply_delay: str = "30 minutes",
+) -> DataFrame:
+    """FULL OUTER stream-stream join — completes the join-type
+    coverage (inner: join_user_replies, left: join_user_replies_outer).
+    Three row kinds:
+
+    - ``matched``    user turn + its qualifying reply;
+    - ``unanswered`` user turn with no reply in the delay window;
+    - ``orphan``     assistant/tool turn with NO qualifying preceding
+      user turn — conversation fragments / role-ordering corruption,
+      the data-quality signal only the full join surfaces.
+
+    Both unmatched kinds emit only once the watermark passes their
+    join-window bound (both sides' state evicts — same contract as the
+    left join, now symmetric). Batch mode plans a plain full join (the
+    q61 oracle path)."""
+    users = df.filter(F.col("role") == "user").select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("ts").alias("user_ts"),
+    )
+    replies = df.filter(F.col("role").isin("assistant", "tool")).select(
+        F.col("conv_id").alias("r_conv_id"),
+        F.col("turn_idx").alias("reply_turn_idx"),
+        F.col("role").alias("reply_role"),
+        F.col("ts").alias("reply_ts"),
+    )
+    if df.isStreaming:
+        users = users.withWatermark("user_ts", watermark)
+        replies = replies.withWatermark("reply_ts", watermark)
+    cond = (
+        (users.conv_id == replies.r_conv_id)
+        & (replies.reply_turn_idx == users.user_turn_idx + 1)
+        & (replies.reply_ts >= users.user_ts)
+        & (replies.reply_ts <= users.user_ts + F.expr(f"INTERVAL {max_reply_delay}"))
+    )
+    out = users.join(replies, cond, "full_outer")
+    kind = (
+        F.when(
+            F.col("user_turn_idx").isNotNull() & F.col("reply_turn_idx").isNotNull(),
+            F.lit("matched"),
+        )
+        .when(F.col("reply_turn_idx").isNull(), F.lit("unanswered"))
+        .otherwise(F.lit("orphan"))
+    )
+    return out.select(
+        F.coalesce(F.col("conv_id"), F.col("r_conv_id")).alias("conv_id"),
+        "user_turn_idx",
+        "user_ts",
+        "reply_turn_idx",
+        "reply_role",
+        "reply_ts",
+        kind.alias("kind"),
+    )
+
+
 def reply_session_stats(
     df: DataFrame,
     watermark: str = "1 hour",

@@ -1707,6 +1707,35 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q61_full_outer_replies",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+u AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user'),
+r AS (SELECT conv_id, turn_idx, role, ts FROM transcripts WHERE role IN ('assistant', 'tool'))
+SELECT coalesce(u.conv_id, r.conv_id) AS conv_id,
+       u.turn_idx AS user_turn_idx, u.ts AS user_ts,
+       r.turn_idx AS reply_turn_idx, r.role AS reply_role, r.ts AS reply_ts,
+       CASE WHEN u.turn_idx IS NOT NULL AND r.turn_idx IS NOT NULL THEN 'matched'
+            WHEN r.turn_idx IS NULL THEN 'unanswered'
+            ELSE 'orphan' END AS kind
+FROM u FULL JOIN r
+  ON r.conv_id = u.conv_id
+ AND r.turn_idx = u.turn_idx + 1
+ AND r.ts >= u.ts AND r.ts <= u.ts + INTERVAL 30 MINUTE
+""",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER user/reply join — matched turns, unanswered user
+    turns AND orphan replies (fragments with no qualifying preceding
+    user turn) in one result; completes the stream-stream join-type
+    family. Streaming flavor drains both unmatched sides after the
+    watermark (test_stateful.py); this is the batch/oracle path."""
+    from quanta_spark.operators.stateful import join_user_replies_full
+
+    return join_user_replies_full(transcripts_df(spark), max_reply_delay="30 minutes")
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,

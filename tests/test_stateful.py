@@ -308,3 +308,55 @@ def test_stream_join_resumes_from_checkpoint_exactly_once(spark, tmp_workdir):
     assert set(map(tuple, got[["conv_id", "user_turn_idx"]].to_numpy())) == set(
         map(tuple, want[["conv_id", "user_turn_idx"]].to_numpy())
     )
+
+
+def test_stream_full_outer_join_drains_both_sides(spark, tmp_workdir):
+    """FULL OUTER stream-stream join: at final watermark the streaming
+    result equals the batch full join — matched rows identical, every
+    unanswered user turn AND every orphan reply emitted exactly once
+    (both sides' unmatched state drains after the watermark bound)."""
+    from quanta_spark.operators.stateful import join_user_replies_full
+
+    data_dir = os.path.join(tmp_workdir, "in")
+    write_transcripts(data_dir, SPEC, n_files=8)
+    batches: list[tuple[int, list]] = []
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    h = start_pipeline(
+        join_user_replies_full(src, watermark="2 hours", max_reply_delay="30 minutes"),
+        lambda b, i: batches.append((i, b.collect())),
+        os.path.join(tmp_workdir, "ckpt_full"),
+    )
+    h.process_all_available()
+    max_ts = generate(SPEC)["ts"].max()
+    write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=30))
+    h.process_all_available()
+    write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=60), name="zz-heartbeat2")
+    run_to_completion(h)
+    got = pd.DataFrame([r.asDict() for _bid, rows in batches for r in rows])
+    got = got[got["conv_id"] != HEARTBEAT_CONV].reset_index(drop=True)
+
+    # batch twin on the identical input = the reference answer
+    batch_in = spark.read.parquet(data_dir).filter(f"conv_id <> '{HEARTBEAT_CONV}'")
+    want = (
+        join_user_replies_full(batch_in, max_reply_delay="30 minutes")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    key = ["conv_id", "user_turn_idx", "reply_turn_idx", "kind"]
+
+    def canon(pdf):
+        return (
+            pdf[key]
+            .fillna({"user_turn_idx": -1, "reply_turn_idx": -1})
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+    kinds = got["kind"].value_counts()
+    assert kinds.get("matched", 0) > 0
+    assert kinds.get("unanswered", 0) > 0
+    assert kinds.get("orphan", 0) > 0, kinds.to_dict()
