@@ -300,6 +300,51 @@ def join_user_replies_outer(
     )
 
 
+def match_sequence(
+    df: DataFrame,
+    steps,
+    cols: tuple[str, ...] = ("role", "tool"),
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Fixed-length CEP sequence detection (MATCH_RECOGNIZE-style)
+    over per-conversation turn order: a match starts at turn i when
+    ``steps[j]`` holds on turn i+j for every j AND the turns are
+    CONTIGUOUS (lead(order, j) == order + j — gaps don't match).
+
+    Each step is a callable taking a dict of {col -> Column} (the
+    lead-j view of ``cols``) and returning a boolean Column.
+
+    Plan: ONE shuffle on the conversation key, then pure window/lead
+    codegen — a k-step pattern as k-1 self-joins would be k-1
+    shuffles of the full stream at 10^12 turns; this is one. The
+    STREAMING counterpart is enforce_turn_order -> per-batch
+    detection on the ordered output (lead over an unbounded stream is
+    not plannable; ordering first makes the pattern a local check)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    pred = None
+    for j, step in enumerate(steps):
+        leads = {
+            c: (F.col(c) if j == 0 else F.lead(c, j).over(w)) for c in cols
+        }
+        p = step(leads)
+        if j:
+            p = p & (F.lead(order_col, j).over(w) == F.col(order_col) + j)
+        pred = p if pred is None else pred & p
+    return (
+        df.select(key_col, order_col, *cols)
+        .withColumn("_match", pred)
+        .filter(F.col("_match"))
+        .select(
+            F.col(key_col),
+            F.col(order_col).alias("start_turn"),
+            F.lit(len(steps)).cast("int").alias("match_len"),
+        )
+    )
+
+
 def join_user_replies_full(
     df: DataFrame,
     watermark: str = "1 hour",

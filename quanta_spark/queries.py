@@ -1736,6 +1736,40 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q62_cep_sequence",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+x AS (
+  SELECT conv_id, turn_idx, role,
+         lead(role, 1) OVER w AS r1, lead(role, 2) OVER w AS r2,
+         lead(turn_idx, 1) OVER w AS t1, lead(turn_idx, 2) OVER w AS t2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS start_turn, CAST(3 AS INT) AS match_len
+FROM x
+WHERE role = 'user' AND r1 = 'tool' AND r2 = 'user'
+  AND t1 = turn_idx + 1 AND t2 = turn_idx + 2
+""",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence pattern (MATCH_RECOGNIZE-style): find every
+    contiguous user -> tool -> user triple (a tool call the user
+    follows up on) per conversation. One shuffle + lead() codegen —
+    never k-1 self-joins (stateful.match_sequence)."""
+    from quanta_spark.operators.stateful import match_sequence
+
+    return match_sequence(
+        transcripts_df(spark),
+        steps=[
+            lambda c: c["role"] == "user",
+            lambda c: c["role"] == "tool",
+            lambda c: c["role"] == "user",
+        ],
+    )
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,

@@ -360,3 +360,26 @@ def test_stream_full_outer_join_drains_both_sides(spark, tmp_workdir):
     assert kinds.get("matched", 0) > 0
     assert kinds.get("unanswered", 0) > 0
     assert kinds.get("orphan", 0) > 0, kinds.to_dict()
+
+
+def test_match_sequence_requires_contiguous_turns(spark):
+    """A gap in turn_idx must NOT match even when roles line up; steps
+    can also predicate on other columns (tool name)."""
+    from quanta_spark.operators.stateful import match_sequence
+
+    rows = [
+        # conv A: contiguous user->tool->user  => match at 0
+        ("A", 0, "user", None), ("A", 1, "tool", "search"), ("A", 2, "user", None),
+        # conv B: same roles but turn 2 missing => NO match
+        ("B", 0, "user", None), ("B", 1, "tool", "search"), ("B", 3, "user", None),
+        # conv C: tool name differs => no match for the tool-specific pattern
+        ("C", 0, "user", None), ("C", 1, "tool", "calc"), ("C", 2, "user", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    steps = [
+        lambda c: c["role"] == "user",
+        lambda c: (c["role"] == "tool") & (c["tool"] == "search"),
+        lambda c: c["role"] == "user",
+    ]
+    got = {(r["conv_id"], r["start_turn"]) for r in match_sequence(df, steps).collect()}
+    assert got == {("A", 0)}
