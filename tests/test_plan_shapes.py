@@ -168,3 +168,24 @@ def test_q57_quantize_pure_codegen(spark):
     plan = _plan(spark, "q57_quantize_embeddings")
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_no_per_row_python_or_rdd_in_package():
+    """The input-hint contract: vectorized pandas/Arrow UDFs ONLY — no
+    row-at-a-time F.udf, no RDD API in the package source. (mapInPandas
+    / applyInPandas(WithState) / pandas_udf are the sanctioned Python
+    paths; sparkContext use is limited to broadcast/addPyFile.)"""
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "quanta_spark")
+    bad = []
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, name)
+            for i, line in enumerate(open(path), 1):
+                code = line.split("#", 1)[0]
+                if re.search(r"\bF\.udf\(|\budf\(lambda|\.rdd\b|spark\.udf\.register", code):
+                    bad.append(f"{path}:{i}: {line.strip()}")
+    assert not bad, "\n".join(bad)
