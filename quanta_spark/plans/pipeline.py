@@ -21,7 +21,9 @@ Spec (YAML or dict), mirroring the reference vocabulary:
       transformers:                 # ordered stage chain (≙ spec.go:34-39)
         - name: uppercase
       operator:                     # optional terminal operator
-        kind: sessionize            # | tumbling | sliding | turn_order | user_replies | none
+        kind: sessionize            # | tumbling | sliding | turn_order | user_replies
+                                    # | user_replies_outer | user_replies_full
+                                    # | reply_sessions | stream_dedup | none
         gap: 30 minutes
       sink:
         kind: idempotent-parquet    # ≙ sink adapter registry
@@ -192,6 +194,31 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
         return join_user_replies(
             df, watermark=watermark, max_reply_delay=op.get("max_reply_delay", "30 minutes")
         )
+    if kind == "user_replies_outer":
+        from quanta_spark.operators.stateful import join_user_replies_outer
+
+        return join_user_replies_outer(
+            df, watermark=watermark, max_reply_delay=op.get("max_reply_delay", "30 minutes")
+        )
+    if kind == "user_replies_full":
+        from quanta_spark.operators.stateful import join_user_replies_full
+
+        return join_user_replies_full(
+            df, watermark=watermark, max_reply_delay=op.get("max_reply_delay", "30 minutes")
+        )
+    if kind == "reply_sessions":
+        from quanta_spark.operators.stateful import reply_session_stats
+
+        return reply_session_stats(
+            df,
+            watermark=watermark,
+            gap=op.get("gap", "30 minutes"),
+            max_reply_delay=op.get("max_reply_delay", "30 minutes"),
+        )
+    if kind == "stream_dedup":
+        from quanta_spark.operators.dedup import stream_dedup_exact
+
+        return stream_dedup_exact(df, watermark=watermark)
     raise ValueError(f"unknown operator kind {kind!r}")
 
 

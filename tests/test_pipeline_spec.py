@@ -78,6 +78,41 @@ def test_operator_pipeline_compiles(spark, transcripts_dir, tmp_workdir):
     assert "session_start" in compiled.df.columns
 
 
+def test_all_operator_kinds_compile(spark, transcripts_dir, tmp_workdir):
+    """Every declarative operator kind wires to its operator with the
+    expected output shape — the YAML surface keeps pace with the
+    operator library."""
+    expect = {
+        "tumbling": "window_start",
+        "sliding": "window_start",
+        "turn_order": "flushed",
+        "user_replies": "reply_latency_s",
+        "user_replies_outer": "answered",
+        "user_replies_full": "kind",
+        "reply_sessions": "avg_latency_us",
+        "stream_dedup": "fingerprint",
+    }
+    for kind, col in expect.items():
+        spec = {
+            "schema_version": "v1",
+            "pipeline": {
+                "name": f"op-{kind}",
+                "source": {"kind": "parquet-stream", "path": transcripts_dir},
+                "watermark": "1 hour",
+                "operator": {"kind": kind},
+                "sink": {
+                    "kind": "idempotent-parquet",
+                    "path": os.path.join(tmp_workdir, f"out_{kind}"),
+                    "key_cols": [],
+                },
+                "checkpoint": os.path.join(tmp_workdir, f"ckpt_{kind}"),
+            },
+        }
+        compiled = compile_pipeline(spark, spec)
+        assert compiled.df.isStreaming
+        assert col in compiled.df.columns, (kind, compiled.df.columns)
+
+
 def test_operator_dlq_tee_without_idempotent_sink_rejected(spark, transcripts_dir):
     """Stages + terminal operator produce a DLQ tee; with only a
     console sink there is nowhere to commit dead-letter rows — the
