@@ -587,6 +587,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data) or (
+            self.data[self.pos] == 0xFF and self.pos + 1 >= len(self.data)
+        ):
+            raise ValueError("JPEG scan data truncated")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -659,6 +663,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(body[off + 17 : off + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("JPEG DHT segment truncated")
                 htables[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
         elif marker == 0xFFC0:
@@ -763,18 +769,24 @@ def _jpeg_end(data: bytes, start: int) -> int:
         if not in_scan:
             if data[pos] != 0xFF:
                 raise ValueError(f"bad marker alignment at {pos}")
+            if pos + 1 >= len(data):
+                raise ValueError("JPEG stream truncated in headers")
             marker = data[pos + 1]
             if marker == 0xD9:  # EOI (headers-only frame)
                 return pos + 2
             pos += 2
             if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # parameterless
                 continue
+            if pos + 2 > len(data):
+                raise ValueError("JPEG stream truncated in headers")
             (length,) = struct.unpack_from(">H", data, pos)
             pos += length
             if marker == 0xDA:  # SOS -> entropy data follows
                 in_scan = True
         else:
             if data[pos] == 0xFF:
+                if pos + 1 >= len(data):
+                    break  # truncated mid-marker -> the ended-without-EOI error
                 nxt = data[pos + 1]
                 if nxt == 0x00:  # stuffed data byte
                     pos += 2

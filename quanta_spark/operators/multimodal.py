@@ -148,11 +148,11 @@ def decode_header(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decode path — pure-numpy codecs (operators/codecs.py): BMP for
-# images, RIFF/PCM16 for audio, QVID raw-frame container for video.
-# Compressed formats (JPEG/H.264/AAC) still need external codec libs
-# absent in this environment and raise a clear NotImplementedError —
-# that gate is now per-FORMAT, not per-operator.
+# REAL decode path — pure-numpy codecs (operators/codecs.py):
+# BMP + PNG + baseline JPEG for images, RIFF PCM16/IMA-ADPCM for
+# audio, QVID raw frames + Motion-JPEG for video. Only H.264/AAC
+# (full protocol stacks) and progressive/subsampled JPEG still raise,
+# each naming the unsupported feature — per-FORMAT, not per-operator.
 # ---------------------------------------------------------------------------
 
 
@@ -301,16 +301,15 @@ def decode_media(df: DataFrame) -> DataFrame:
                 elif b[:2] == b"\xff\xd8":
                     # REAL transform-codec decode: baseline JPEG.
                     # A multi-frame JFIF stream is Motion-JPEG video
-                    # (a 1-frame MJPEG IS a JPEG) — the structural
-                    # index distinguishes them without a probe decode.
+                    # (a 1-frame MJPEG IS a JPEG) — ONE structural
+                    # index walk + ONE frame-0 decode serve both
+                    # branches (no probe decode, no re-walk).
                     spans = codecs.mjpeg_index(b)
+                    px = codecs.decode_jpeg(b[spans[0][0] : spans[0][1]])
                     if len(spans) > 1:
-                        w_v, h_v, nf_v = codecs.mjpeg_info(b)
-                        first = codecs.decode_mjpeg_frame(b, 0)
-                        vals = ("video", w_v, h_v, nf_v, None, None,
-                                float(first.mean()) / 255.0)
+                        vals = ("video", px.shape[1], px.shape[0], len(spans),
+                                None, None, float(px.mean()) / 255.0)
                     else:
-                        px = codecs.decode_jpeg(b)
                         vals = ("image", px.shape[1], px.shape[0], None, None, None,
                                 float(px.mean()) / 255.0)
                 elif b[:4] == b"RIFF":
@@ -406,10 +405,10 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     video — and emitted as a standalone BMP blob: the fan-out shape
     of a frame-extraction training pipeline (one row per frame)."""
     from quanta_spark.operators.codecs import (
-        decode_mjpeg_frame,
+        decode_jpeg,
         decode_qvid_frame,
         encode_bmp,
-        mjpeg_info,
+        mjpeg_index,
         qvid_info,
     )
 
@@ -421,8 +420,11 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
                 if b[:2] == b"\xff\xd8":
-                    _, _, nf = mjpeg_info(b)
-                    dec = decode_mjpeg_frame
+                    # index ONCE per blob, then decode only the sampled
+                    # frames' byte spans
+                    spans = mjpeg_index(b)
+                    nf = len(spans)
+                    dec = lambda blob, k: decode_jpeg(blob[spans[k][0] : spans[k][1]])
                 else:
                     _, _, nf, _ = qvid_info(b)
                     dec = decode_qvid_frame

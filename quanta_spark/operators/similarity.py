@@ -333,7 +333,9 @@ def _ivf_cells(df: DataFrame, cent_mat: np.ndarray, top: int, id_out: str, emb_o
     cell-id tie-break) to every vector — one join-free, shuffle-free
     Arrow pass with the centroid matrix broadcast, same shape as
     hyperplane_signature. top=1 is corpus assignment; top=nprobe is
-    query probing."""
+    query probing. ``top`` is clamped to the cell count (probing "more
+    cells than exist" is an exhaustive scan, not an error)."""
+    top = min(top, cent_mat.shape[0])
     sc = df.sparkSession.sparkContext
     b_cent = sc.broadcast(cent_mat)
 
@@ -403,6 +405,13 @@ def ivf_cosine_topk(
     (the q56 gate pins 16 so the oracle can re-derive them)."""
     if n_cells is None:
         n_cells = auto_n_cells(corpus.count())  # one O(1)-result action
+    # the probe side is broadcast below — enforce the same hard query
+    # ceiling as every other collected/broadcast-query ANN path
+    if queries.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; "
+            "bound it explicitly (the probe side is broadcast)"
+        )
     _, cent_mat = _ivf_centroids(corpus, n_cells)
     assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
     q_probe = _ivf_cells(queries, cent_mat, nprobe, "query_id", "q_emb")

@@ -306,3 +306,27 @@ def test_mjpeg_structural_index_not_fooled_by_embedded_eoi():
         + b"\xff\xd9"                     # real EOI
     )
     assert _jpeg_end(fake, 0) == len(fake)
+
+
+def test_jpeg_truncated_streams_raise_valueerror_not_indexerror():
+    """Corrupt blobs must dead-letter with a structured ValueError,
+    never a bare IndexError from past-the-end reads — including the
+    nasty case of a stream cut immediately after a 0xFF byte."""
+    import pytest
+
+    from quanta_spark.operators.codecs import _jpeg_end, decode_jpeg, encode_jpeg
+
+    blob = encode_jpeg(_smooth(16, 16, 2), quality=75)
+    for cut in (len(blob) - 1, len(blob) // 2, 4, 3):
+        t = blob[:cut]
+        if t[-1:] != b"\xff":
+            t = t + b"\xff"  # force the cut-mid-marker shape too
+        # the structural walk always notices the missing EOI
+        with pytest.raises(ValueError):
+            _jpeg_end(t, 0)
+    # cuts into headers/entropy data must raise structurally from the
+    # decoder too (cutting ONLY the trailing EOI leaves a decodable
+    # scan, so that cut is excluded here)
+    for cut in (len(blob) // 2, 4, 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(blob[:cut] + b"\xff")

@@ -502,3 +502,25 @@ def test_hll_sketch_merge_shard_invariance(spark, docs2):
     for est in estimates:
         assert abs(est - exact) <= 0.05 * exact, (est, exact)
     assert max(estimates) - min(estimates) <= 0.02 * exact, estimates
+
+
+def test_ivf_nprobe_clamped_and_query_budget_enforced(spark, emb2):
+    """nprobe > n_cells must degrade to an exhaustive probe (not a
+    pandas length crash), and an unbounded query set must hit the
+    broadcast ceiling, not OOM executors."""
+    from quanta_spark.operators.similarity import (
+        MAX_BROADCAST_QUERIES,
+        ivf_cosine_topk,
+    )
+
+    queries = emb2.filter(F.col("vec_id") == 0)
+    full = ivf_cosine_topk(emb2, queries, k=5, n_cells=4, nprobe=99).collect()
+    assert len(full) == 5  # exhaustive probe == brute force over cells
+    import pytest
+    from unittest.mock import patch
+
+    with patch(
+        "quanta_spark.operators.similarity.MAX_BROADCAST_QUERIES", 3
+    ):
+        with pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+            ivf_cosine_topk(emb2, emb2.limit(10), k=1, n_cells=4)
