@@ -1229,6 +1229,48 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q63_dedup_pipeline",
+    f"""
+WITH RECURSIVE {_Q28_CTES},
+pairs AS ({_Q28_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node)
+SELECT d.doc_id, md5(d.text) AS text_md5
+FROM docs2 d
+LEFT JOIN comp ON comp.doc_id = d.doc_id AND comp.component_id <> d.doc_id
+WHERE comp.doc_id IS NULL
+""",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup pipeline as one composed flow:
+    MinHash/LSH candidate pairs -> exact-Jaccard verify -> connected
+    components (large/small-star) -> SURVIVOR corpus (keep each
+    component's min doc_id) via one anti-join. This is the second
+    composite (q58 is filter->exact-dedup->sample->chunk); together
+    they prove the operators COMPOSE, not just pass isolated gates.
+    The oracle re-derives the entire chain in SQL, recursive CTE
+    included."""
+    from quanta_spark.operators.dedup import dedup_components, minhash_near_dup_pairs
+
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2")
+    pairs = minhash_near_dup_pairs(docs2, threshold=0.8, hasher="md5")
+    comps = dedup_components(pairs.select("doc_a", "doc_b"))
+    removed = comps.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return docs2.join(removed, "doc_id", "left_anti").select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+@query(
     "q46_stream_dedup",
     f"""
 WITH {TRANSCRIPTS_CTE}
