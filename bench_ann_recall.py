@@ -49,6 +49,17 @@ def main() -> None:
 
     truth = topk_sets(brute_force_cosine_topk(emb, queries, k=K))
 
+    def recall_row(df, scan_fraction) -> dict:
+        got = topk_sets(df)
+        recalls = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items() if t
+        ]
+        return {
+            "recall_at_10": round(sum(recalls) / len(recalls), 4),
+            "queries": len(recalls),
+            "approx_scan_fraction": scan_fraction,
+        }
+
     paths = {
         # (df, candidate fraction of corpus scanned per query)
         "lsh_hyperplane_8bit": (
@@ -62,15 +73,7 @@ def main() -> None:
     }
     results: dict[str, dict] = {}
     for name, (df, frac) in paths.items():
-        got = topk_sets(df)
-        recalls = [
-            len(got.get(q, set()) & t) / len(t) for q, t in truth.items() if t
-        ]
-        results[name] = {
-            "recall_at_10": round(sum(recalls) / len(recalls), 4),
-            "queries": len(recalls),
-            "approx_scan_fraction": frac,
-        }
+        results[name] = recall_row(df, frac)
     # IVF scan fraction = nprobe / auto cells
     from quanta_spark.operators.similarity import auto_n_cells
 
@@ -79,10 +82,10 @@ def main() -> None:
     )
     # two-stage retrieval: ADC shortlist (top-50 codes-only) -> exact
     # cosine rerank -> top-10. The standard PQ deployment shape: the
-    # raw-vector fetch touches only the 50-candidate shortlist.
-    from pyspark.sql.window import Window
-
-    from quanta_spark.operators.similarity import _cosine_bp
+    # raw-vector fetch touches only the 50-candidate shortlist. The
+    # rerank reuses the LIBRARY's top-k window so tie-break rules can
+    # never drift from the operators being measured.
+    from quanta_spark.operators.similarity import _cosine_bp, _topk_window
 
     shortlist = pq_adc_topk(emb, queries, k=50).select("query_id", "vec_id")
     q_emb = queries.select(
@@ -93,15 +96,9 @@ def main() -> None:
         .join(F.broadcast(q_emb), "query_id")
         .select("query_id", "vec_id", _cosine_bp("embedding", "qe").alias("sim_bp"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_bp"), F.asc("vec_id"))
-    reranked = rer.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
-    got = topk_sets(reranked)
-    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items() if t]
-    results["pq_adc_top50_exact_rerank"] = {
-        "recall_at_10": round(sum(recalls) / len(recalls), 4),
-        "queries": len(recalls),
-        "approx_scan_fraction": round(50 / n, 4),
-    }
+    results["pq_adc_top50_exact_rerank"] = recall_row(
+        _topk_window(rer, K), round(50 / n, 4)
+    )
 
     for name, r in results.items():
         frac = r["approx_scan_fraction"]

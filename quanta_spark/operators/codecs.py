@@ -668,9 +668,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
         elif marker == 0xFFC0:
+            if len(body) < 6:
+                raise ValueError("JPEG SOF0 segment truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF0 segment truncated")
             comps = [
                 (body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]) for i in range(nc)
             ]
@@ -686,10 +690,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals not supported")
         elif marker == 0xFFDA:
+            if not body:
+                raise ValueError("JPEG SOS segment truncated")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("JPEG SOS segment truncated")
             for i in range(ns):
                 cid, tsel = body[1 + i * 2], body[2 + i * 2]
-                ci = next(j for j, (c, _, _) in enumerate(comps) if c == cid)
+                ci = next(
+                    (j for j, (c, _, _) in enumerate(comps) if c == cid), None
+                )
+                if ci is None:
+                    raise ValueError(
+                        f"JPEG SOS references unknown component id {cid}"
+                    )
                 scan_sel.append((ci, tsel >> 4, tsel & 0xF))
             pos += 2 + length
             break

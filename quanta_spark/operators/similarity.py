@@ -58,6 +58,30 @@ def _topk_window(df: DataFrame, k: int) -> DataFrame:
 MAX_BROADCAST_QUERIES = 10_000
 
 
+def _bounded_query_rows(queries: DataFrame, *cols: str) -> list:
+    """Collect a query set under the MAX_BROADCAST_QUERIES ceiling —
+    THE single chokepoint every broadcast-query ANN path goes through
+    (collect-based paths call this; join-based paths call
+    _enforce_query_budget). Raises past the ceiling."""
+    rows = queries.select(*cols).limit(MAX_BROADCAST_QUERIES + 1).collect()
+    if len(rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; "
+            "bound it explicitly (the query side is collected/broadcast)"
+        )
+    return rows
+
+
+def _enforce_query_budget(queries: DataFrame) -> None:
+    """Count-based twin of _bounded_query_rows for paths that keep the
+    query side a DataFrame but still F.broadcast() it."""
+    if queries.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; "
+            "bound it explicitly (the query side is collected/broadcast)"
+        )
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -66,14 +90,7 @@ def brute_force_cosine_topk(
     the LSH path instead). One corpus scan, numpy per Arrow batch.
     Raises if the query set exceeds MAX_BROADCAST_QUERIES: the caller
     must bound the budget explicitly (e.g. a fixed id set or limit)."""
-    q_rows = queries.select("vec_id", "embedding").limit(
-        MAX_BROADCAST_QUERIES + 1
-    ).collect()
-    if len(q_rows) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; "
-            "bound it explicitly or use the LSH bucket join path"
-        )
+    q_rows = _bounded_query_rows(queries, "vec_id", "embedding")
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
@@ -161,6 +178,7 @@ def _bucketed_topk(c_sig: DataFrame, q_sig: DataFrame, k: int) -> DataFrame:
     """Shared tail of every LSH path: bucket equi-join (the 10^12-row
     shape — candidates shrink by ~2^bits vs all-pairs), exact cosine
     on candidates, per-query top-k."""
+    _enforce_query_budget(q_sig)
     paired = c_sig.join(F.broadcast(q_sig), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -405,13 +423,9 @@ def ivf_cosine_topk(
     (the q56 gate pins 16 so the oracle can re-derive them)."""
     if n_cells is None:
         n_cells = auto_n_cells(corpus.count())  # one O(1)-result action
-    # the probe side is broadcast below — enforce the same hard query
-    # ceiling as every other collected/broadcast-query ANN path
-    if queries.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}; "
-            "bound it explicitly (the probe side is broadcast)"
-        )
+    # the probe side is broadcast below — same hard query ceiling as
+    # every other collected/broadcast-query ANN path
+    _enforce_query_budget(queries)
     _, cent_mat = _ivf_centroids(corpus, n_cells)
     assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
     q_probe = _ivf_cells(queries, cent_mat, nprobe, "query_id", "q_emb")
@@ -527,13 +541,7 @@ def pq_adc_topk(
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     cent = _pq_centroids(corpus, n_cent, n_sub, dim // n_sub)
     codes = pq_encode(corpus, cent)
-    q_rows = queries.select("vec_id", "embedding").limit(
-        MAX_BROADCAST_QUERIES + 1
-    ).collect()
-    if len(q_rows) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query set exceeds MAX_BROADCAST_QUERIES={MAX_BROADCAST_QUERIES}"
-        )
+    q_rows = _bounded_query_rows(queries, "vec_id", "embedding")
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     luts = _pq_dist_micro(q_mat, cent)  # (n_q, n_sub, n_cent) int64

@@ -172,11 +172,23 @@ def test_q57_quantize_pure_codegen(spark):
 
 def test_no_per_row_python_or_rdd_in_package():
     """The input-hint contract: vectorized pandas/Arrow UDFs ONLY — no
-    row-at-a-time F.udf, no RDD API in the package source. (mapInPandas
-    / applyInPandas(WithState) / pandas_udf are the sanctioned Python
-    paths; sparkContext use is limited to broadcast/addPyFile.)"""
+    row-at-a-time F.udf and no RDD entrypoints (.rdd / parallelize /
+    runJob / sc.range / makeRDD) in the package source; sparkContext
+    attribute use is restricted to an explicit allowlist
+    (broadcast / addPyFile / defaultParallelism / setLogLevel and the
+    shipping flag). mapInPandas / applyInPandas(WithState) /
+    pandas_udf are the sanctioned Python paths."""
     import re
 
+    rdd_or_udf = re.compile(
+        r"\bF\.udf\(|\budf\(lambda|\.rdd\b|spark\.udf\.register"
+        r"|\.parallelize\(|\.runJob\(|\.makeRDD\(|sparkContext\.range\("
+    )
+    sc_attr = re.compile(r"(?:sparkContext|\bsc)\s*\.\s*([A-Za-z_]+)")
+    sc_allow = {
+        "broadcast", "addPyFile", "defaultParallelism", "setLogLevel",
+        "master", "_quanta_pkg_shipped",
+    }
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "quanta_spark")
     bad = []
     for dirpath, _dirs, files in os.walk(root):
@@ -186,6 +198,9 @@ def test_no_per_row_python_or_rdd_in_package():
             path = os.path.join(dirpath, name)
             for i, line in enumerate(open(path), 1):
                 code = line.split("#", 1)[0]
-                if re.search(r"\bF\.udf\(|\budf\(lambda|\.rdd\b|spark\.udf\.register", code):
+                if rdd_or_udf.search(code):
                     bad.append(f"{path}:{i}: {line.strip()}")
+                for attr in sc_attr.findall(code):
+                    if attr not in sc_allow:
+                        bad.append(f"{path}:{i}: sparkContext.{attr}: {line.strip()}")
     assert not bad, "\n".join(bad)
