@@ -445,6 +445,111 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def extract_media_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """REAL signal-level feature extraction per blob — the
+    'feature-extract' verb of a multimodal training pipeline, on
+    actual decoded samples/pixels (one Arrow pass, one decode per
+    blob):
+
+    - audio: ``n_bands`` spectral energy bands from an rFFT of the
+      decoded PCM (numpy DSP, no audio lib) + dominant-band index —
+      the input a quality/language-id audio filter consumes;
+    - video: mean absolute inter-frame difference (motion energy,
+      first up-to-8 frames) — static-content detector;
+    - image: luma mean/std — exposure/contrast screens.
+
+    Output: (media_id, kind, feature_bands array<double>,
+    dominant_band int, motion_milli long, luma_mean_milli long,
+    luma_std_milli long) with NULLs for non-applicable kinds.
+    Features are reported in floor(x*1000+0.5) fixed point where
+    downstream comparisons need cross-run stability."""
+    from quanta_spark.operators import codecs
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {
+                "media_id": [], "kind": [], "feature_bands": [],
+                "dominant_band": [], "motion_milli": [],
+                "luma_mean_milli": [], "luma_std_milli": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                bands = dom = motion = lmean = lstd = None
+                if b[:4] == b"RIFF":
+                    kind = "audio"
+                    samples, _sr = codecs.decode_wav(b)
+                    mono = samples[:, 0].astype(np.float64)
+                    spec = np.abs(np.fft.rfft(mono)) ** 2
+                    # drop DC, split the spectrum into equal bands
+                    spec = spec[1:] if len(spec) > 1 else spec
+                    edges = np.linspace(0, len(spec), n_bands + 1, dtype=np.int64)
+                    e = np.array([
+                        spec[edges[i]: edges[i + 1]].sum() for i in range(n_bands)
+                    ])
+                    total = max(e.sum(), 1e-12)
+                    bands = list((e / total).round(6))
+                    dom = int(np.argmax(e))
+                elif b[:4] == b"QVID" or (
+                    b[:2] == b"\xff\xd8" and len(codecs.mjpeg_index(b)) > 1
+                ):
+                    kind = "video"
+                    if b[:4] == b"QVID":
+                        _, _, nf, _ = codecs.qvid_info(b)
+                        frames = [
+                            codecs.decode_qvid_frame(b, k).astype(np.float64)
+                            for k in range(min(nf, 8))
+                        ]
+                    else:
+                        spans = codecs.mjpeg_index(b)
+                        frames = [
+                            codecs.decode_jpeg(b[s:e2]).astype(np.float64)
+                            for s, e2 in spans[:8]
+                        ]
+                    if len(frames) > 1:
+                        diffs = [
+                            np.abs(frames[i + 1] - frames[i]).mean()
+                            for i in range(len(frames) - 1)
+                        ]
+                        motion = int(np.floor(float(np.mean(diffs)) / 255.0 * 1000 + 0.5))
+                    else:
+                        motion = 0
+                else:
+                    kind = "image"
+                    if b[:2] == b"BM":
+                        px = codecs.decode_bmp(b)
+                    elif b[:8] == codecs._PNG_SIG:
+                        px = codecs.decode_png(b)
+                    else:
+                        px = codecs.decode_jpeg(b)
+                    px = px.astype(np.float64)
+                    luma = (
+                        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                        if px.ndim == 3 and px.shape[-1] >= 3
+                        else px
+                    )
+                    lmean = int(np.floor(luma.mean() / 255.0 * 1000 + 0.5))
+                    lstd = int(np.floor(luma.std() / 255.0 * 1000 + 0.5))
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["feature_bands"].append(bands)
+                out["dominant_band"].append(dom)
+                out["motion_milli"].append(motion)
+                out["luma_mean_milli"].append(lmean)
+                out["luma_std_milli"].append(lstd)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn,
+        schema=(
+            "media_id long, kind string, feature_bands array<double>, "
+            "dominant_band int, motion_milli long, luma_mean_milli long, "
+            "luma_std_milli long"
+        ),
+    )
+
+
 def repartition_by_size(
     df: DataFrame, target_bytes: int = 128 << 20, order_col: str = "media_id"
 ) -> DataFrame:
