@@ -383,3 +383,78 @@ def test_match_sequence_requires_contiguous_turns(spark):
     ]
     got = {(r["conv_id"], r["start_turn"]) for r in match_sequence(df, steps).collect()}
     assert got == {("A", 0)}
+
+
+def test_stream_full_outer_join_resumes_from_checkpoint(spark, tmp_workdir):
+    """Restart the FULL OUTER join mid-stream on the same checkpoint:
+    the union of both runs equals the batch full join exactly — no
+    matched pair duplicated or lost, and no unmatched row (either
+    side) emitted twice or dropped across the restart boundary. This
+    extends the exactly-once-across-restart evidence to the join type
+    whose state drains from BOTH sides."""
+    from quanta_spark.operators.stateful import join_user_replies_full
+
+    data_dir = os.path.join(tmp_workdir, "in_fo")
+    write_transcripts(data_dir, SPEC, n_files=8)
+    live = data_dir + "_live"
+    ckpt = os.path.join(tmp_workdir, "ckpt_fo")
+    rows: list = []
+
+    def collect(b, i):
+        rows.extend(b.collect())
+
+    def build(src):
+        return join_user_replies_full(
+            src, watermark="2 hours", max_reply_delay="30 minutes"
+        )
+
+    import shutil as sh
+
+    os.makedirs(live)
+    files = sorted(os.listdir(data_dir))
+    for f in files[:4]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    h1 = start_pipeline(
+        build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
+        collect, ckpt,
+    )
+    h1.process_all_available()
+    h1.stop()
+    n_first = len(rows)
+
+    for f in files[4:]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    h2 = start_pipeline(
+        build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
+        collect, ckpt,
+    )
+    h2.process_all_available()
+    max_ts = generate(SPEC)["ts"].max()
+    write_heartbeat_file(live, max_ts + pd.Timedelta(days=30))
+    h2.process_all_available()
+    write_heartbeat_file(live, max_ts + pd.Timedelta(days=60), name="zz-heartbeat2")
+    run_to_completion(h2)
+    assert len(rows) > n_first
+
+    got = pd.DataFrame([r.asDict() for r in rows])
+    got = got[got["conv_id"] != HEARTBEAT_CONV].reset_index(drop=True)
+    want = (
+        join_user_replies_full(
+            spark.read.parquet(data_dir).filter(f"conv_id <> '{HEARTBEAT_CONV}'"),
+            max_reply_delay="30 minutes",
+        )
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    key = ["conv_id", "user_turn_idx", "reply_turn_idx", "kind"]
+
+    def canon(pdf):
+        return (
+            pdf[key]
+            .fillna({"user_turn_idx": -1, "reply_turn_idx": -1})
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(canon(got), canon(want))
