@@ -139,6 +139,96 @@ def chunk_documents(
     )
 
 
+#: CDC rolling-hash parameters — shared with the q64 SQL oracle.
+#: Power-sum (not Horner) keeps the arithmetic a single order-free
+#: integer expression both engines evaluate identically: max sum is
+#: 8 * 255 * 31^7 ~ 5.6e13, far under int64.
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_MOD = 1_000_003
+CDC_MASK = 64  # boundary when hash % CDC_MASK == 0 -> ~64-char chunks
+CDC_POW = [CDC_BASE ** (CDC_WINDOW - 1 - j) for j in range(CDC_WINDOW)]
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-defined chunking via a polynomial ROLLING HASH
+    (Rabin-Karp style): a chunk boundary falls after position i
+    whenever the hash of the trailing CDC_WINDOW bytes satisfies
+    hash % CDC_MASK == 0. Unlike fixed-size chunking, an insertion
+    near the start of a document shifts only the chunks it touches —
+    every later boundary re-synchronizes, so per-chunk fingerprints
+    still match (THE dedup-robustness property; asserted in tests).
+
+    Pure Column expressions end to end (chars -> per-position hash ->
+    boundary filter -> slice) — JVM-side with zero Python; the
+    higher-order-function lambdas evaluate interpreted (not
+    whole-stage codegen), which is still ~an order faster than a
+    per-row Python path and keeps the operator usable in SQL-only
+    deployments. Explode is the only fan-out; one row per chunk:
+    (doc_id, chunk_idx, chunk_md5, n_chars)."""
+    s = F.col(text_col)
+    n = F.length(s)
+    pow_arr = F.array(*[F.lit(p) for p in CDC_POW])
+
+    # materialize the char-code array ONCE per row before any
+    # per-position reference: inlining it into the boundary filter
+    # would re-evaluate split+transform per candidate position — the
+    # O(n^2) lambda re-evaluation pitfall (measured 57s -> ~2s at
+    # sf0.01 for this exact operator)
+    base = df.select(
+        "doc_id",
+        s.alias("_t"),
+        n.alias("_n"),
+        F.transform(F.split(s, ""), lambda ch: F.ascii(ch)).alias("_c"),
+    ).repartition(F.col("doc_id"))
+    # ^ the exchange is a PROJECTION-COLLAPSE BARRIER (same rationale
+    # as dedup._norm_grams_df): without it Catalyst folds this select
+    # into the boundary filter and re-expands split+transform per
+    # candidate position
+    cc = F.col("_c")
+    nn = F.col("_n")
+
+    def roll_hash(i):
+        # power-sum of the window ENDING at 1-indexed position i
+        return (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(CDC_WINDOW - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(cc, (i - CDC_WINDOW + 1 + j).cast("int")).cast("long")
+                * F.element_at(pow_arr, (j + 1).cast("int")),
+            )
+            % CDC_MOD
+        )
+
+    candidates = F.when(
+        nn >= CDC_WINDOW, F.sequence(F.lit(CDC_WINDOW), nn)
+    ).otherwise(F.array().cast("array<int>"))
+    ends = F.filter(candidates, lambda i: roll_hash(i) % CDC_MASK == 0)
+    ends2 = F.array_distinct(F.concat(ends, F.array(nn.cast("int"))))
+    # second materialization barrier: the boundary array is consumed
+    # k+1 times below (slicing per chunk) — bind it to a column too
+    bounded = base.select("doc_id", "_t", ends2.alias("_e"))
+    idx = F.sequence(F.lit(1), F.size(F.col("_e")))
+    out = bounded.select(
+        "doc_id",
+        "_t",
+        "_e",
+        F.posexplode(idx).alias("_pos", "_k"),
+    )
+    prev_end = F.when(
+        F.col("_k") == 1, F.lit(0)
+    ).otherwise(F.element_at("_e", (F.col("_k") - 1).cast("int")))
+    this_end = F.element_at("_e", F.col("_k").cast("int"))
+    chunk = F.col("_t").substr(prev_end + 1, this_end - prev_end)
+    return out.select(
+        "doc_id",
+        F.col("_pos").cast("int").alias("chunk_idx"),
+        F.md5(chunk).alias("chunk_md5"),
+        (this_end - prev_end).cast("int").alias("n_chars"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

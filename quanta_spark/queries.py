@@ -1270,6 +1270,58 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from quanta_spark.operators.text import (  # noqa: E402
+    CDC_MASK,
+    CDC_MOD,
+    CDC_POW,
+    CDC_WINDOW,
+)
+
+_CDC_SUM = " + ".join(
+    f"c[i - {CDC_WINDOW} + {j + 1}] * {p}::BIGINT" for j, p in enumerate(CDC_POW)
+)
+
+_Q64_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+ch AS (
+  SELECT doc_id, text, n,
+         [ascii(substr(text, i, 1)) for i in generate_series(1, n)] AS c
+  FROM t
+),
+e AS (
+  SELECT doc_id, text, n,
+         list_sort(list_distinct(list_append(
+           CASE WHEN n >= {CDC_WINDOW}
+                THEN [i for i in generate_series({CDC_WINDOW}, n)
+                      if (({_CDC_SUM}) % {CDC_MOD}) % {CDC_MASK} = 0]
+                ELSE [] END,
+           n))) AS e2
+  FROM ch
+),
+x AS (
+  SELECT doc_id, text, e2, unnest(generate_series(1, len(e2))) AS k FROM e
+)
+SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+       md5(substr(text,
+                  CASE WHEN k = 1 THEN 1 ELSE e2[k - 1] + 1 END,
+                  e2[k] - (CASE WHEN k = 1 THEN 0 ELSE e2[k - 1] END))) AS chunk_md5,
+       CAST(e2[k] - (CASE WHEN k = 1 THEN 0 ELSE e2[k - 1] END) AS INT) AS n_chars
+FROM x
+""".replace("ELSE [] END", "ELSE CAST([] AS BIGINT[]) END")
+
+
+@query("q64_cdc_chunks", _Q64_ORACLE)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (polynomial ROLLING HASH boundaries):
+    chunk fingerprints re-synchronize after insertions, the property
+    fixed-size chunking lacks (tested). Pure codegen Column math; the
+    oracle re-derives every boundary from the same shared power-sum
+    constants."""
+    from quanta_spark.operators.text import cdc_chunks
+
+    return cdc_chunks(spark.table("documents"))
+
+
 @query(
     "q46_stream_dedup",
     f"""

@@ -153,3 +153,35 @@ def test_token_budget_overflow_sentinel_blocks_readmission(spark):
     )
     out = token_budget_per_stratum(df, budget=10, tokens_col="n_tokens", n_salt=2)
     assert {r["doc_id"] for r in out.collect()} == {min(a, b)}
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """THE content-defined-chunking property: prepending text to a
+    document changes only the chunks up to the first re-synchronized
+    boundary — the tail chunk fingerprints are IDENTICAL, which is
+    what makes per-chunk dedup robust to insertions (fixed-size
+    chunking shifts every later chunk)."""
+    from quanta_spark.operators.text import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles hang on the wall and accordingly the narrative "
+        "continues with more deterministic prose to produce several "
+        "chunk boundaries in a row for this property test to bite on "
+        "and even more text so multiple boundaries certainly appear"
+    ) * 3
+    shifted = "INSERTED PREFIX >> " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).toPandas()
+    a = out[out.doc_id == 1].sort_values("chunk_idx")["chunk_md5"].tolist()
+    b = out[out.doc_id == 2].sort_values("chunk_idx")["chunk_md5"].tolist()
+    assert len(a) >= 3, f"need several chunks, got {len(a)}"
+    # suffix alignment: every chunk after the insertion-affected first
+    # boundary is IDENTICAL (the repeated base makes chunk md5s repeat,
+    # so compare the SEQUENCES, not sets)
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= len(a) - 2, (k, a, b)
