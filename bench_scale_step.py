@@ -64,6 +64,7 @@ def _ops():
         quantize_int8,
     )
     from quanta_spark.operators.text import (
+        cdc_chunks,
         chunk_documents,
         decontaminate,
         quality_features,
@@ -129,6 +130,7 @@ def _ops():
         "pq_adc_topk": lambda docs, emb: pq_adc_topk(
             emb, emb.filter(F.col("vec_id") % 50 == 0).limit(200), k=5
         ),
+        "cdc_chunks": lambda docs, emb: cdc_chunks(docs),
         "training_pipeline": lambda docs, emb: chunk_documents(
             deterministic_sample(
                 exact_dedup_keep_first(docs.filter(quality_keep("text"))),
