@@ -718,10 +718,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for my in range(by):
         for mx in range(bx):
             for ci, td, ta in scan_sel:
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError(
+                        f"JPEG scan references undefined Huffman table (dc={td}, ac={ta})"
+                    )
                 dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+                if comps[ci][2] not in qtables:
+                    raise ValueError(
+                        f"JPEG component references undefined quant table {comps[ci][2]}"
+                    )
                 qt = qtables[comps[ci][2]]
                 coef = np.zeros(64, dtype=np.int64)
                 size = br.read_huff(dc_tab)
+                if size > 15:
+                    # only possible via a corrupted DHT symbol: baseline
+                    # DC categories are 0..11 (T.81 F.1.2.1)
+                    raise ValueError(f"invalid JPEG DC category {size}")
                 diff = _extend(br.read(size), size) if size else 0
                 prev_dc[ci] += diff
                 coef[0] = prev_dc[ci]

@@ -330,3 +330,25 @@ def test_jpeg_truncated_streams_raise_valueerror_not_indexerror():
     for cut in (len(blob) // 2, 4, 3):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(blob[:cut] + b"\xff")
+
+
+def test_jpeg_decode_fuzz_structured_errors_only():
+    """1,500 seeded random byte-corruptions of a valid JPEG: decode
+    either succeeds (corruption hit entropy data) or raises
+    ValueError/NotImplementedError — NEVER an unstructured
+    IndexError/KeyError/OverflowError/struct.error from deep inside
+    the parser (what dead-letter routing keys on). Mirrors a 6,000-
+    trial sweep that found and fixed DC-category overflow and
+    undefined-table KeyError escapes."""
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_smooth(24, 24, 5), quality=80))
+    rng = np.random.default_rng(0)
+    for _trial in range(1500):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
