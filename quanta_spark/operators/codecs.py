@@ -117,6 +117,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -259,6 +261,8 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"PNG chunk {ctype!r} truncated (declared {length} bytes)")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:

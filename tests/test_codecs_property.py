@@ -352,3 +352,33 @@ def test_jpeg_decode_fuzz_structured_errors_only():
             decode_jpeg(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_all_decoders_fuzz_structured_errors_only():
+    """Seeded byte-corruption sweep over EVERY container decoder
+    (PNG/WAV/ADPCM/QVID/MJPEG; JPEG has its own test above): decode
+    succeeds or raises a structured error the dead-letter router can
+    key on — never an unstructured struct.error/KeyError/Overflow."""
+    from quanta_spark.operators import codecs
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    samples = (np.sin(np.arange(3000) / 10) * 20000).astype(np.int16)
+    frames = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    targets = {
+        "png": (codecs.encode_png(px, 2), codecs.decode_png),
+        "wav": (codecs.encode_wav(samples), lambda b: codecs.decode_wav(b)),
+        "adpcm": (codecs.encode_adpcm_wav(samples), lambda b: codecs.decode_wav(b)),
+        "qvid": (codecs.encode_qvid(frames), lambda b: codecs.decode_qvid_frame(b, 0)),
+        "mjpeg": (codecs.encode_mjpeg(frames), lambda b: codecs.decode_mjpeg_frame(b, 0)),
+    }
+    for name, (blob, dec) in targets.items():
+        blob = bytearray(blob)
+        for _trial in range(800):
+            b = bytearray(blob)
+            for _ in range(rng.integers(1, 4)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError, IndexError):
+                pass  # IndexError only from the explicit frame-range check
