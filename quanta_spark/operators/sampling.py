@@ -52,6 +52,34 @@ def deterministic_sample(
     return df.filter(_hash16(F.col(id_col)) < thresh)
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5 bucket
+    (16 bits) falls into one of the cumulative weight ranges, so the
+    split is (a) disjoint and exhaustive BY CONSTRUCTION, (b) stable
+    across runs/engines/cluster sizes, (c) a pure codegen expression —
+    no shuffle, no RNG state, and membership never changes when the
+    corpus grows (a new doc lands in a split; old docs never move).
+    Weights are quantized to 1/65536."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = _hash16(F.col(id_col))
+    expr = None
+    acc = 0.0
+    # deterministic range order = insertion order of the dict
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cut = int(acc * 65536)
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def token_budget_per_stratum(
     df: DataFrame,
     budget: int,

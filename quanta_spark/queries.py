@@ -1322,6 +1322,38 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(spark.table("documents"))
 
 
+_HEX16_DUCK = (
+    "list_sum([CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT) "
+    "* (1::BIGINT << ((4 - j) * 4)) for j in generate_series(1, 4)])"
+)
+
+_Q65_CUT1 = int(0.9 * 65536)
+_Q65_CUT2 = int((0.9 + 0.05) * 65536)
+
+_Q65_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_HEX16_DUCK} < {_Q65_CUT1} THEN 'train'
+            WHEN {_HEX16_DUCK} < {_Q65_CUT2} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query("q65_train_val_test_split", _Q65_ORACLE)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5-bucket
+    range: disjoint + exhaustive by construction, stable across
+    runs/engines/corpus growth, pure codegen filter-free expression
+    (sampling.assign_splits)."""
+    from quanta_spark.operators.sampling import assign_splits
+
+    return assign_splits(
+        spark.table("documents").select("doc_id", "lang"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
 @query(
     "q46_stream_dedup",
     f"""
@@ -1379,11 +1411,6 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_data(spark).select("conv_id", "turn_idx", "text")
 
 
-_HEX16_DUCK = (
-    "list_sum([CAST(strpos('0123456789abcdef', "
-    "substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT) "
-    "* (1::BIGINT << ((4 - j) * 4)) for j in generate_series(1, 4)])"
-)
 
 
 @query(

@@ -185,3 +185,21 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
         k += 1
     assert k >= len(a) - 2, (k, a, b)
+
+
+def test_assign_splits_disjoint_stable_and_proportional(spark):
+    """Splits are exhaustive+disjoint (single assignment per row),
+    proportional to the weights, and STABLE under corpus growth: the
+    assignment of an existing doc never changes when new docs arrive
+    (the property random splits lack)."""
+    from quanta_spark.operators.sampling import assign_splits
+
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    a = assign_splits(docs).toPandas().set_index("doc_id")["split"]
+    counts = a.value_counts(normalize=True)
+    assert abs(counts.get("train", 0) - 0.9) < 0.03
+    assert abs(counts.get("val", 0) - 0.05) < 0.02
+    assert abs(counts.get("test", 0) - 0.05) < 0.02
+    grown = spark.range(0, 8000).select(F.col("id").alias("doc_id"))
+    b = assign_splits(grown).toPandas().set_index("doc_id")["split"]
+    assert (b.loc[a.index] == a).all(), "existing assignments moved"
