@@ -286,7 +286,13 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError("Adam7 interlaced PNG not supported")
     c = 3 if color_type == 2 else 4
     stride = w * c
-    scan = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # CRC is forgeable, so malformed-but-checksummed DEFLATE must
+        # still surface as the structured error dead-lettering keys on
+        raise ValueError(f"PNG IDAT DEFLATE stream invalid: {e}") from e
+    scan = np.frombuffer(inflated, dtype=np.uint8)
     if scan.size != h * (1 + stride):
         raise ValueError("PNG pixel data size mismatch")
     scan = scan.reshape(h, 1 + stride)
@@ -714,6 +720,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + length
     if sof is None or not scan_sel:
         raise ValueError("JPEG missing SOF0/SOS")
+    # loop-invariant table validation, hoisted so a corrupt file fails
+    # BEFORE any entropy decoding instead of inside the per-MCU loop
+    for ci, td, ta in scan_sel:
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError(
+                f"JPEG scan references undefined Huffman table (dc={td}, ac={ta})"
+            )
+        if comps[ci][2] not in qtables:
+            raise ValueError(
+                f"JPEG component references undefined quant table {comps[ci][2]}"
+            )
     h, w, nc = sof
     by, bx = -(-h // 8), -(-w // 8)
     br = _BitReader(data, pos)
@@ -722,15 +739,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for my in range(by):
         for mx in range(bx):
             for ci, td, ta in scan_sel:
-                if (0, td) not in htables or (1, ta) not in htables:
-                    raise ValueError(
-                        f"JPEG scan references undefined Huffman table (dc={td}, ac={ta})"
-                    )
                 dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
-                if comps[ci][2] not in qtables:
-                    raise ValueError(
-                        f"JPEG component references undefined quant table {comps[ci][2]}"
-                    )
                 qt = qtables[comps[ci][2]]
                 coef = np.zeros(64, dtype=np.int64)
                 size = br.read_huff(dc_tab)
@@ -946,12 +955,18 @@ def encode_adpcm_wav(
 
 def _decode_adpcm(pcm: bytes, block_align: int) -> np.ndarray:
     """IMA-ADPCM data chunk -> int16 mono samples."""
+    if not block_align or block_align < 4:
+        raise ValueError(f"invalid ADPCM block_align {block_align}")
     spb = (block_align - 4) * 2 + 1
     n_blocks = len(pcm) // block_align
     out = np.empty(n_blocks * spb, dtype=np.int16)
     pos = 0
     for b in range(n_blocks):
         pred, index, _ = struct.unpack_from("<hBB", pcm, b * block_align)
+        if index > 88:
+            raise ValueError(
+                f"corrupt ADPCM block header: step index {index} > 88"
+            )
         out[pos] = pred
         pos += 1
         body = pcm[b * block_align + 4 : (b + 1) * block_align]

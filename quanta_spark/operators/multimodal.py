@@ -491,46 +491,59 @@ def extract_media_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                     total = max(e.sum(), 1e-12)
                     bands = list((e / total).round(6))
                     dom = int(np.argmax(e))
-                elif b[:4] == b"QVID" or (
-                    b[:2] == b"\xff\xd8" and len(codecs.mjpeg_index(b)) > 1
-                ):
-                    kind = "video"
+                else:
+                    # ONE structural walk for JPEG-family payloads; its
+                    # spans serve both the video/image dispatch and the
+                    # frame decodes (same no-re-walk rule as decode_media)
+                    spans = (
+                        codecs.mjpeg_index(b) if b[:2] == b"\xff\xd8" else None
+                    )
+                    frames = None
                     if b[:4] == b"QVID":
                         _, _, nf, _ = codecs.qvid_info(b)
                         frames = [
                             codecs.decode_qvid_frame(b, k).astype(np.float64)
                             for k in range(min(nf, 8))
                         ]
-                    else:
-                        spans = codecs.mjpeg_index(b)
+                    elif spans is not None and len(spans) > 1:
                         frames = [
                             codecs.decode_jpeg(b[s:e2]).astype(np.float64)
                             for s, e2 in spans[:8]
                         ]
-                    if len(frames) > 1:
-                        diffs = [
-                            np.abs(frames[i + 1] - frames[i]).mean()
-                            for i in range(len(frames) - 1)
-                        ]
-                        motion = int(np.floor(float(np.mean(diffs)) / 255.0 * 1000 + 0.5))
+                    if frames is not None:
+                        kind = "video"
+                        if len(frames) > 1:
+                            diffs = [
+                                np.abs(frames[i + 1] - frames[i]).mean()
+                                for i in range(len(frames) - 1)
+                            ]
+                            motion = int(
+                                np.floor(float(np.mean(diffs)) / 255.0 * 1000 + 0.5)
+                            )
+                        else:
+                            motion = 0
                     else:
-                        motion = 0
-                else:
-                    kind = "image"
-                    if b[:2] == b"BM":
-                        px = codecs.decode_bmp(b)
-                    elif b[:8] == codecs._PNG_SIG:
-                        px = codecs.decode_png(b)
-                    else:
-                        px = codecs.decode_jpeg(b)
-                    px = px.astype(np.float64)
-                    luma = (
-                        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-                        if px.ndim == 3 and px.shape[-1] >= 3
-                        else px
-                    )
-                    lmean = int(np.floor(luma.mean() / 255.0 * 1000 + 0.5))
-                    lstd = int(np.floor(luma.std() / 255.0 * 1000 + 0.5))
+                        kind = "image"
+                        if b[:2] == b"BM":
+                            px = codecs.decode_bmp(b)
+                        elif b[:8] == codecs._PNG_SIG:
+                            px = codecs.decode_png(b)
+                        elif spans is not None:
+                            px = codecs.decode_jpeg(b[spans[0][0] : spans[0][1]])
+                        else:
+                            raise NotImplementedError(
+                                f"no pure-python decoder for container magic {b[:4]!r} "
+                                "(H.264/AAC need full protocol stacks; "
+                                "JPEG/PNG/BMP/WAV/QVID decode here)"
+                            )
+                        px = px.astype(np.float64)
+                        luma = (
+                            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                            if px.ndim == 3 and px.shape[-1] >= 3
+                            else px
+                        )
+                        lmean = int(np.floor(luma.mean() / 255.0 * 1000 + 0.5))
+                        lstd = int(np.floor(luma.std() / 255.0 * 1000 + 0.5))
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["feature_bands"].append(bands)

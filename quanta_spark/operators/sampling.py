@@ -65,6 +65,12 @@ def assign_splits(
     corpus grows (a new doc lands in a split; old docs never move).
     Weights are quantized to 1/65536."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if any(w <= 0 for w in weights.values()) or abs(sum(weights.values()) - 1.0) > 1e-6:
+        raise ValueError(
+            f"split weights must be positive and sum to 1, got {weights} "
+            f"(sum={sum(weights.values())}) — a mis-sized sum silently "
+            "starves later splits"
+        )
     bucket = _hash16(F.col(id_col))
     expr = None
     acc = 0.0

@@ -173,7 +173,7 @@ def cdc_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
     # materialize the char-code array ONCE per row before any
     # per-position reference: inlining it into the boundary filter
     # would re-evaluate split+transform per candidate position — the
-    # O(n^2) lambda re-evaluation pitfall (measured 57s -> ~2s at
+    # O(n^2) lambda re-evaluation pitfall (measured 57s -> 9s at
     # sf0.01 for this exact operator)
     base = df.select(
         "doc_id",

@@ -1294,7 +1294,7 @@ e AS (
            CASE WHEN n >= {CDC_WINDOW}
                 THEN [i for i in generate_series({CDC_WINDOW}, n)
                       if (({_CDC_SUM}) % {CDC_MOD}) % {CDC_MASK} = 0]
-                ELSE [] END,
+                ELSE CAST([] AS BIGINT[]) END,
            n))) AS e2
   FROM ch
 ),
@@ -1307,7 +1307,7 @@ SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
                   e2[k] - (CASE WHEN k = 1 THEN 0 ELSE e2[k - 1] END))) AS chunk_md5,
        CAST(e2[k] - (CASE WHEN k = 1 THEN 0 ELSE e2[k - 1] END) AS INT) AS n_chars
 FROM x
-""".replace("ELSE [] END", "ELSE CAST([] AS BIGINT[]) END")
+"""
 
 
 @query("q64_cdc_chunks", _Q64_ORACLE)

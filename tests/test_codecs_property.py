@@ -380,5 +380,13 @@ def test_all_decoders_fuzz_structured_errors_only():
                 b[rng.integers(0, len(b))] = rng.integers(0, 256)
             try:
                 dec(bytes(b))
-            except (ValueError, NotImplementedError, IndexError):
-                pass  # IndexError only from the explicit frame-range check
+            except (ValueError, NotImplementedError):
+                pass
+            except IndexError as e:
+                # ONLY the explicit frame-range check may raise this
+                # (corruption shrank the stream below the asked frame);
+                # any other IndexError is an unstructured escape
+                assert name in ("qvid", "mjpeg") and "out of range" in str(e), (
+                    name,
+                    e,
+                )
