@@ -39,9 +39,53 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _gate_order(names: list[str]) -> list[str]:
+    """Deterministic gate rotation: the driver's correctness gate checks
+    the FIRST 50 entries of ``queries()``, but the registry is larger.
+    Order queries by rounds-since-last-green-driver-row (stalest first,
+    never-gated stalest of all; ties broken by canonical registration
+    order), computed from the committed ``CORRECTNESS_r*.json`` files.
+    Every registered operator then gets an independent driver row at
+    least every other round, and newly added operators gate immediately.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    canon = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_green.get(n, 0), canon[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(q.QUERY_FNS)
+    order = _gate_order(list(q.QUERY_FNS))
+    return {name: q.QUERY_FNS[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(q.ORACLES)
+    order = _gate_order(list(q.QUERY_FNS))
+    return {name: q.ORACLES[name] for name in order if name in q.ORACLES}

@@ -68,6 +68,34 @@ def test_query_matches_oracle(spark, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=0)
 
 
+def test_gate_rotation_stalest_first():
+    """The driver gates the first 50 queries() entries; the rotation must
+    put never-gated and stalest-green queries first, deterministically."""
+    names = list(entrymod.q.QUERY_FNS)
+    order = entrymod._gate_order(names)
+    assert sorted(order) == sorted(names)
+    assert order == entrymod._gate_order(names), "rotation must be deterministic"
+    # every query the repo has CORRECTNESS files for: a name green in an
+    # older round must sort before one green only in a newer round
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        rows = json.load(open(path))
+        for n, row in rows.items():
+            if row.get("err") is None and row.get("rows_match"):
+                last_green[n] = max(last_green.get(n, 0), rnd)
+    ranks = {n: i for i, n in enumerate(order)}
+    for a in names:
+        for b in names:
+            if last_green.get(a, 0) < last_green.get(b, 0):
+                assert ranks[a] < ranks[b], (a, b)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(_SLOW))
 def test_streaming_query_matches_oracle(spark, name):
