@@ -648,12 +648,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sof = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt)
     scan_sel: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # spec-legal: any number of 0xFF fill bytes may pad before a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("JPEG stream truncated in headers")
         marker = struct.unpack_from(">H", data, pos)[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD8:  # TEM/RSTn: no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("JPEG stream truncated in headers")
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:
@@ -808,6 +818,8 @@ def _jpeg_end(data: bytes, start: int) -> int:
         if not in_scan:
             if data[pos] != 0xFF:
                 raise ValueError(f"bad marker alignment at {pos}")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:  # fill bytes
+                pos += 1
             if pos + 1 >= len(data):
                 raise ValueError("JPEG stream truncated in headers")
             marker = data[pos + 1]
@@ -833,6 +845,8 @@ def _jpeg_end(data: bytes, start: int) -> int:
                     return pos + 2
                 elif 0xD0 <= nxt <= 0xD7:  # restart marker
                     pos += 2
+                elif nxt == 0xFF:  # fill byte before a marker
+                    pos += 1
                 else:
                     raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
             else:
@@ -958,6 +972,11 @@ def _decode_adpcm(pcm: bytes, block_align: int) -> np.ndarray:
     if not block_align or block_align < 4:
         raise ValueError(f"invalid ADPCM block_align {block_align}")
     spb = (block_align - 4) * 2 + 1
+    if len(pcm) % block_align:
+        raise ValueError(
+            f"truncated ADPCM data chunk: {len(pcm)} bytes is not a "
+            f"multiple of block_align {block_align}"
+        )
     n_blocks = len(pcm) // block_align
     out = np.empty(n_blocks * spb, dtype=np.int16)
     pos = 0

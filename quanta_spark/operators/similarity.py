@@ -129,6 +129,11 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 8, dim: int = 64, seed: in
     avoidable shuffle+join per signature pass)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if "bucket" in df.columns:
+        raise ValueError(
+            "hyperplane_signature appends a 'bucket' column but the input "
+            "already has one — rename or drop it first"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     sc = df.sparkSession.sparkContext
@@ -478,6 +483,11 @@ def _pq_centroids(corpus: DataFrame, n_cent: int, n_sub: int, sub_dim: int) -> n
         .limit(n_cent)
         .collect()
     )
+    if len(rows) < n_cent:
+        raise ValueError(
+            f"PQ codebook needs n_cent={n_cent} corpus vectors, "
+            f"found only {len(rows)} — lower n_cent or grow the corpus"
+        )
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return mat.reshape(n_cent, n_sub, sub_dim).transpose(1, 0, 2)
 

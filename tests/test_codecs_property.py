@@ -390,3 +390,67 @@ def test_all_decoders_fuzz_structured_errors_only():
                     name,
                     e,
                 )
+
+
+def test_adpcm_truncated_partial_block_raises():
+    """A data chunk that is not a whole number of blocks must raise the
+    structured truncation error, matching the PNG/WAV error contract."""
+    import numpy as np
+    import pytest
+
+    from quanta_spark.operators.codecs import decode_wav, encode_adpcm_wav
+
+    sr = 8000
+    wave = (np.sin(np.arange(2000) / 10) * 20000).astype(np.int16)
+    blob = bytearray(encode_adpcm_wav(wave, sr))
+    # chop 3 bytes off the data chunk and patch both RIFF + data sizes
+    cut = 3
+    import struct
+
+    riff_len = struct.unpack_from("<I", blob, 4)[0]
+    struct.pack_into("<I", blob, 4, riff_len - cut)
+    data_off = bytes(blob).index(b"data")
+    data_len = struct.unpack_from("<I", blob, data_off + 4)[0]
+    struct.pack_into("<I", blob, data_off + 4, data_len - cut)
+    with pytest.raises(ValueError, match="truncated ADPCM"):
+        decode_wav(bytes(blob[: len(blob) - cut]))
+
+
+def test_jpeg_foreign_encoder_quirks_fill_bytes_and_tem():
+    """Spec-legal streams other encoders emit: 0xFF fill bytes before a
+    marker and a parameterless TEM (0xFF01) marker must parse in both
+    the decode header walk and the structural end-of-frame walk."""
+    from quanta_spark.operators.codecs import _jpeg_end, decode_jpeg, encode_jpeg
+
+    img = _smooth(16, 16, 9)
+    blob = encode_jpeg(img, quality=90)
+    # insert fill bytes + TEM right after SOI (before the first segment)
+    quirky = blob[:2] + b"\xff\xff\xff\x01" + blob[2:]
+    out = decode_jpeg(quirky)
+    assert out.shape == img.shape
+    assert (out == decode_jpeg(blob)).all()
+    assert _jpeg_end(quirky, 0) == len(quirky)
+
+
+def test_pq_centroids_small_corpus_named_error(spark):
+    import pytest
+
+    from quanta_spark.operators.similarity import _pq_centroids
+
+    df = spark.createDataFrame(
+        [(f"v{i}", [float(i)] * 8) for i in range(3)], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_cent=16"):
+        _pq_centroids(df, n_cent=16, n_sub=2, sub_dim=4)
+
+
+def test_hyperplane_signature_rejects_existing_bucket_column(spark):
+    import pytest
+
+    from quanta_spark.operators.similarity import hyperplane_signature
+
+    df = spark.createDataFrame(
+        [("v0", [0.0] * 8, 1)], "vec_id string, embedding array<float>, bucket int"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        hyperplane_signature(df, n_bits=4, dim=8)
