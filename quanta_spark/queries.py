@@ -878,11 +878,31 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The streaming GATE queries below are test scaffolding: they funnel
+# their (gate-sized) result through the driver so the DataFrame contract
+# of queries() holds. The production path is start_pipeline -> sinks
+# (exercised by tests/test_e2e_pipeline.py and bench.py). Cap the
+# driver-side materialization so a future sf bump fails loudly with a
+# clear error instead of silently OOMing the gate driver.
+GATE_HARNESS_MAX_ROWS = 2_000_000
+
+
+def _guard_gate_rows(n: int, what: str) -> None:
+    if n > GATE_HARNESS_MAX_ROWS:
+        raise RuntimeError(
+            f"streaming gate harness {what} = {n} rows exceeds the "
+            f"driver-side budget {GATE_HARNESS_MAX_ROWS}; run this sf "
+            "through the sink-based path (start_pipeline + IdempotentSink) "
+            "instead of the collect-based gate harness"
+        )
+
+
 def _write_transcript_stream(spark: SparkSession, jitter: bool) -> str:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _guard_gate_rows(transcripts_df(spark).count(), "input stream")
     pdf = transcripts_df(spark).toPandas()
     if jitter:
         # deterministic arrival jitter (minutes) well inside the watermark
@@ -931,7 +951,11 @@ def _run_stream_query(
     src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=2, with_lineage=False)
     if not heartbeat_in_output:
         src = src.filter(F.col("conv_id") != HEARTBEAT_CONV)
-    h = start_pipeline(op(src), lambda b, i: rows.extend(b.collect()), ckpt)
+    def _sink(b, i):
+        rows.extend(b.collect())
+        _guard_gate_rows(len(rows), "collected output")
+
+    h = start_pipeline(op(src), _sink, ckpt)
     h.process_all_available()
     max_ts = pd.Timestamp(spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"])
     write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=30))

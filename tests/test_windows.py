@@ -140,3 +140,16 @@ def test_streaming_session_windows_equal_batch(spark, small_spec, tmp_workdir):
     assert (
         got["session_start"].to_numpy() == want["session_start"].to_numpy()
     ).all()
+
+
+def test_gate_harness_row_budget_fails_loudly(monkeypatch):
+    """The collect-based streaming gate harness must refuse inputs past
+    its driver-side budget instead of OOMing (VERDICT r3 #8)."""
+    import pytest
+
+    from quanta_spark import queries as q
+
+    monkeypatch.setattr(q, "GATE_HARNESS_MAX_ROWS", 10)
+    with pytest.raises(RuntimeError, match="driver-side budget"):
+        q._guard_gate_rows(11, "input stream")
+    q._guard_gate_rows(10, "input stream")  # at the budget is fine
