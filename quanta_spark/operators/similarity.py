@@ -589,6 +589,51 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage ANN: PQ+ADC shortlist -> exact cosine rerank.
+
+    Stage 1 scans the corpus as n_sub-byte codes (32x compression) and
+    keeps ``shortlist`` candidates per query by integer ADC distance;
+    stage 2 fetches ONLY those candidates' raw vectors (broadcast
+    semi-join on vec_id into the corpus scan) and reranks them by exact
+    float64 cosine in basis points. At 10^12 corpus vectors the
+    raw-vector fetch is |queries| x shortlist rows — independent of
+    corpus size — so the exact math touches a vanishing fraction of the
+    data while recovering most of the recall PQ alone loses
+    (bench_ann_recall.py: 5.2x lift at a 10% fetch fraction). Integer
+    ADC distances + bp-rounded cosine with vec_id tie-breaks keep the
+    full two-stage ranking deterministic and SQL-re-derivable (q66).
+    """
+    cand = pq_adc_topk(
+        corpus, queries, k=shortlist, n_sub=n_sub, n_cent=n_cent, dim=dim
+    ).select("query_id", "vec_id")
+    fetched = corpus.select("vec_id", F.col("embedding").alias("c_emb")).join(
+        F.broadcast(cand), "vec_id"
+    )
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = fetched.join(F.broadcast(q_emb), "query_id").select(
+        "query_id", "vec_id", _cosine_bp("c_emb", "q_emb").alias("sim_bp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_bp").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim_bp")
+    )
+
+
 def axis_lsh_cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8, stride: int = 8
 ) -> DataFrame:

@@ -1851,6 +1851,74 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries_df, k=5, n_sub=8, n_cent=16)
 
 
+_Q66_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_Q56_CENT_ORDER}) - 1 AS BIGINT) AS cid,
+         embedding AS c_emb
+  FROM embeddings
+  ORDER BY {_Q56_CENT_ORDER}
+  LIMIT 16
+),
+vd AS (
+  SELECT e.vec_id, t.s, c.cid, {_Q60_DMIC.format(v='e.embedding')} AS dmic
+  FROM embeddings e, generate_series(0, 7) t(s), cents c
+),
+codes AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dmic ASC, cid ASC) AS rk
+    FROM vd
+  ) z WHERE rk = 1
+),
+qd AS (
+  SELECT e.vec_id AS query_id, t.s, c.cid, {_Q60_DMIC.format(v='e.embedding')} AS dmic
+  FROM embeddings e, generate_series(0, 7) t(s), cents c
+  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+),
+adc AS (
+  SELECT qd.query_id, codes.vec_id, CAST(sum(qd.dmic) AS BIGINT) AS adist_micro
+  FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.code
+  WHERE codes.vec_id <> qd.query_id
+  GROUP BY qd.query_id, codes.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_micro ASC, vec_id ASC) AS rk
+    FROM adc
+  ) z WHERE rk <= 50
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, sim_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, vec_id ASC) AS rk
+  FROM rer
+) t
+WHERE rk <= 5
+"""
+
+
+@query("q66_pq_rerank_topk", _Q66_ORACLE)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN — PQ+ADC shortlist then exact cosine rerank of
+    only the shortlisted raw vectors (|queries| x shortlist fetch,
+    independent of corpus size). bench_ann_recall.py measured this as
+    the best accuracy/IO point (5.2x recall lift at 10% fetch); the
+    oracle re-derives codebooks, codes, LUTs, the integer shortlist AND
+    the bp-rounded cosine rerank, so the whole two-stage ranking
+    hash-matches."""
+    from quanta_spark.operators.similarity import pq_rerank_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+    return pq_rerank_topk(emb, queries_df, k=5, shortlist=50, n_sub=8, n_cent=16)
+
+
 @query(
     "q61_full_outer_replies",
     f"""
