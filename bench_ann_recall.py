@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """ANN quality benchmark: recall@10 vs exact brute force for each of
-the three approximate paths (LSH buckets, IVF-Flat, PQ+ADC) on the
-driver's embeddings table, plus candidate-scan fractions — the
-accuracy half of the speed/accuracy tradeoff (speed is in
-BENCH/scale_step.json).
+the approximate paths (LSH buckets, IVF-Flat, PQ+ADC, PQ->exact
+rerank) on TWO corpora:
+
+- the driver's embeddings table (isotropic — no cluster structure, so
+  absolute recall tracks the scan fraction and only lift-vs-random is
+  judged);
+- a deterministic mixture-of-Gaussians corpus
+  (datagen.generate_clustered_embeddings) with the modal structure real
+  embeddings have — here ABSOLUTE recall is the quality bar: IVF must
+  reach recall@10 >= 0.8 at <= 20% scan fraction.
 
 Writes BENCH/ann_recall.json and prints one JSON line.
-Usage: python bench_ann_recall.py   (~1 min)
+Usage: python bench_ann_recall.py   (~2 min)
 """
 
 from __future__ import annotations
@@ -19,26 +25,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from quanta_spark.operators.similarity import DEFAULT_NPROBE  # noqa: E402
 from quanta_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 K = 10
 
 
-def main() -> None:
+def measure(spark, emb, n: int) -> dict[str, dict]:
     from quanta_spark.operators.similarity import (
+        auto_n_cells,
         axis_lsh_cosine_topk,
         brute_force_cosine_topk,
         ivf_cosine_topk,
         lsh_cosine_topk,
         pq_adc_topk,
+        pq_rerank_topk,
     )
 
-    spark = get_spark(app_name="quanta_ann_recall", cores=8, shuffle_partitions=8)
-    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
-        "vec_id", "embedding"
-    ).cache()
-    n = emb.count()
     queries = emb.filter(F.col("vec_id") % 10 == 0).limit(50)
 
     def topk_sets(df) -> dict[int, set[int]]:
@@ -60,6 +64,7 @@ def main() -> None:
             "approx_scan_fraction": scan_fraction,
         }
 
+    shortlist = min(50, n - 1)
     paths = {
         # (df, candidate fraction of corpus scanned per query)
         "lsh_hyperplane_8bit": (
@@ -68,57 +73,96 @@ def main() -> None:
         "lsh_axis_4bit": (
             axis_lsh_cosine_topk(emb, queries, k=K, n_bits=4), 1 / 16
         ),
-        "ivf_auto_nprobe4": (ivf_cosine_topk(emb, queries, k=K, nprobe=4), None),
+        "ivf_auto_nprobe": (
+            ivf_cosine_topk(emb, queries, k=K),
+            round(min(1.0, DEFAULT_NPROBE / auto_n_cells(n)), 4),
+        ),
         "pq_adc_8x16": (pq_adc_topk(emb, queries, k=K), 1.0),
+        # two-stage retrieval: ADC shortlist (codes-only) -> exact
+        # cosine rerank -> top-10; raw-vector fetch touches only the
+        # shortlist (the q66 gate operator).
+        "pq_rerank_top50": (
+            pq_rerank_topk(emb, queries, k=K, shortlist=shortlist),
+            round(shortlist / n, 4),
+        ),
+        # constant-fraction shortlist: at a fixed top-50 the fetch
+        # fraction (and with it recall) falls as the corpus grows —
+        # sizing the shortlist as a corpus percentage is the
+        # scale-stable deployment shape.
+        "pq_rerank_5pct": (
+            pq_rerank_topk(emb, queries, k=K, shortlist=max(shortlist, n // 20)),
+            round(max(shortlist, n // 20) / n, 4),
+        ),
     }
     results: dict[str, dict] = {}
     for name, (df, frac) in paths.items():
         results[name] = recall_row(df, frac)
-    # IVF scan fraction = nprobe / auto cells
-    from quanta_spark.operators.similarity import auto_n_cells
 
-    results["ivf_auto_nprobe4"]["approx_scan_fraction"] = round(
-        min(1.0, 4 / auto_n_cells(n)), 4
-    )
-    # two-stage retrieval: ADC shortlist (top-50 codes-only) -> exact
-    # cosine rerank -> top-10. The standard PQ deployment shape: the
-    # raw-vector fetch touches only the 50-candidate shortlist. The
-    # rerank reuses the LIBRARY's top-k window so tie-break rules can
-    # never drift from the operators being measured.
-    from quanta_spark.operators.similarity import _cosine_bp, _topk_window
-
-    shortlist = pq_adc_topk(emb, queries, k=50).select("query_id", "vec_id")
-    q_emb = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    rer = (
-        shortlist.join(emb, "vec_id")
-        .join(F.broadcast(q_emb), "query_id")
-        .select("query_id", "vec_id", _cosine_bp("embedding", "qe").alias("sim_bp"))
-    )
-    results["pq_adc_top50_exact_rerank"] = recall_row(
-        _topk_window(rer, K), round(50 / n, 4)
-    )
-
-    for name, r in results.items():
+    for r in results.values():
         frac = r["approx_scan_fraction"]
         if frac and frac < 1.0:
             # recall / scan-fraction: how much better than a random
-            # same-sized candidate subset the index ranks. The driver's
-            # synthetic embeddings have no cluster structure, so
-            # absolute recall tracks the scan fraction — lift is the
-            # honest quality signal here; on clustered real corpora
-            # absolute recall rises with structure.
+            # same-sized candidate subset the index ranks.
             r["lift_vs_random_subset"] = round(r["recall_at_10"] / frac, 2)
+    return results
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from quanta_spark.datagen import generate_clustered_embeddings
+
+    spark = get_spark(app_name="quanta_ann_recall", cores=8, shuffle_partitions=8)
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    ).cache()
+    n = emb.count()
+    unclustered = measure(spark, emb, n)
+
+    # clustered corpus: fixed 20k vectors (the driver's sf0.01 table is
+    # only ~500 — too small for IVF scan fractions to mean anything),
+    # written to parquet so the Spark path is identical
+    # (scan -> operator), not a driver-created DataFrame.
+    n_c = max(n, 20_000)
+    mog = generate_clustered_embeddings(n_c, seed=7)
+    d = tempfile.mkdtemp(prefix="qs_mog_")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(mog["vec_id"], pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in mog["embedding"]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        os.path.join(d, "emb.parquet"),
+    )
+    emb_c = spark.read.parquet(os.path.join(d, "emb.parquet")).cache()
+    clustered = measure(spark, emb_c, n_c)
+
+    ivf = clustered["ivf_auto_nprobe"]
     payload = {
         "metric": f"ANN recall@{K} vs exact brute force (cosine), {n}-vector corpus",
         "corpus": n,
-        "paths": results,
+        "unclustered_driver_testdata": unclustered,
+        "clustered_mog": clustered,
+        "ivf_clustered_bar": {
+            "target": "recall_at_10 >= 0.8 at scan fraction <= 0.2",
+            "met": bool(
+                ivf["recall_at_10"] >= 0.8 and ivf["approx_scan_fraction"] <= 0.2
+            ),
+        },
         "note": (
             "pq scans 100% of CODES (8 bytes/vector, 32x smaller than raw) — "
             "its saving is memory-bound, not candidate-bound; lsh/ivf shrink "
-            "the candidate set itself. Synthetic embeddings are unclustered, "
-            "so judge lift_vs_random_subset, not absolute recall."
+            "the candidate set itself. The driver's synthetic embeddings are "
+            "unclustered (judge lift_vs_random_subset there); the clustered "
+            "MoG section is where absolute recall is meaningful and the IVF "
+            "defaults are tuned."
         ),
     }
     os.makedirs("BENCH", exist_ok=True)

@@ -283,6 +283,45 @@ def generate_embeddings(n: int, dim: int = 64, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def generate_clustered_embeddings(
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 50,
+    spread: float = 0.35,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Deterministic mixture-of-Gaussians embeddings — the shape REAL
+    text/image embeddings have (points concentrate around semantic
+    modes), unlike ``generate_embeddings``'s isotropic cloud where
+    absolute ANN recall is meaningless and only lift can be judged.
+
+    Each vector = unit-norm cluster center + isotropic noise of
+    EXPECTED NORM ``spread`` (per-component sigma spread/sqrt(dim) — an
+    unnormalized N(0, I_dim) draw would have norm ~sqrt(dim) and swamp
+    the unit center), then re-normalized; within-cluster cosine is
+    ~1/(1+spread^2) ≈ 0.89 at the default. Cluster sizes follow a
+    heavy-ish Zipf so cell/bucket skew is represented. ``label`` carries the cluster id so recall
+    experiments can verify that true neighbors are overwhelmingly
+    same-cluster. Same (vec_id, embedding, label) schema as the driver
+    testdata."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # Zipf-ish cluster weights, deterministic
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 0.7
+    w /= w.sum()
+    labels = rng.choice(n_clusters, size=n, p=w)
+    mat = centers[labels] + (spread / np.sqrt(dim)) * rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(mat.astype(np.float32)),
+            "label": labels.astype(np.int32),
+        }
+    )
+
+
 def write_documents_embeddings(
     out_dir: str, n_docs: int, n_vecs: int, seed: int = 42
 ) -> None:

@@ -326,6 +326,12 @@ def exact_allpairs_cosine(
 #: the corpus (a real deployment uses n_cells ~ sqrt(n) capped by
 #: what a broadcast comfortably holds; 256 * 64 doubles is ~128 KB).
 MAX_IVF_CELLS = 256
+# default probe width: with ~sqrt(n) cells, 8 probes keep the scan
+# fraction at 8/sqrt(n) (2.5% at n=100k). Measured on the clustered
+# MoG corpus (20k vectors, BENCH/ann_recall.json): recall@10 = 0.696 /
+# 0.878 / 0.970 at nprobe 2 / 4 / 8 — 8 buys comfortable headroom over
+# the >=0.8 bar at a still-tiny scan fraction (5.7%).
+DEFAULT_NPROBE = 8
 
 
 def _ivf_centroids(corpus: DataFrame, n_cells: int) -> tuple[np.ndarray, np.ndarray]:
@@ -400,7 +406,7 @@ def ivf_cosine_topk(
     queries: DataFrame,
     k: int = 5,
     n_cells: int | None = None,
-    nprobe: int = 4,
+    nprobe: int = DEFAULT_NPROBE,
     dim: int = 64,
 ) -> DataFrame:
     """IVF-Flat approximate top-k — the inverted-file counterpart of

@@ -559,3 +559,24 @@ def test_pq_rerank_broadcasts_shortlist_and_queries(spark, emb2):
     plan = pq_rerank_topk(emb2, queries, k=5, shortlist=20)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_clustered_embedding_generator_structure():
+    """MoG generator: deterministic, unit-norm, and actually clustered —
+    same-cluster cosine must dominate cross-cluster (the property the
+    ANN recall bench relies on for absolute-recall judgments)."""
+    import numpy as np
+
+    from quanta_spark.datagen import generate_clustered_embeddings
+
+    a = generate_clustered_embeddings(500, seed=7)
+    b = generate_clustered_embeddings(500, seed=7)
+    assert all(np.array_equal(x, y) for x, y in zip(a["embedding"], b["embedding"]))
+    mat = np.array(a["embedding"].tolist(), dtype=np.float64)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+    lab = a["label"].to_numpy()
+    sims = mat @ mat.T
+    same = sims[(lab[:, None] == lab[None, :]) & ~np.eye(len(lab), dtype=bool)]
+    diff = sims[lab[:, None] != lab[None, :]]
+    assert same.mean() > 0.75, same.mean()
+    assert same.mean() - diff.mean() > 0.5, (same.mean(), diff.mean())
