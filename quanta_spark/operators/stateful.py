@@ -345,6 +345,111 @@ def match_sequence(
     )
 
 
+MAX_KLEENE_VARIANTS = 64
+MAX_KLEENE_DEPTH = 32
+
+
+def match_sequence_kleene(
+    df: DataFrame,
+    steps,
+    cols: tuple[str, ...] = ("role", "tool"),
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """CEP sequence detection with bounded Kleene quantifiers
+    (MATCH_RECOGNIZE-style ``step{m,n}``), extending match_sequence's
+    fixed-length contiguous patterns.
+
+    ``steps`` is a list of either a callable (exactly-one step, as in
+    match_sequence) or a tuple ``(callable, m, n)`` meaning the step
+    must hold on between m and n CONTIGUOUS consecutive turns (m >= 1).
+    Matching is GREEDY per start turn (the longest matching expansion
+    wins — the MATCH_RECOGNIZE default); every matching start turn is
+    reported with its greedy match_len.
+
+    Plan: the bounded pattern expands into all fixed-length variants
+    (cartesian product of repetition counts, capped at
+    MAX_KLEENE_VARIANTS / lead depth MAX_KLEENE_DEPTH), every variant a
+    lead()-conjunction over ONE window — still exactly one shuffle on
+    the conversation key regardless of pattern size, where a join-based
+    NFA would shuffle the 10^12-turn stream once per step. Spark
+    evaluates lead(col, j) once per distinct j across all variants."""
+    from itertools import product
+
+    from pyspark.sql.window import Window
+
+    norm = []  # (callable, m, n)
+    for s in steps:
+        if callable(s):
+            norm.append((s, 1, 1))
+        else:
+            fn, m, n = s
+            if not (1 <= m <= n):
+                raise ValueError(f"bad Kleene bounds {{{m},{n}}} — need 1 <= m <= n")
+            norm.append((fn, m, n))
+    counts = [range(m, n + 1) for _, m, n in norm]
+    variants = list(product(*counts))
+    if len(variants) > MAX_KLEENE_VARIANTS:
+        raise ValueError(
+            f"pattern expands to {len(variants)} variants > "
+            f"MAX_KLEENE_VARIANTS={MAX_KLEENE_VARIANTS}; tighten the bounds"
+        )
+    max_len = sum(n for _, _, n in norm)
+    if max_len > MAX_KLEENE_DEPTH:
+        raise ValueError(
+            f"pattern max length {max_len} > MAX_KLEENE_DEPTH={MAX_KLEENE_DEPTH}"
+        )
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+
+    # materialize each lead ONCE as a named column — Catalyst does not
+    # dedup textually-identical lead() expressions across variants, so
+    # building predicates straight from F.lead would compute every
+    # shared lead once per variant referencing it
+    work = df.select(key_col, order_col, *cols)
+    for j in range(1, max_len):
+        for c in (*cols, order_col):
+            work = work.withColumn(f"_l{j}_{c}", F.lead(c, j).over(w))
+
+    def lead_view(j: int) -> dict:
+        if j == 0:
+            return {c: F.col(c) for c in cols}
+        return {c: F.col(f"_l{j}_{c}") for c in cols}
+
+    def variant_pred(reps) -> tuple:
+        pred = None
+        j = 0
+        for (fn, _, _), r in zip(norm, reps):
+            for _ in range(r):
+                p = fn(lead_view(j))
+                if j:
+                    p = p & (
+                        F.col(f"_l{j}_{order_col}") == F.col(order_col) + j
+                    )
+                pred = p if pred is None else pred & p
+                j += 1
+        return pred, j
+
+    # greedy: longest expansion first; ties in length are impossible to
+    # distinguish observably (same start, same len), so order is moot
+    preds = sorted((variant_pred(v) for v in variants), key=lambda t: -t[1])
+    match_len = None
+    for pred, length in preds:
+        match_len = (
+            F.when(pred, F.lit(length)) if match_len is None
+            else match_len.when(pred, F.lit(length))
+        )
+    return (
+        work.withColumn("_len", match_len)
+        .filter(F.col("_len").isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(order_col).alias("start_turn"),
+            F.col("_len").cast("int").alias("match_len"),
+        )
+    )
+
+
 def join_user_replies_full(
     df: DataFrame,
     watermark: str = "1 hour",

@@ -1983,6 +1983,58 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q67_cep_kleene",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+k AS (
+  SELECT conv_id, turn_idx, split_part(text, ' ', 1) AS kind FROM transcripts
+),
+x AS (
+  SELECT conv_id, turn_idx, kind AS k0,
+         lead(kind, 1) OVER w AS k1, lead(kind, 2) OVER w AS k2,
+         lead(kind, 3) OVER w AS k3, lead(kind, 4) OVER w AS k4,
+         lead(turn_idx, 1) OVER w AS t1, lead(turn_idx, 2) OVER w AS t2,
+         lead(turn_idx, 3) OVER w AS t3, lead(turn_idx, 4) OVER w AS t4
+  FROM k
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+m AS (
+  SELECT conv_id, turn_idx AS start_turn,
+    CASE
+      WHEN k0='view' AND k1='click' AND k2='click' AND k3='click' AND k4='purchase'
+           AND t1=turn_idx+1 AND t2=turn_idx+2 AND t3=turn_idx+3 AND t4=turn_idx+4 THEN 5
+      WHEN k0='view' AND k1='click' AND k2='click' AND k3='purchase'
+           AND t1=turn_idx+1 AND t2=turn_idx+2 AND t3=turn_idx+3 THEN 4
+      WHEN k0='view' AND k1='click' AND k2='purchase'
+           AND t1=turn_idx+1 AND t2=turn_idx+2 THEN 3
+    END AS match_len
+  FROM x
+)
+SELECT conv_id, start_turn, CAST(match_len AS INT) AS match_len
+FROM m WHERE match_len IS NOT NULL
+""",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP with a bounded Kleene quantifier: the funnel pattern
+    view -> click{{1,3}} -> purchase over per-conversation turn order,
+    GREEDY (longest run wins per start). The quantified pattern expands
+    to three fixed-length lead() variants over ONE window — one shuffle
+    total regardless of pattern size (stateful.match_sequence_kleene)."""
+    from quanta_spark.operators.stateful import match_sequence_kleene
+
+    t = transcripts_df(spark).withColumn("kind", F.split("text", " ")[0])
+    return match_sequence_kleene(
+        t,
+        steps=[
+            lambda c: c["kind"] == "view",
+            (lambda c: c["kind"] == "click", 1, 3),
+            lambda c: c["kind"] == "purchase",
+        ],
+        cols=("kind",),
+    )
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,

@@ -458,3 +458,70 @@ def test_stream_full_outer_join_resumes_from_checkpoint(spark, tmp_workdir):
 
     assert len(got) == len(want), (len(got), len(want))
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_match_sequence_kleene_greedy_and_bounds(spark):
+    """Bounded Kleene: greedy longest-run per start, contiguity still
+    enforced, bad bounds / oversize expansions rejected, and the whole
+    pattern plans as ONE shuffle."""
+    import pytest
+
+    from quanta_spark.operators.stateful import match_sequence_kleene
+
+    rows = [
+        # conv A: v c c p  => greedy match_len 4 at turn 0
+        ("A", 0, "view"), ("A", 1, "click"), ("A", 2, "click"), ("A", 3, "purchase"),
+        # conv B: v c p    => match_len 3 at turn 0
+        ("B", 0, "view"), ("B", 1, "click"), ("B", 2, "purchase"),
+        # conv C: v c c c c p => 4 clicks exceeds {1,3}: no match at 0,
+        # but the tail v-less window can't start (no 'view' later)
+        ("C", 0, "view"), ("C", 1, "click"), ("C", 2, "click"),
+        ("C", 3, "click"), ("C", 4, "click"), ("C", 5, "purchase"),
+        # conv D: gap between click and purchase => no match
+        ("D", 0, "view"), ("D", 1, "click"), ("D", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, kind string")
+    steps = [
+        lambda c: c["kind"] == "view",
+        (lambda c: c["kind"] == "click", 1, 3),
+        lambda c: c["kind"] == "purchase",
+    ]
+    out = match_sequence_kleene(df, steps, cols=("kind",))
+    got = {(r["conv_id"], r["start_turn"]): r["match_len"] for r in out.collect()}
+    assert got == {("A", 0): 4, ("B", 0): 3}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints Final AND Initial plan sections — count the
+    # shuffle only in the final one
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange") == 1, plan
+    # shared leads must be computed once, not once per variant
+    assert final.count("lead(kind") <= 4, plan
+
+    with pytest.raises(ValueError, match="1 <= m <= n"):
+        match_sequence_kleene(df, [(steps[0], 0, 2)], cols=("kind",))
+    with pytest.raises(ValueError, match="MAX_KLEENE_DEPTH"):
+        match_sequence_kleene(df, [(steps[0], 1, 40)], cols=("kind",))
+    with pytest.raises(ValueError, match="MAX_KLEENE_VARIANTS"):
+        match_sequence_kleene(
+            df, [(steps[0], 1, 9), (steps[1][0], 1, 9)], cols=("kind",)
+        )
+
+
+def test_match_sequence_kleene_matches_fixed_for_degenerate_bounds(spark):
+    """{1,1} bounds must reduce exactly to match_sequence."""
+    from quanta_spark.operators.stateful import match_sequence, match_sequence_kleene
+
+    rows = [
+        ("A", 0, "user", None), ("A", 1, "tool", "search"), ("A", 2, "user", None),
+        ("B", 0, "user", None), ("B", 1, "tool", "search"), ("B", 3, "user", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    steps = [
+        lambda c: c["role"] == "user",
+        lambda c: c["role"] == "tool",
+        lambda c: c["role"] == "user",
+    ]
+    fixed = {tuple(r) for r in match_sequence(df, steps).collect()}
+    kleene = {tuple(r) for r in match_sequence_kleene(df, [(s, 1, 1) for s in steps]).collect()}
+    assert fixed == kleene == {("A", 0, 3)}
