@@ -24,7 +24,7 @@ directly:
 - IMA-ADPCM audio (WAV format 0x11, ~4:1), below.
 
 Formats whose decoders are full protocol stacks (H.264, AAC) and
-JPEG's progressive/arithmetic/subsampled variants raise a clear
+JPEG's progressive/arithmetic variants raise a clear
 NotImplementedError naming the feature. The Spark-side plumbing is
 identical either way: bytes in a binary column, decoded via
 Arrow-batched ``mapInPandas``.
@@ -508,10 +508,16 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
     """uint8 array (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF
-    JPEG bytes (4:4:4, Annex K quant + Huffman tables, IJG quality
-    scaling). Lossy by design; decode_jpeg reverses it."""
+    JPEG bytes (Annex K quant + Huffman tables, IJG quality scaling).
+    ``subsampling``: "444" (default) or "420" (2x2-mean chroma, luma
+    sampling factor 2x2 — the most common real-world variant). Lossy
+    by design; decode_jpeg reverses it."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     gray = pixels.ndim == 2
     assert pixels.dtype == np.uint8 and (gray or pixels.shape[2] == 3)
     h, w = pixels.shape[:2]
@@ -533,25 +539,51 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
         dc_tabs.append(_huff_canonical(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
         ac_tabs.append(_huff_canonical(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
 
-    by, bx = -(-h // 8), -(-w // 8)
-    # edge-replicate pad to full blocks
+    # per-component sampling factors; 4:2:0 = luma 2x2, chroma 1x1 with
+    # the chroma planes 2x2-mean downsampled first
+    if not gray and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        for i in (1, 2):
+            p = planes[i]
+            p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            planes[i] = (
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # edge-replicate pad every plane to its full MCU grid
     padded = [
-        np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") for p in planes
+        np.pad(
+            p,
+            (
+                (0, mcuy * samp[i][1] * 8 - p.shape[0]),
+                (0, mcux * samp[i][0] * 8 - p.shape[1]),
+            ),
+            mode="edge",
+        )
+        for i, p in enumerate(planes)
     ]
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, plane in enumerate(padded):
                 qi = min(ci, 1)
-                block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-                coef = _DCT_M @ block @ _DCT_M.T
-                quant = np.rint(coef.reshape(64)[_ZIGZAG] / qts[qi][_ZIGZAG]).astype(
-                    np.int64
-                )
-                prev_dc[ci] = _encode_block(
-                    quant, prev_dc[ci], dc_tabs[qi], ac_tabs[qi], bw
-                )
+                hi, vi = samp[ci]
+                for iby in range(vi):
+                    for ibx in range(hi):
+                        ry, rx = (my * vi + iby) * 8, (mx * hi + ibx) * 8
+                        block = plane[ry : ry + 8, rx : rx + 8] - 128.0
+                        coef = _DCT_M @ block @ _DCT_M.T
+                        quant = np.rint(
+                            coef.reshape(64)[_ZIGZAG] / qts[qi][_ZIGZAG]
+                        ).astype(np.int64)
+                        prev_dc[ci] = _encode_block(
+                            quant, prev_dc[ci], dc_tabs[qi], ac_tabs[qi], bw
+                        )
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -568,7 +600,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+        sof += bytes([ci + 1, samp[ci][0] << 4 | samp[ci][1], min(ci, 1)])
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
     out += seg(0xFFC4, dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
@@ -638,8 +670,9 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG bytes -> uint8 array (h, w) for grayscale or
     (h, w, 3) RGB for 3-component YCbCr. Supports baseline sequential
-    DCT (SOF0) with 4:4:4 sampling; progressive / arithmetic /
-    subsampled / restart-interval streams raise naming the feature."""
+    DCT (SOF0) with sampling factors 1-2 (4:4:4 / 4:2:0 / 4:2:2 /
+    4:4:0, triangle chroma upsampling); progressive / arithmetic /
+    restart-interval streams raise naming the feature."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
@@ -698,9 +731,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = [
                 (body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]) for i in range(nc)
             ]
-            if any(s != 0x11 for _, s, _q in comps):
+            if any(
+                (s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
+                for _, s, _q in comps
+            ):
                 raise NotImplementedError(
-                    "chroma subsampling not supported (4:4:4 only)"
+                    "only sampling factors 1 and 2 supported "
+                    "(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
                 )
             sof = (h, w, nc)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
@@ -742,43 +779,87 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"JPEG component references undefined quant table {comps[ci][2]}"
             )
     h, w, nc = sof
-    by, bx = -(-h // 8), -(-w // 8)
+    # interleaved MCU geometry (T.81 A.2.3): an MCU covers
+    # 8*hmax x 8*vmax pixels and carries H_i x V_i blocks per component;
+    # 4:4:4 is the hmax=vmax=1 special case of the same loop
+    hs = [s >> 4 for _, s, _q in comps]
+    vs = [s & 0xF for _, s, _q in comps]
+    hmax, vmax = max(hs), max(vs)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     br = _BitReader(data, pos)
-    planes = [np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in range(nc)]
+    planes = [
+        np.zeros((mcuy * vs[i] * 8, mcux * hs[i] * 8), dtype=np.float64)
+        for i in range(nc)
+    ]
     prev_dc = [0] * nc
-    for my in range(by):
-        for mx in range(bx):
+
+    def decode_block(dc_tab, ac_tab, qt, ci: int) -> np.ndarray:
+        coef = np.zeros(64, dtype=np.int64)
+        size = br.read_huff(dc_tab)
+        if size > 15:
+            # only possible via a corrupted DHT symbol: baseline
+            # DC categories are 0..11 (T.81 F.1.2.1)
+            raise ValueError(f"invalid JPEG DC category {size}")
+        diff = _extend(br.read(size), size) if size else 0
+        prev_dc[ci] += diff
+        coef[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = br.read_huff(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            coef[k] = _extend(br.read(size), size)
+            k += 1
+        deq = np.zeros(64, dtype=np.float64)
+        deq[_ZIGZAG] = coef * qt[_ZIGZAG]
+        return _DCT_M.T @ deq.reshape(8, 8) @ _DCT_M + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, td, ta in scan_sel:
                 dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
                 qt = qtables[comps[ci][2]]
-                coef = np.zeros(64, dtype=np.int64)
-                size = br.read_huff(dc_tab)
-                if size > 15:
-                    # only possible via a corrupted DHT symbol: baseline
-                    # DC categories are 0..11 (T.81 F.1.2.1)
-                    raise ValueError(f"invalid JPEG DC category {size}")
-                diff = _extend(br.read(size), size) if size else 0
-                prev_dc[ci] += diff
-                coef[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = br.read_huff(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    coef[k] = _extend(br.read(size), size)
-                    k += 1
-                deq = np.zeros(64, dtype=np.float64)
-                deq[_ZIGZAG] = coef * qt[_ZIGZAG]
-                block = _DCT_M.T @ deq.reshape(8, 8) @ _DCT_M + 128.0
-                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                for iby in range(vs[ci]):
+                    for ibx in range(hs[ci]):
+                        ry = (my * vs[ci] + iby) * 8
+                        rx = (mx * hs[ci] + ibx) * 8
+                        planes[ci][ry : ry + 8, rx : rx + 8] = decode_block(
+                            dc_tab, ac_tab, qt, ci
+                        )
+    # upsample subsampled planes to full resolution with the triangle
+    # filter (libjpeg's "fancy upsampling": 3:1 taps, centers-aligned —
+    # nearest-neighbor costs ~7 dB chroma PSNR on smooth gradients),
+    # then crop the MCU padding. Constant planes are exact fixed points
+    # ((3c+c)/4 = c), preserving the solid-gray oracle invariant.
+    def up(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+        for axis, f in ((0, fy), (1, fx)):
+            if f == 1:
+                continue
+            n = p.shape[axis]
+            idx = np.arange(n)
+            pm = np.take(p, np.maximum(idx - 1, 0), axis=axis)
+            pp = np.take(p, np.minimum(idx + 1, n - 1), axis=axis)
+            sh = list(p.shape)
+            sh[axis] *= 2
+            out = np.empty(sh, dtype=p.dtype)
+            sl = [slice(None)] * p.ndim
+            sl[axis] = slice(0, None, 2)
+            out[tuple(sl)] = (3.0 * p + pm) / 4.0
+            sl[axis] = slice(1, None, 2)
+            out[tuple(sl)] = (3.0 * p + pp) / 4.0
+            p = out
+        return p
+
+    planes = [
+        up(p, vmax // vs[i], hmax // hs[i])[:h, :w] for i, p in enumerate(planes)
+    ]
     if nc == 1:
         return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
     y, cb, cr = planes

@@ -7,12 +7,13 @@ never round-trip through Python row objects.
 Decode is REAL for every format implementable without codec
 libraries: pure-numpy BMP (24-bit), PNG (8-bit RGB/RGBA — DEFLATE via
 stdlib zlib + all five scanline filters), baseline JPEG (full
-DCT + Annex K quantization/Huffman pipeline in numpy, 4:4:4),
+DCT + Annex K quantization/Huffman pipeline in numpy, 4:4:4 and
+subsampled 4:2:0/4:2:2 with triangle chroma upsampling),
 RIFF WAV (PCM16 + IMA-ADPCM), and the QVID raw-frame video container
 (operators/codecs.py) — decode_media, resize_images and
 sample_video_frames operate on actual pixels/PCM. Formats whose
-decoders would be full protocol stacks (H.264, AAC; progressive/
-subsampled JPEG) raise NotImplementedError naming the feature: that
+decoders would be full protocol stacks (H.264, AAC; progressive
+JPEG) raise NotImplementedError naming the feature: that
 gate is per-FORMAT, not per-operator, and plugging a codec lib into
 the same mapInPandas bodies is the only change a cluster deployment
 needs.
@@ -149,10 +150,11 @@ def decode_header(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL decode path — pure-numpy codecs (operators/codecs.py):
-# BMP + PNG + baseline JPEG for images, RIFF PCM16/IMA-ADPCM for
-# audio, QVID raw frames + Motion-JPEG for video. Only H.264/AAC
-# (full protocol stacks) and progressive/subsampled JPEG still raise,
-# each naming the unsupported feature — per-FORMAT, not per-operator.
+# BMP + PNG + baseline JPEG (4:4:4 + 4:2:0) for images, RIFF
+# PCM16/IMA-ADPCM for audio, QVID raw frames + Motion-JPEG for video.
+# Only H.264/AAC (full protocol stacks) and progressive JPEG still
+# raise, each naming the unsupported feature — per-FORMAT, not
+# per-operator.
 # ---------------------------------------------------------------------------
 
 
@@ -255,7 +257,12 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
                     if d % 8 == 0:
                         payload = encode_png(px, filter_type=(d // 4) % 5)
                     elif d % 8 == 4:
-                        payload = encode_jpeg(px, quality=75)
+                        # alternate 4:4:4 / 4:2:0 — solid gray decodes
+                        # EXACTLY under subsampling too (constant chroma
+                        # is a fixed point of 2x2 mean + triangle
+                        # upsample), so the same oracle covers both
+                        sub = "420" if d % 16 == 12 else "444"
+                        payload = encode_jpeg(px, quality=75, subsampling=sub)
                     else:
                         payload = encode_bmp(px)
                 else:

@@ -267,10 +267,10 @@ def test_jpeg_rejects_unsupported_features():
         decode_jpeg(bytes(prog))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # 4:2:0 subsampling flag rejected: patch Y sampling to 0x22
+    # sampling factors beyond 2 still rejected: patch Y sampling to 0x41
     patched = bytearray(blob)
-    patched[i + 11] = 0x22  # comp1 sampling nibble pair
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    patched[i + 11] = 0x41  # comp1 sampling nibble pair
+    with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(patched))
 
 
@@ -454,3 +454,67 @@ def test_hyperplane_signature_rejects_existing_bucket_column(spark):
     )
     with pytest.raises(ValueError, match="bucket"):
         hyperplane_signature(df, n_bits=4, dim=8)
+
+
+def _chroma_smooth(h: int, w: int, seed: int) -> np.ndarray:
+    """Test image with FIXED-wavelength (>= 24 px) chroma and faster
+    luma — 4:2:0's design domain. _smooth scales one cosine period to
+    the image, so at small dims its chroma sits near Nyquist, which
+    2x2 subsampling discards BY DESIGN (libjpeg behaves identically);
+    a 30 dB contract is only honest on chroma-smooth content."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    y = 127 + 80 * np.cos(2 * np.pi * yy / 17) * np.cos(2 * np.pi * xx / 19)
+    cb = 20 * np.cos(2 * np.pi * (yy + rng.uniform(0, 16)) / 24)
+    cr = 20 * np.sin(2 * np.pi * (xx + rng.uniform(0, 16)) / 28)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+@given(
+    h=st.integers(9, 40),
+    w=st.integers(9, 40),
+    seed=st.integers(0, 30),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_420_roundtrip_quality_contract(h, w, seed):
+    """4:2:0 round-trip on chroma-smooth content: >= 30 dB PSNR at
+    q90; odd dims exercise the MCU edge padding."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _chroma_smooth(h, w, seed)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    mse = ((out.astype(np.float64) - img.astype(np.float64)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    assert psnr >= 30, psnr
+
+
+@given(g=st.integers(0, 255), h=st.integers(8, 33), w=st.integers(8, 33))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_420_solid_gray_exact_at_q75(g, h, w):
+    """Solid gray survives 4:2:0 exactly: constant chroma is invariant
+    under 2x2 mean + nearest upsample, and the luma DC quantizes
+    losslessly at q75 — same invariant the q44 oracle uses for 4:4:4."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = np.full((h, w, 3), g, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(img, quality=75, subsampling="420")) == g).all()
+
+
+def test_jpeg_420_is_smaller_than_444():
+    import numpy as np
+
+    from quanta_spark.operators.codecs import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    base = _smooth(64, 64, 11)
+    b444 = encode_jpeg(base, quality=85)
+    b420 = encode_jpeg(base, quality=85, subsampling="420")
+    assert len(b420) < len(b444)
