@@ -52,8 +52,11 @@ class MetricsListener(StreamingQueryListener):
             "durationMs": dict(p.durationMs) if p.durationMs else {},
             "stateOperators": [
                 {
+                    "operatorName": getattr(s, "operatorName", None),
                     "numRowsTotal": s.numRowsTotal,
                     "numRowsUpdated": s.numRowsUpdated,
+                    "numRowsRemoved": getattr(s, "numRowsRemoved", None),
+                    "memoryUsedBytes": getattr(s, "memoryUsedBytes", None),
                 }
                 for s in (p.stateOperators or [])
             ],
@@ -193,10 +196,29 @@ class MetricsHttpServer:
                 val = rec.get(key)
                 if val is not None:
                     lines.append(f'{metric}{{query="{qid}"}} {val}')
-            state_rows = sum(
-                s.get("numRowsTotal") or 0 for s in rec.get("stateOperators", [])
-            )
+            state_ops = rec.get("stateOperators", [])
+            state_rows = sum(s.get("numRowsTotal") or 0 for s in state_ops)
             lines.append(f'quanta_state_rows_total{{query="{qid}"}} {state_rows}')
+            state_mem = sum(s.get("memoryUsedBytes") or 0 for s in state_ops)
+            lines.append(f'quanta_state_memory_bytes{{query="{qid}"}} {state_mem}')
+            # per-operator breakdown: the observable form of the 100 TB
+            # state-size argument (SCALE.md) — watch each stateful
+            # operator's rows/bytes instead of a blended total
+            for i, s in enumerate(state_ops):
+                op = s.get("operatorName") or str(i)
+                lbl = f'query="{qid}",operator="{op}",index="{i}"'
+                for metric, key in (
+                    ("quanta_state_operator_rows", "numRowsTotal"),
+                    ("quanta_state_operator_rows_updated", "numRowsUpdated"),
+                    ("quanta_state_operator_rows_removed", "numRowsRemoved"),
+                    ("quanta_state_operator_memory_bytes", "memoryUsedBytes"),
+                ):
+                    if s.get(key) is not None:
+                        lines.append(f"{metric}{{{lbl}}} {s[key]}")
+            for phase, ms in (rec.get("durationMs") or {}).items():
+                lines.append(
+                    f'quanta_batch_duration_ms{{query="{qid}",phase="{phase}"}} {ms}'
+                )
         return "\n".join(lines) + "\n"
 
     def start(self) -> int:

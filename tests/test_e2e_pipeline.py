@@ -122,6 +122,8 @@ def test_metrics_http_endpoint_scrapes(spark, transcripts_dir, tmp_workdir):
         ).read().decode()
         assert "quanta_batch_id{" in text
         assert "quanta_input_rows{" in text
+        assert "quanta_state_memory_bytes{" in text
+        assert "quanta_batch_duration_ms{" in text
         raw = _json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/metrics.json", timeout=10
         ).read().decode())
@@ -134,6 +136,40 @@ def test_metrics_http_endpoint_scrapes(spark, transcripts_dir, tmp_workdir):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+    finally:
+        server.stop()
+        spark.streams.removeListener(listener)
+
+
+def test_metrics_state_operator_gauges(spark, transcripts_dir, tmp_workdir):
+    """Stateful queries must surface per-operator state rows/bytes as
+    Prometheus gauges — the observable form of the 100 TB state-size
+    argument (SCALE.md)."""
+    import urllib.request
+
+    from quanta_spark.operators.windows import sessionize
+    from quanta_spark.streaming.engine import MetricsHttpServer, attach_metrics
+
+    listener = attach_metrics(spark)
+    server = MetricsHttpServer(listener)
+    port = server.start()
+    try:
+        rows: list = []
+        src = stream_transcripts_files(
+            spark, transcripts_dir, max_files_per_trigger=4, with_lineage=False
+        )
+        h = start_pipeline(
+            sessionize(src, gap="30 minutes", watermark="1 hour"),
+            lambda b, i: rows.extend(b.collect()),
+            os.path.join(tmp_workdir, "ckpt_state"),
+        )
+        run_to_completion(h)
+        text = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ).read().decode()
+        assert 'quanta_state_operator_rows{' in text
+        assert 'quanta_state_operator_memory_bytes{' in text
+        assert 'operator="' in text
     finally:
         server.stop()
         spark.streams.removeListener(listener)
