@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Streaming scale-step benchmark: the two heaviest STATEFUL operators
+(turn-order CEP and the north-star join->session composite) at 1x and
+10x turns on the same core count — where 10^12-turn scale actually
+bites. Complements bench_scale_step.py (batch ops) and
+bench_scaling.py (fixed input, varying cores).
+
+For each leg the MetricsListener records per-batch addBatch duration
+and state-store rows/bytes, so the output shows not just the wall-time
+ratio but whether STATE grows proportionally to input (it must: state
+is keyed per conversation) and whether per-batch commit cost stays
+bounded.
+
+Interpretation: with the same core count, a healthy ratio is ~10x wall
+(linear work, fixed parallelism) with state bytes ~10x and per-batch
+commit time growing far slower than 10x (RocksDB changelog
+checkpointing uploads deltas, not snapshots).
+
+Usage: python bench_scale_step_stream.py   (IDLE box! ~10 min)
+Writes BENCH/scale_step_stream.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+
+from quanta_spark.datagen import GenSpec, generate, write_heartbeat_file, write_transcripts  # noqa: E402
+from quanta_spark.operators.stateful import enforce_turn_order, reply_session_stats  # noqa: E402
+from quanta_spark.session import get_spark  # noqa: E402
+from quanta_spark.sources.readers import stream_transcripts_files  # noqa: E402
+from quanta_spark.streaming.engine import attach_metrics, run_to_completion, start_pipeline  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BASE_TURNS = int(os.environ.get("QS_STREAM_STEP_TURNS", "600000"))
+SCALES = {"1x": BASE_TURNS, "10x": BASE_TURNS * 10}
+
+
+def _input_dir(target_turns: int, n_files: int = 128) -> tuple[str, int]:
+    n_convs = max(200, target_turns // 16)
+    spec = GenSpec(
+        n_convs=n_convs, mean_turns=16, seed=42, mega_frac=0.02, late_frac=0.005
+    )
+    cache = f"/tmp/qs_stream_step_{n_convs}"
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        write_transcripts(cache, spec, n_files=n_files)
+        pdf = generate(spec)
+        write_heartbeat_file(cache, pdf["ts"].max() + pd.Timedelta(days=30))
+        with open(marker, "w") as f:
+            f.write(str(len(pdf)))
+    with open(marker) as f:
+        return cache, int(f.read())
+
+
+def _run(spark, listener, data_dir: str, op, ckpt: str) -> dict:
+    start_idx = len(listener.progress)
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=64, with_lineage=False
+    )
+    counts: list[int] = []
+    t0 = time.perf_counter()
+    h = start_pipeline(op(src), lambda b, i: counts.append(b.count()), ckpt)
+    run_to_completion(h)
+    wall = time.perf_counter() - t0
+    with listener._lock:
+        recs = listener.progress[start_idx:]
+    add_batch = [r["durationMs"].get("addBatch") for r in recs if r["durationMs"].get("addBatch")]
+    state_rows = [
+        sum(s.get("numRowsTotal") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    state_bytes = [
+        sum(s.get("memoryUsedBytes") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    return {
+        "wall_sec": round(wall, 3),
+        "batches": len(recs),
+        "add_batch_ms_mean": round(sum(add_batch) / max(len(add_batch), 1), 1),
+        "add_batch_ms_max": max(add_batch, default=0),
+        "state_rows_max": max(state_rows, default=0),
+        "state_bytes_max": max(state_bytes, default=0),
+        "output_rows": int(sum(counts)),
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="quanta_stream_step", cores=CPUS, shuffle_partitions=CPUS
+    )
+    listener = attach_metrics(spark)
+    ops = {
+        "stream_turn_order": lambda src: enforce_turn_order(src, watermark="1 hour"),
+        "stream_composite": lambda src: reply_session_stats(src, watermark="1 hour"),
+    }
+    work = f"/tmp/qs_stream_step_work_{os.getpid()}"
+    os.makedirs(work, exist_ok=True)
+    results: dict[str, dict] = {name: {} for name in ops}
+    turns: dict[str, int] = {}
+    for tag, target in SCALES.items():
+        data_dir, n_turns = _input_dir(target)
+        turns[tag] = n_turns
+        # warm file listing + JVM before the first timed leg of the scale
+        spark.read.parquet(os.path.join(data_dir, "part-00000.parquet")).count()
+        for name, op in ops.items():
+            r = _run(spark, listener, data_dir, op, os.path.join(work, f"{name}_{tag}"))
+            r["turns"] = n_turns
+            r["turns_per_sec"] = round(n_turns / r["wall_sec"], 1)
+            results[name][tag] = r
+    for name, r in results.items():
+        r["wall_ratio_10x"] = round(r["10x"]["wall_sec"] / r["1x"]["wall_sec"], 2)
+        r["state_bytes_ratio_10x"] = round(
+            r["10x"]["state_bytes_max"] / max(r["1x"]["state_bytes_max"], 1), 2
+        )
+        r["add_batch_ratio_10x"] = round(
+            r["10x"]["add_batch_ms_mean"] / max(r["1x"]["add_batch_ms_mean"], 1e-9), 2
+        )
+    payload = {
+        "metric": "stateful streaming wall/state/commit at 1x vs 10x turns, fixed cores",
+        "cores": CPUS,
+        "turns": turns,
+        "ops": results,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scale_step_stream.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
