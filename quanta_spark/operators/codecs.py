@@ -471,21 +471,16 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _encode_block(
-    coef: np.ndarray, prev_dc: int, dc_tab: dict, ac_tab: dict, bw: _BitWriter
-) -> int:
-    """Entropy-encode one quantized 8x8 block (zigzag order in)."""
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1  # one's complement
+    return size, bits
 
-    def magnitude(v: int) -> tuple[int, int]:
-        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        bits = v if v >= 0 else v + (1 << size) - 1  # one's complement
-        return size, bits
 
-    dc = int(coef[0])
-    size, bits = magnitude(dc - prev_dc)
-    code, ln = dc_tab[size]
-    bw.write(code, ln)
-    bw.write(bits, size)
+def _encode_ac(coef: np.ndarray, ac_tab: dict, bw: _BitWriter) -> None:
+    """Run-length entropy-encode AC coefficients 1..63 of one block
+    (zigzag order in), EOB-terminated. In a progressive AC-first scan
+    the same coding is spec-legal: 0x00 there means EOB-run of 1."""
     run = 0
     last_nz = int(np.nonzero(coef[1:])[0][-1]) + 1 if np.any(coef[1:]) else 0
     for k in range(1, last_nz + 1):
@@ -497,7 +492,7 @@ def _encode_block(
             code, ln = ac_tab[0xF0]  # ZRL
             bw.write(code, ln)
             run -= 16
-        size, bits = magnitude(v)
+        size, bits = _jpeg_magnitude(v)
         code, ln = ac_tab[(run << 4) | size]
         bw.write(code, ln)
         bw.write(bits, size)
@@ -505,6 +500,18 @@ def _encode_block(
     if last_nz < 63:
         code, ln = ac_tab[0x00]  # EOB
         bw.write(code, ln)
+
+
+def _encode_block(
+    coef: np.ndarray, prev_dc: int, dc_tab: dict, ac_tab: dict, bw: _BitWriter
+) -> int:
+    """Entropy-encode one quantized 8x8 block (zigzag order in)."""
+    dc = int(coef[0])
+    size, bits = _jpeg_magnitude(dc - prev_dc)
+    code, ln = dc_tab[size]
+    bw.write(code, ln)
+    bw.write(bits, size)
+    _encode_ac(coef, ac_tab, bw)
     return dc
 
 
@@ -618,6 +625,247 @@ def encode_jpeg(
     return bytes(out)
 
 
+# Progressive AC scans carry their own Huffman table: the Annex K AC
+# tables define no EOBn symbols beyond EOB0, but real progressive
+# streams batch end-of-band runs across blocks (that's most of their
+# win). A flat 9-bit canonical code over every symbol the scan can
+# emit keeps the table tiny and deterministic — optimal-table
+# generation is an encoder quality knob, not a format requirement.
+_AC_PROG_VALS = sorted(
+    [r << 4 for r in range(15)]  # EOB0..EOB14 (runs up to 32767)
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_VALS)  # every symbol at code length 9
+
+
+def _flush_eobrun(ac_tab: dict, bw: _BitWriter, eobrun: int) -> int:
+    if eobrun:
+        r = eobrun.bit_length() - 1  # eobrun in [2^r, 2^(r+1))
+        code, ln = ac_tab[r << 4]
+        bw.write(code, ln)
+        bw.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _encode_ac_prog(
+    coef: np.ndarray, ac_tab: dict, bw: _BitWriter, eobrun: int, al: int = 0
+) -> int:
+    """Progressive AC-first coding of one block's band 1..63 at bit
+    position ``al`` (sign-magnitude point transform, T.81 G.1.2.2)
+    with cross-block EOB runs. Returns the pending run."""
+    vals = [
+        (1 if int(coef[k]) >= 0 else -1) * (abs(int(coef[k])) >> al)
+        for k in range(64)
+    ]
+    last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
+    if last_nz == 0:
+        eobrun += 1
+        return _flush_eobrun(ac_tab, bw, eobrun) if eobrun == 0x7FFF else eobrun
+    eobrun = _flush_eobrun(ac_tab, bw, eobrun)
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, ln = ac_tab[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        eobrun = 1  # this block's EOB starts a new run
+    return eobrun
+
+
+def _encode_ac_refine_scan(
+    blocks: np.ndarray, ac_tab: dict, bw: _BitWriter, al: int
+) -> None:
+    """Progressive AC refinement scan (Ah=al+1, Al=al) over all blocks
+    of one component (T.81 G.1.2.3, the jcphuff.c shape): newly-nonzero
+    coefficients appear as run-coded +-1 symbols; already-nonzero ones
+    contribute one buffered correction bit each, order-preserved across
+    symbol boundaries; EOB runs span blocks."""
+    eobrun = 0
+    buf: list[int] = []  # correction bits; first `be` belong to the EOB run
+    be = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            bw.write(code, ln)
+            bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in buf[:be]:
+            bw.write(b, 1)
+        del buf[:be]
+        be = 0
+
+    def emit_rest() -> None:
+        nonlocal be
+        for b in buf:
+            bw.write(b, 1)
+        buf.clear()
+        be = 0
+
+    nb_y, nb_x = blocks.shape[:2]
+    for yy in range(nb_y):
+        for xx in range(nb_x):
+            coef = blocks[yy, xx]
+            absv = [abs(int(coef[k])) >> al for k in range(64)]
+            r = 0
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                if t > 1:  # already nonzero at coarser precision
+                    buf.append(t & 1)
+                    continue
+                # newly nonzero (+-1 at this bit position)
+                while r > 15:
+                    flush_eob()
+                    code, ln = ac_tab[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    emit_rest()
+                flush_eob()
+                code, ln = ac_tab[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(coef[k]) >= 0 else 0, 1)
+                emit_rest()
+                r = 0
+            if r > 0 or len(buf) > be:
+                eobrun += 1
+                be = len(buf)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 array (h, w) grayscale or (h, w, 3) RGB -> PROGRESSIVE
+    JFIF JPEG bytes (SOF2, 4:4:4). Scan script: interleaved DC first
+    scan at successive-approximation bit 1, DC refinement scan, then
+    one spectral-selection AC scan (Ss=1..Se=63) per component — it
+    exercises the Al>0 DC path, the refinement path and EOB-run
+    coding; decode_jpeg reverses it. Same Annex K tables and IJG
+    quality scaling as the baseline encoder, so quality contracts
+    carry over."""
+    gray = pixels.ndim == 2
+    assert pixels.dtype == np.uint8 and (gray or pixels.shape[2] == 3)
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        r, g, b = (pixels[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    nc = len(planes)
+    qts = [_jpeg_scaled_qt(_JPEG_QT_LUMA, quality)]
+    dc_tabs = [_huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    if not gray:
+        qts.append(_jpeg_scaled_qt(_JPEG_QT_CHROMA, quality))
+        dc_tabs.append(_huff_canonical(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    by, bx = -(-h // 8), -(-w // 8)
+    padded = [
+        np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") for p in planes
+    ]
+    # quantized zigzag coefficients per component/block
+    coefs = np.zeros((nc, by, bx, 64), dtype=np.int64)
+    for ci, plane in enumerate(padded):
+        qi = min(ci, 1)
+        for yy in range(by):
+            for xx in range(bx):
+                block = plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] - 128.0
+                coef = _DCT_M @ block @ _DCT_M.T
+                coefs[ci, yy, xx] = np.rint(
+                    coef.reshape(64)[_ZIGZAG] / qts[qi][_ZIGZAG]
+                ).astype(np.int64)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+    def sos(sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(sel)])
+        for ci in sel:
+            # DC tables 0/1 (Annex K); every AC scan uses table 0 (the
+            # shared EOBn-capable progressive table)
+            body += bytes([ci + 1, min(ci, 1) << 4 | 0])
+        body += bytes([ss, se, ah << 4 | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qts[0][_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qts[1][_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(0xFFC4, dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += seg(0xFFC4, dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS))
+    if not gray:
+        out += seg(0xFFC4, dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    ac_prog = _huff_canonical(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    # scan 1: DC first, successive approximation Al=1 (diffs of DC>>1)
+    bw = _BitWriter()
+    prev = [0] * nc
+    for yy in range(by):
+        for xx in range(bx):
+            for ci in range(nc):
+                dc = int(coefs[ci, yy, xx, 0]) >> 1  # arithmetic shift
+                size, bits = _jpeg_magnitude(dc - prev[ci])
+                code, ln = dc_tabs[min(ci, 1)][size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                prev[ci] = dc
+    out += sos(list(range(nc)), 0, 0, 0, 1) + bw.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block
+    bw = _BitWriter()
+    for yy in range(by):
+        for xx in range(bx):
+            for ci in range(nc):
+                bw.write(int(coefs[ci, yy, xx, 0]) & 1, 1)
+    out += sos(list(range(nc)), 0, 0, 1, 0) + bw.flush()
+
+    # scans 3..: per component, a full-band AC first scan at bit 1 then
+    # an AC refinement scan — successive approximation on AC, the
+    # libjpeg default script shape. Cross-block EOB runs round-trip the
+    # decoder's EOBRUN>1 path; refinement round-trips correction bits.
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+        for yy in range(by):
+            for xx in range(bx):
+                eobrun = _encode_ac_prog(coefs[ci, yy, xx], ac_prog, bw, eobrun, al=1)
+        _flush_eobrun(ac_prog, bw, eobrun)
+        out += sos([ci], 1, 63, 0, 1) + bw.flush()
+    for ci in range(nc):
+        bw = _BitWriter()
+        _encode_ac_refine_scan(coefs[ci], ac_prog, bw, al=0)
+        out += sos([ci], 1, 63, 1, 0) + bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment, reversing
     0xFF00 byte stuffing; stops at any non-stuffing marker."""
@@ -667,6 +915,167 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip entropy-coded data starting at ``pos``; return the offset of
+    the next true marker (0xFF + non-stuffing, non-RST, non-fill)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+            elif nxt == 0xFF:
+                pos += 1
+            else:
+                return pos
+        else:
+            pos += 1
+    raise ValueError("JPEG stream ended without EOI")
+
+
+def _prog_ac_first(br: "_BitReader", c: np.ndarray, ss: int, se: int, al: int,
+                   ac_tab: dict, eobrun: int) -> int:
+    """Progressive AC first scan (Ah=0) for one block (T.81 G.1.2.2):
+    run-length coded values at bit position Al, with EOBn run lengths
+    spanning blocks."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = br.read_huff(ac_tab)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("progressive AC coefficient index out of band")
+        c[k] = _extend(br.read(s), s) * (1 << al)
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br: "_BitReader", c: np.ndarray, ss: int, se: int, al: int,
+                    ac_tab: dict, eobrun: int) -> int:
+    """Progressive AC refinement scan (Ah>0) for one block (T.81
+    G.1.2.3): one correction bit per already-nonzero coefficient, new
+    coefficients appear at +-2^Al."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+
+    def refine_one(k: int) -> None:
+        if br.read(1) and not (int(c[k]) & p1):
+            c[k] += p1 if c[k] >= 0 else m1
+
+    if eobrun == 0:
+        while k <= se:
+            sym = br.read_huff(ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("invalid progressive AC refinement magnitude")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if c[k] != 0:
+                    refine_one(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                c[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            if c[k] != 0:
+                refine_one(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+    data: bytes,
+    scans: list[tuple],
+    comps: list[tuple[int, int, int]],
+    qtables: dict[int, np.ndarray],
+    h: int,
+    w: int,
+) -> list[np.ndarray]:
+    """Progressive (SOF2) coefficient accumulation over all scans, then
+    one dequantize+IDCT pass. 4:4:4 only (enforced at SOF parse), so
+    every component shares the full-image block grid."""
+    nc = len(comps)
+    by, bx = -(-h // 8), -(-w // 8)
+    coefs = np.zeros((nc, by, bx, 64), dtype=np.int64)
+    for sel, ss, se, ah, al, start, dc_snap, ac_snap in scans:
+        br = _BitReader(data, start)
+        eobrun = 0
+        prev_dc = [0] * nc
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ah == 0:
+                for _, td, _ta in sel:
+                    if dc_snap.get(td) is None:
+                        raise ValueError(
+                            f"progressive scan references undefined DC table {td}"
+                        )
+            for yy in range(by):
+                for xx in range(bx):
+                    for ci, td, _ta in sel:
+                        c = coefs[ci, yy, xx]
+                        if ah == 0:
+                            size = br.read_huff(dc_snap[td])
+                            if size > 15:
+                                raise ValueError(f"invalid JPEG DC category {size}")
+                            diff = _extend(br.read(size), size) if size else 0
+                            prev_dc[ci] += diff
+                            c[0] = prev_dc[ci] * (1 << al)
+                        elif br.read(1):
+                            c[0] |= 1 << al
+        else:
+            if len(sel) != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            ci, _td, ta = sel[0]
+            if ac_snap.get(ta) is None:
+                raise ValueError(
+                    f"progressive scan references undefined AC table {ta}"
+                )
+            fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+            for yy in range(by):
+                for xx in range(bx):
+                    eobrun = fn(br, coefs[ci, yy, xx], ss, se, al,
+                                ac_snap[ta], eobrun)
+    planes = []
+    for ci in range(nc):
+        if comps[ci][2] not in qtables:
+            raise ValueError(
+                f"JPEG component references undefined quant table {comps[ci][2]}"
+            )
+        qt = qtables[comps[ci][2]]
+        deq = np.zeros((by, bx, 64), dtype=np.float64)
+        deq[:, :, _ZIGZAG] = coefs[ci] * qt[_ZIGZAG]
+        blocks = np.einsum(
+            "ij,yxjk,kl->yxil", _DCT_M.T, deq.reshape(by, bx, 8, 8), _DCT_M
+        ) + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)[:h, :w])
+    return planes
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG bytes -> uint8 array (h, w) for grayscale or
     (h, w, 3) RGB for 3-component YCbCr. Supports baseline sequential
@@ -679,6 +1088,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
+    prog_scans: list[tuple] = []
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt)
     scan_sel: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
     while pos + 2 <= len(data):
@@ -720,17 +1131,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("JPEG DHT segment truncated")
                 htables[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
             if len(body) < 6:
-                raise ValueError("JPEG SOF0 segment truncated")
+                raise ValueError("JPEG SOF segment truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             if len(body) < 6 + 3 * nc:
-                raise ValueError("JPEG SOF0 segment truncated")
+                raise ValueError("JPEG SOF segment truncated")
             comps = [
                 (body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]) for i in range(nc)
             ]
+            progressive = marker == 0xFFC2
+            if progressive and any(s != 0x11 for _, s, _q in comps):
+                raise NotImplementedError(
+                    "progressive JPEG with chroma subsampling not supported"
+                )
             if any(
                 (s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
                 for _, s, _q in comps
@@ -740,9 +1156,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     "(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
                 )
             sof = (h, w, nc)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) supported, got SOF marker 0x{marker:04X}"
+                f"only baseline (SOF0) and progressive (SOF2) DCT supported, "
+                f"got SOF marker 0x{marker:04X}"
             )
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals not supported")
@@ -750,8 +1167,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not body:
                 raise ValueError("JPEG SOS segment truncated")
             ns = body[0]
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS segment truncated")
+            sel: list[tuple[int, int, int]] = []
             for i in range(ns):
                 cid, tsel = body[1 + i * 2], body[2 + i * 2]
                 ci = next(
@@ -761,12 +1179,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(
                         f"JPEG SOS references unknown component id {cid}"
                     )
-                scan_sel.append((ci, tsel >> 4, tsel & 0xF))
+                sel.append((ci, tsel >> 4, tsel & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0xF
             pos += 2 + length
+            if progressive:
+                if ss > 63 or se > 63 or ss > se:
+                    raise ValueError(
+                        f"invalid progressive spectral band Ss={ss} Se={se}"
+                    )
+                # snapshot tables NOW: DHT may be redefined between scans
+                dc_snap = {td: htables.get((0, td)) for _, td, _ta in sel}
+                ac_snap = {ta: htables.get((1, ta)) for _, _td, ta in sel}
+                prog_scans.append((sel, ss, se, ah, al, pos, dc_snap, ac_snap))
+                pos = _next_marker(data, pos)
+                continue
+            scan_sel = sel
             break
         pos += 2 + length
-    if sof is None or not scan_sel:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if sof is None or not (scan_sel or prog_scans):
+        raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        h, w, nc = sof
+        planes = _decode_progressive(data, prog_scans, comps, qtables, h, w)
+        if nc == 1:
+            return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     # loop-invariant table validation, hoisted so a corrupt file fails
     # BEFORE any entropy decoding instead of inside the per-MCU loop
     for ci, td, ta in scan_sel:
@@ -929,7 +1373,9 @@ def _jpeg_end(data: bytes, start: int) -> int:
                 elif nxt == 0xFF:  # fill byte before a marker
                     pos += 1
                 else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                    # any other marker ends this entropy segment — in a
+                    # progressive stream more DHT/SOS scans follow
+                    in_scan = False
             else:
                 pos += 1
     raise ValueError("JPEG stream ended without EOI")

@@ -230,6 +230,7 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
     from quanta_spark.operators.codecs import (
         encode_bmp,
         encode_jpeg,
+        encode_jpeg_progressive,
         encode_png,
         encode_qvid,
     )
@@ -257,12 +258,17 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
                     if d % 8 == 0:
                         payload = encode_png(px, filter_type=(d // 4) % 5)
                     elif d % 8 == 4:
-                        # alternate 4:4:4 / 4:2:0 — solid gray decodes
-                        # EXACTLY under subsampling too (constant chroma
-                        # is a fixed point of 2x2 mean + triangle
-                        # upsample), so the same oracle covers both
-                        sub = "420" if d % 16 == 12 else "444"
-                        payload = encode_jpeg(px, quality=75, subsampling=sub)
+                        # rotate 4:4:4 / 4:2:0 / progressive — solid
+                        # gray decodes EXACTLY under all three (constant
+                        # chroma is a fixed point of 2x2 mean + triangle
+                        # upsample; SA scans reassemble the exact DC),
+                        # so the same oracle covers every variant
+                        if d % 16 == 12:
+                            payload = encode_jpeg(px, quality=75, subsampling="420")
+                        elif d % 32 == 20:
+                            payload = encode_jpeg_progressive(px, quality=75)
+                        else:
+                            payload = encode_jpeg(px, quality=75)
                     else:
                         payload = encode_bmp(px)
                 else:

@@ -260,10 +260,15 @@ def test_jpeg_rejects_unsupported_features():
     from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
 
     blob = bytearray(encode_jpeg(_smooth(16, 16, 1), quality=75))
-    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
     i = bytes(blob).index(b"\xff\xc0")
+    # flip SOF0 into lossless SOF3 — still unsupported
+    lossless = blob[:i] + b"\xff\xc3" + blob[i + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(lossless))
+    # SOF2 is supported now, but a baseline-coded scan relabeled
+    # progressive has an invalid scan header -> structured error
     prog = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(prog))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
@@ -518,3 +523,71 @@ def test_jpeg_420_is_smaller_than_444():
     b444 = encode_jpeg(base, quality=85)
     b420 = encode_jpeg(base, quality=85, subsampling="420")
     assert len(b420) < len(b444)
+
+
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    q=st.sampled_from([20, 50, 75, 90]),
+    seed=st.integers(0, 30),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_progressive_matches_baseline_bit_exact(h, w, q, seed):
+    """Progressive (SOF2: DC successive approximation + refinement, AC
+    spectral selection at bit 1 + AC refinement, cross-block EOB runs)
+    encodes the SAME quantized coefficients as baseline — so decode
+    must match the baseline decode bit-for-bit."""
+    from quanta_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth(h, w, seed)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_noise_gray_solid_and_structure():
+    """Noise content (dense AC symbols), grayscale, and the all-zero-AC
+    solid image (one EOB run spanning every block) all round-trip; the
+    structural frame walk handles the multi-scan layout."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import (
+        _jpeg_end,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(noise, quality=70))
+        == decode_jpeg(encode_jpeg(noise, quality=70))
+    ).all()
+    g = noise[:, :, 0].copy()
+    assert (
+        decode_jpeg(encode_jpeg_progressive(g, quality=85))
+        == decode_jpeg(encode_jpeg(g, quality=85))
+    ).all()
+    solid = np.full((48, 56, 3), 190, dtype=np.uint8)
+    blob = encode_jpeg_progressive(solid, quality=75)
+    assert (decode_jpeg(blob) == 190).all()
+    assert _jpeg_end(blob, 0) == len(blob)
+
+
+def test_jpeg_progressive_rejects_subsampling():
+    import struct
+
+    import pytest
+
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg_progressive
+
+    blob = bytearray(encode_jpeg_progressive(_smooth(16, 16, 1), quality=75))
+    i = bytes(blob).index(b"\xff\xc2")
+    blob[i + 11] = 0x22  # luma sampling 2x2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
