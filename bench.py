@@ -83,6 +83,12 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+
 def run_stream(spark, data_dir: str, op, ckpt: str, files_per_trigger: int = 64) -> None:
     """files_per_trigger=64 over 128 files => 2 data batches + flush —
     the same mega-batch stance as the scaling protocol: the ~3s/batch
@@ -109,6 +115,11 @@ def run_e2e_sink(spark, data_dir: str, out_dir: str) -> None:
 
 def main() -> None:
     sf = _sf_of(SF_DIR)
+    # box-load evidence (BENCH/BASELINE.md variance protocol): pre-run
+    # load average + external busy cores sampled over the whole run, so
+    # a noisy-neighbor leg is visible IN the result JSON, not just prose
+    load_before = os.getloadavg()
+    j0, i0 = _cpu_jiffies()
     spark = get_spark(
         app_name=f"quanta_bench_sf{sf}", cores=CPUS, shuffle_partitions=CPUS
     )
@@ -163,6 +174,8 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
     total = round(sum(times.values()), 3)
+    j1, i1 = _cpu_jiffies()
+    ncpu = os.cpu_count() or CPUS
     print(
         json.dumps(
             {
@@ -174,6 +187,12 @@ def main() -> None:
                 "cores": CPUS,
                 "stream_turns": n_turns,
                 "turns_per_sec": tps,
+                "box": {
+                    "loadavg_before": [round(v, 2) for v in load_before],
+                    "busy_cores_avg_during": round(
+                        (1 - (i1 - i0) / (j1 - j0)) * ncpu, 1
+                    ),
+                },
             }
         )
     )
