@@ -470,6 +470,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-bit padding) and emit restart marker RSTn."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
     size = int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -516,15 +523,22 @@ def _encode_block(
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 array (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF
     JPEG bytes (Annex K quant + Huffman tables, IJG quality scaling).
     ``subsampling``: "444" (default) or "420" (2x2-mean chroma, luma
-    sampling factor 2x2 — the most common real-world variant). Lossy
-    by design; decode_jpeg reverses it."""
+    sampling factor 2x2 — the most common real-world variant).
+    ``restart_interval``: MCUs between RSTn markers (0 = none) — the
+    error-resilience feature most camera encoders emit. Lossy by
+    design; decode_jpeg reverses it."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(f"restart_interval {restart_interval} out of range")
     gray = pixels.ndim == 2
     assert pixels.dtype == np.uint8 and (gray or pixels.shape[2] == 3)
     h, w = pixels.shape[:2]
@@ -575,8 +589,15 @@ def encode_jpeg(
     ]
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.restart(rst_idx)
+                rst_idx += 1
+                prev_dc = [0] * len(planes)
+            mcu_count += 1
             for ci, plane in enumerate(padded):
                 qi = min(ci, 1)
                 hi, vi = samp[ci]
@@ -614,6 +635,8 @@ def encode_jpeg(
     if not gray:
         out += seg(0xFFC4, dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
         out += seg(0xFFC4, dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = min(ci, 1)
@@ -901,6 +924,17 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def sync_restart(self, n: int) -> None:
+        """Discard padding bits, consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected JPEG restart marker")
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != n % 8:
+            raise ValueError(f"unexpected restart marker 0xFF{m:02X}")
+        self.pos += 2
+
     def read_huff(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
         for length in range(1, 17):
@@ -1077,11 +1111,13 @@ def _decode_progressive(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes -> uint8 array (h, w) for grayscale or
+    """JFIF JPEG bytes -> uint8 array (h, w) for grayscale or
     (h, w, 3) RGB for 3-component YCbCr. Supports baseline sequential
     DCT (SOF0) with sampling factors 1-2 (4:4:4 / 4:2:0 / 4:2:2 /
-    4:4:0, triangle chroma upsampling); progressive / arithmetic /
-    restart-interval streams raise naming the feature."""
+    4:4:0, triangle chroma upsampling) and restart intervals
+    (DRI/RSTn), plus progressive DCT (SOF2, 4:4:4: successive
+    approximation + spectral selection + EOB runs); arithmetic coding
+    and lossless/hierarchical SOFs raise naming the feature."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
@@ -1089,6 +1125,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     progressive = False
+    restart_interval = 0
     prog_scans: list[tuple] = []
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt)
     scan_sel: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
@@ -1162,7 +1199,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"got SOF marker 0x{marker:04X}"
             )
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals not supported")
+            if len(body) < 2:
+                raise ValueError("JPEG DRI segment truncated")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFDA:
             if not body:
                 raise ValueError("JPEG SOS segment truncated")
@@ -1201,6 +1240,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if sof is None or not (scan_sel or prog_scans):
         raise ValueError("JPEG missing SOF/SOS")
     if progressive:
+        if restart_interval:
+            raise NotImplementedError(
+                "restart intervals in progressive JPEG not supported"
+            )
         h, w, nc = sof
         planes = _decode_progressive(data, prog_scans, comps, qtables, h, w)
         if nc == 1:
@@ -1265,8 +1308,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         deq[_ZIGZAG] = coef * qt[_ZIGZAG]
         return _DCT_M.T @ deq.reshape(8, 8) @ _DCT_M + 128.0
 
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart(rst_idx)
+                rst_idx += 1
+                prev_dc[:] = [0] * nc
+            mcu_count += 1
             for ci, td, ta in scan_sel:
                 dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
                 qt = qtables[comps[ci][2]]

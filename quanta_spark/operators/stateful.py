@@ -306,6 +306,8 @@ def match_sequence(
     cols: tuple[str, ...] = ("role", "tool"),
     key_col: str = "conv_id",
     order_col: str = "turn_idx",
+    within: str | None = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Fixed-length CEP sequence detection (MATCH_RECOGNIZE-style)
     over per-conversation turn order: a match starts at turn i when
@@ -314,6 +316,9 @@ def match_sequence(
 
     Each step is a callable taking a dict of {col -> Column} (the
     lead-j view of ``cols``) and returning a boolean Column.
+    ``within`` (e.g. "30 minutes") additionally bounds the event-time
+    span ``ts[last] - ts[first]`` of the whole match — the WITHIN
+    clause of CEP engines.
 
     Plan: ONE shuffle on the conversation key, then pure window/lead
     codegen — a k-step pattern as k-1 self-joins would be k-1
@@ -333,8 +338,15 @@ def match_sequence(
         if j:
             p = p & (F.lead(order_col, j).over(w) == F.col(order_col) + j)
         pred = p if pred is None else pred & p
+    extra = [ts_col] if within else []
+    if within:
+        last = len(steps) - 1
+        span_ok = (
+            F.lead(ts_col, last).over(w) if last else F.col(ts_col)
+        ) - F.col(ts_col) <= F.expr(f"INTERVAL {within}")
+        pred = pred & span_ok
     return (
-        df.select(key_col, order_col, *cols)
+        df.select(key_col, order_col, *cols, *extra)
         .withColumn("_match", pred)
         .filter(F.col("_match"))
         .select(
@@ -355,6 +367,8 @@ def match_sequence_kleene(
     cols: tuple[str, ...] = ("role", "tool"),
     key_col: str = "conv_id",
     order_col: str = "turn_idx",
+    within: str | None = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """CEP sequence detection with bounded Kleene quantifiers
     (MATCH_RECOGNIZE-style ``step{m,n}``), extending match_sequence's
@@ -365,7 +379,11 @@ def match_sequence_kleene(
     must hold on between m and n CONTIGUOUS consecutive turns (m >= 1).
     Matching is GREEDY per start turn (the longest matching expansion
     wins — the MATCH_RECOGNIZE default); every matching start turn is
-    reported with its greedy match_len.
+    reported with its greedy match_len. ``within`` (e.g. "30 minutes")
+    bounds each variant's event-time span ``ts[last] - ts[first]`` —
+    the WITHIN clause of CEP engines; a variant too spread out in time
+    doesn't match even when its predicates do, so under greedy
+    selection a shorter, tighter variant can win instead.
 
     Plan: the bounded pattern expands into all fixed-length variants
     (cartesian product of repetition counts, capped at
@@ -406,9 +424,10 @@ def match_sequence_kleene(
     # dedup textually-identical lead() expressions across variants, so
     # building predicates straight from F.lead would compute every
     # shared lead once per variant referencing it
-    work = df.select(key_col, order_col, *cols)
+    lead_cols = (*cols, order_col, *((ts_col,) if within else ()))
+    work = df.select(key_col, order_col, *cols, *((ts_col,) if within else ()))
     for j in range(1, max_len):
-        for c in (*cols, order_col):
+        for c in lead_cols:
             work = work.withColumn(f"_l{j}_{c}", F.lead(c, j).over(w))
 
     def lead_view(j: int) -> dict:
@@ -428,6 +447,11 @@ def match_sequence_kleene(
                     )
                 pred = p if pred is None else pred & p
                 j += 1
+        if within:
+            last_ts = F.col(f"_l{j - 1}_{ts_col}") if j > 1 else F.col(ts_col)
+            pred = pred & (
+                last_ts - F.col(ts_col) <= F.expr(f"INTERVAL {within}")
+            )
         return pred, j
 
     # greedy: longest expansion first; ties in length are impossible to

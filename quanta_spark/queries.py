@@ -2035,6 +2035,64 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q68_cep_within",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+k AS (
+  SELECT conv_id, turn_idx, split_part(text, ' ', 1) AS kind, ts FROM transcripts
+),
+x AS (
+  SELECT conv_id, turn_idx, kind AS k0, ts,
+         lead(kind, 1) OVER w AS k1, lead(kind, 2) OVER w AS k2,
+         lead(kind, 3) OVER w AS k3, lead(kind, 4) OVER w AS k4,
+         lead(turn_idx, 1) OVER w AS t1, lead(turn_idx, 2) OVER w AS t2,
+         lead(turn_idx, 3) OVER w AS t3, lead(turn_idx, 4) OVER w AS t4,
+         lead(ts, 2) OVER w AS ts2, lead(ts, 3) OVER w AS ts3,
+         lead(ts, 4) OVER w AS ts4
+  FROM k
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+m AS (
+  SELECT conv_id, turn_idx AS start_turn,
+    CASE
+      WHEN k0='view' AND k1='click' AND k2='click' AND k3='click' AND k4='purchase'
+           AND t1=turn_idx+1 AND t2=turn_idx+2 AND t3=turn_idx+3 AND t4=turn_idx+4
+           AND ts4 - ts <= INTERVAL '24 hours' THEN 5
+      WHEN k0='view' AND k1='click' AND k2='click' AND k3='purchase'
+           AND t1=turn_idx+1 AND t2=turn_idx+2 AND t3=turn_idx+3
+           AND ts3 - ts <= INTERVAL '24 hours' THEN 4
+      WHEN k0='view' AND k1='click' AND k2='purchase'
+           AND t1=turn_idx+1 AND t2=turn_idx+2
+           AND ts2 - ts <= INTERVAL '24 hours' THEN 3
+    END AS match_len
+  FROM x
+)
+SELECT conv_id, start_turn, CAST(match_len AS INT) AS match_len
+FROM m WHERE match_len IS NOT NULL
+""",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP WITHIN clause: the q67 funnel additionally bounded to a
+    24-hour event-time span between first and last matched turn (per
+    GREEDY variant — an over-long len-4 match can fall back to a
+    tighter len-3). Same one-shuffle lead() plan; the span check is
+    two already-materialized columns and an interval literal."""
+    from quanta_spark.operators.stateful import match_sequence_kleene
+
+    t = transcripts_df(spark).withColumn("kind", F.split("text", " ")[0])
+    return match_sequence_kleene(
+        t,
+        steps=[
+            lambda c: c["kind"] == "view",
+            (lambda c: c["kind"] == "click", 1, 3),
+            lambda c: c["kind"] == "purchase",
+        ],
+        cols=("kind",),
+        within="24 hours",
+    )
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,

@@ -591,3 +591,38 @@ def test_jpeg_progressive_rejects_subsampling():
     blob[i + 11] = 0x22  # luma sampling 2x2
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(bytes(blob))
+
+
+@given(
+    h=st.integers(9, 48),
+    w=st.integers(9, 48),
+    ri=st.sampled_from([1, 2, 3, 7, 100]),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 20),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_restart_intervals_roundtrip(h, w, ri, sub, seed):
+    """DRI/RSTn streams (the error-resilience feature camera encoders
+    emit) decode identically to the marker-free stream: DC prediction
+    resets at each marker on both sides, so the coefficients match."""
+    from quanta_spark.operators.codecs import _jpeg_end, decode_jpeg, encode_jpeg
+
+    img = _smooth(h, w, seed)
+    bri = encode_jpeg(img, quality=90, subsampling=sub, restart_interval=ri)
+    b0 = encode_jpeg(img, quality=90, subsampling=sub)
+    assert (decode_jpeg(bri) == decode_jpeg(b0)).all()
+    assert _jpeg_end(bri, 0) == len(bri)
+
+
+def test_jpeg_restart_marker_sequence_validated():
+    import pytest
+
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_smooth(40, 33, 2), quality=90, restart_interval=3))
+    i = bytes(blob).index(b"\xff\xd0")
+    blob[i + 1] = 0xD5  # out-of-sequence RST index
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(_smooth(8, 8, 1), restart_interval=-1)

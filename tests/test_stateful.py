@@ -525,3 +525,61 @@ def test_match_sequence_kleene_matches_fixed_for_degenerate_bounds(spark):
     fixed = {tuple(r) for r in match_sequence(df, steps).collect()}
     kleene = {tuple(r) for r in match_sequence_kleene(df, [(s, 1, 1) for s in steps]).collect()}
     assert fixed == kleene == {("A", 0, 3)}
+
+
+def test_match_sequence_within_time_bound(spark):
+    """The WITHIN clause: predicates match but the event-time span
+    exceeds the bound -> no match; greedy Kleene falls back to a
+    shorter variant whose span fits."""
+    import datetime as dt
+
+    from quanta_spark.operators.stateful import match_sequence, match_sequence_kleene
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # conv A: v(0m) c(5m) p(10m)   -> span 10m, fits 30m
+        ("A", 0, "view", ts(0)), ("A", 1, "click", ts(5)), ("A", 2, "purchase", ts(10)),
+        # conv B: v(0m) c(50m) p(55m)  -> span 55m, violates 30m
+        ("B", 0, "view", ts(0)), ("B", 1, "click", ts(50)), ("B", 2, "purchase", ts(55)),
+        # conv C: v(0) c(5) c(40) p(45): len-4 variant spans 45m (out),
+        # but no shorter variant matches (c at idx2 is not purchase)
+        ("C", 0, "view", ts(0)), ("C", 1, "click", ts(5)),
+        ("C", 2, "click", ts(40)), ("C", 3, "purchase", ts(45)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, kind string, ts timestamp"
+    )
+    fixed_steps = [
+        lambda c: c["kind"] == "view",
+        lambda c: c["kind"] == "click",
+        lambda c: c["kind"] == "purchase",
+    ]
+    got = {
+        r["conv_id"]
+        for r in match_sequence(
+            df, fixed_steps, cols=("kind",), within="30 minutes"
+        ).collect()
+    }
+    assert got == {"A"}
+    kleene_steps = [
+        lambda c: c["kind"] == "view",
+        (lambda c: c["kind"] == "click", 1, 3),
+        lambda c: c["kind"] == "purchase",
+    ]
+    out = {
+        (r["conv_id"], r["match_len"])
+        for r in match_sequence_kleene(
+            df, kleene_steps, cols=("kind",), within="30 minutes"
+        ).collect()
+    }
+    assert out == {("A", 3)}
+    # without the bound, B matches too and C's len-4 variant wins
+    unbounded = {
+        (r["conv_id"], r["match_len"])
+        for r in match_sequence_kleene(df, kleene_steps, cols=("kind",)).collect()
+    }
+    assert unbounded == {("A", 3), ("B", 3), ("C", 4)}
