@@ -298,3 +298,64 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.trim(norm)).alias("fingerprint"),
         F.length(F.col(text_col)).alias("n_chars_calc"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set
+    (Robertson/Sparck-Jones, the standard retrieval scoring used to
+    mine topical training data from a crawl):
+
+        score(d) = sum_t IDF(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        IDF(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+
+    Plan: one explode over normalized tokens feeds (a) per-doc length
+    (one doc_id shuffle) and (b) term frequencies of ONLY the query
+    terms (the isin filter prunes the corpus-sized token stream before
+    its shuffle). Corpus scalars N/avgdl stay a 1-row DataFrame joined
+    via broadcast crossJoin — no driver collect. Scores are reported
+    in basis points (floor(x*1e4+0.5), x >= 0) so the DuckDB oracle
+    hash-matches despite float summation-order noise (q69)."""
+    from quanta_spark.operators.dedup import normalized
+
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    toks = (
+        df.select(
+            "doc_id",
+            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return scored.groupBy("doc_id").agg(
+        F.floor(F.sum(per_term) * 10_000 + F.lit(0.5)).cast("long").alias("score_bp"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )

@@ -2092,6 +2092,88 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q69_TERMS = ("join", "vector", "stream")
+_Q69_K1, _Q69_B = 1.2, 0.75
+
+_Q69_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({DUCK_NORM}, ' ')) AS tok FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks2
+  WHERE tok IN {_Q69_TERMS!r}
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       CAST(floor(sum(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * ({_Q69_K1} + 1)) / (tf + {_Q69_K1} * (1 - {_Q69_B} + {_Q69_B} * dl.dl / avgdl))
+       ) * 10000 + 0.5) AS BIGINT) AS score_bp,
+       CAST(count(*) AS INT) AS n_terms_hit
+FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+@query("q69_bm25_scores", _Q69_ORACLE)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring against a fixed query-term set — the
+    standard retrieval score used to mine topical training data from a
+    crawl. The isin filter prunes the corpus token stream BEFORE its
+    shuffle; corpus scalars (N, avgdl) ride a broadcast 1-row
+    crossJoin, never a driver collect. bp-floored scores hash-match
+    the DuckDB oracle exactly."""
+    from quanta_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        spark.table("documents"), list(_Q69_TERMS), k1=_Q69_K1, b=_Q69_B
+    )
+
+
+@query(
+    "q70_token_percentiles",
+    """
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(quantile_cont(n_tokens, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_bp,
+       CAST(floor(quantile_cont(n_tokens, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_bp,
+       CAST(floor(quantile_cont(n_tokens, 0.99) * 10000 + 0.5) AS BIGINT) AS p99_bp
+FROM t GROUP BY lang
+""",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum percentiles of document token counts (the
+    length-distribution report every data-curation run starts with).
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition, so bp-floored values hash-match.
+    Exact percentile is a sort-based agg — fine per stratum; the
+    sketch-based alternative for 10^12 rows is approx_percentile over
+    the same plan shape."""
+    from quanta_spark.operators.text import ws_token_count
+
+    t = spark.table("documents").select(
+        "lang", ws_token_count(F.col("text")).cast("double").alias("n_tokens")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.expr("percentile(n_tokens, 0.5)") * 10000 + F.lit(0.5))
+        .cast("long").alias("p50_bp"),
+        F.floor(F.expr("percentile(n_tokens, 0.9)") * 10000 + F.lit(0.5))
+        .cast("long").alias("p90_bp"),
+        F.floor(F.expr("percentile(n_tokens, 0.99)") * 10000 + F.lit(0.5))
+        .cast("long").alias("p99_bp"),
+    )
+
+
 @query(
     "q52_hll_merge",
     """
