@@ -357,6 +357,206 @@ def match_sequence(
     )
 
 
+_CEP_STREAM_OUTPUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("start_turn", T.IntegerType()),
+        T.StructField("match_len", T.IntegerType()),
+    ]
+)
+_CEP_STREAM_STATE = T.StructType(
+    [
+        T.StructField("next_idx", T.LongType()),
+        T.StructField("tail_idx", T.ArrayType(T.LongType())),
+        T.StructField("tail_val", T.ArrayType(T.StringType())),
+        T.StructField("buf_idx", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.StringType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _scan_matches(idx, vals, steps):
+    """All starts s where steps[j] holds on the row with turn_idx s+j
+    and those rows are index-contiguous in the given (sorted) arrays."""
+    import numpy as np
+
+    L = len(steps)
+    n = len(idx)
+    if n < L:
+        return np.empty(0, dtype=np.int64)
+    m = n - L + 1
+    ok = np.ones(m, dtype=bool)
+    for j, st in enumerate(steps):
+        ok &= np.asarray(st(vals[j : j + m]), dtype=bool)
+        if j:
+            ok &= idx[j : j + m] == idx[:m] + j
+    return idx[:m][ok]
+
+
+def match_sequence_stream(
+    df: DataFrame,
+    steps,
+    pattern_col: str = "role",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING fixed-length CEP over per-conversation turn order:
+    the one-operator fusion of enforce_turn_order + match_sequence.
+
+    ``steps``: list of vectorized predicates over the ``pattern_col``
+    value (numpy object array -> boolean array), e.g.
+    ``[lambda v: v == "user", lambda v: v == "tool"]``. A match is
+    emitted once per start turn, in start order, exactly once across
+    restarts (checkpointed state).
+
+    State per conversation: the contiguous-emission pointer, the
+    out-of-order buffer (turns ahead of the pointer), and a TAIL of
+    the last len(steps)-1 released turns. Each time the contiguous
+    prefix advances, the matcher scans tail+prefix; the tail is
+    shorter than the pattern, so every match found ends in the newly
+    released region — exactly-once without any emitted-set bookkeeping.
+    Watermark timeout flushes ripe buffered turns past permanent gaps
+    (matches never span a gap: index contiguity is enforced in the
+    scan). Bounded state: buffer is watermark-bounded, tail is L-1
+    rows."""
+    import numpy as np
+
+    L = len(steps)
+    if L < 1:
+        raise ValueError("match_sequence_stream needs at least one step")
+
+    def fn(key, pdf_iter, state):
+        conv_id = key[0]
+        if state.exists:
+            next_idx, t_idx, t_val, b_idx, b_val, b_ts = state.get
+            t_idx = np.asarray(t_idx, dtype=np.int64)
+            t_val = np.asarray(t_val, dtype=object)
+            b_idx = np.asarray(b_idx, dtype=np.int64)
+            b_val = np.asarray(b_val, dtype=object)
+            b_ts = np.asarray(b_ts, dtype=np.int64)
+        else:
+            next_idx = 0
+            t_idx = np.empty(0, dtype=np.int64)
+            t_val = np.empty(0, dtype=object)
+            b_idx = np.empty(0, dtype=np.int64)
+            b_val = np.empty(0, dtype=object)
+            b_ts = np.empty(0, dtype=np.int64)
+
+        def save():
+            state.update(
+                (
+                    int(next_idx),
+                    t_idx.astype("int64").tolist(),
+                    t_val.tolist(),
+                    b_idx.astype("int64").tolist(),
+                    b_val.tolist(),
+                    b_ts.tolist(),
+                )
+            )
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
+
+        def release(r_idx, r_val):
+            """Scan tail+released rows; update tail; return match starts."""
+            nonlocal t_idx, t_val
+            all_idx = np.concatenate([t_idx, r_idx])
+            all_val = np.concatenate([t_val, r_val])
+            starts = _scan_matches(all_idx, all_val, steps)
+            keep = min(L - 1, len(all_idx))
+            t_idx = all_idx[len(all_idx) - keep :]
+            t_val = all_val[len(all_val) - keep :]
+            return starts
+
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            order = np.argsort(b_idx, kind="stable")
+            b_idx, b_val, b_ts = (a[order] for a in (b_idx, b_val, b_ts))
+            ripe = b_ts <= wm_us
+            n_ripe = int(ripe.sum())
+            if n_ripe:
+                r_idx, r_val = b_idx[ripe], b_val[ripe]
+                b_idx, b_val, b_ts = (a[~ripe] for a in (b_idx, b_val, b_ts))
+                next_idx = max(next_idx, int(r_idx[-1]) + 1)
+                live = b_idx >= next_idx
+                b_idx, b_val, b_ts = (a[live] for a in (b_idx, b_val, b_ts))
+                contig = b_idx == (next_idx + np.arange(len(b_idx)))
+                n_un = int(contig.argmin()) if not contig.all() else len(contig)
+                r_idx = np.concatenate([r_idx, b_idx[:n_un]])
+                r_val = np.concatenate([r_val, b_val[:n_un]])
+                b_idx, b_val, b_ts = (a[n_un:] for a in (b_idx, b_val, b_ts))
+                next_idx += n_un
+                starts = release(r_idx, r_val)
+                save()
+                if len(starts):
+                    yield pd.DataFrame(
+                        {
+                            "conv_id": conv_id,
+                            "start_turn": starts.astype("int32"),
+                            "match_len": np.int32(L),
+                        }
+                    )
+            elif len(b_idx):
+                save()
+            else:
+                state.remove()
+            return
+
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            new = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            b_idx = np.concatenate(
+                [b_idx, new["turn_idx"].to_numpy(dtype=np.int64)]
+            )
+            b_val = np.concatenate(
+                [b_val, new[pattern_col].to_numpy(dtype=object)]
+            )
+            b_ts = np.concatenate(
+                [
+                    b_ts,
+                    new["ts"].astype("datetime64[us]").to_numpy().astype(np.int64),
+                ]
+            )
+
+        live = b_idx >= next_idx
+        order = np.argsort(b_idx[live], kind="stable")
+        b_idx, b_val, b_ts = (a[live][order] for a in (b_idx, b_val, b_ts))
+        if len(b_idx):
+            first = np.concatenate([[True], b_idx[1:] != b_idx[:-1]])
+            b_idx, b_val, b_ts = (a[first] for a in (b_idx, b_val, b_ts))
+        contig = b_idx == (next_idx + np.arange(len(b_idx)))
+        n_emit = int(contig.argmin()) if not contig.all() else len(contig)
+        r_idx, r_val = b_idx[:n_emit], b_val[:n_emit]
+        b_idx, b_val, b_ts = (a[n_emit:] for a in (b_idx, b_val, b_ts))
+        next_idx += n_emit
+        starts = release(r_idx, r_val) if n_emit else np.empty(0, dtype=np.int64)
+        save()
+        if len(starts):
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "start_turn": starts.astype("int32"),
+                    "match_len": np.int32(L),
+                }
+            )
+
+    if not df.isStreaming:
+        raise ValueError(
+            "match_sequence_stream requires a streaming DataFrame — use "
+            "match_sequence for batch inputs"
+        )
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_CEP_STREAM_OUTPUT,
+            stateStructType=_CEP_STREAM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 MAX_KLEENE_VARIANTS = 64
 MAX_KLEENE_DEPTH = 32
 

@@ -2175,6 +2175,53 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q71_cep_stream",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+k AS (
+  SELECT conv_id, turn_idx, split_part(text, ' ', 1) AS kind FROM transcripts
+),
+x AS (
+  SELECT conv_id, turn_idx, kind AS k0,
+         lead(kind, 1) OVER w AS k1, lead(kind, 2) OVER w AS k2,
+         lead(turn_idx, 1) OVER w AS t1, lead(turn_idx, 2) OVER w AS t2
+  FROM k
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS start_turn, CAST(3 AS INT) AS match_len
+FROM x
+WHERE k0='view' AND k1='click' AND k2='purchase'
+  AND t1=turn_idx+1 AND t2=turn_idx+2
+""",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP: the view->click->purchase funnel detected inside
+    one stateful operator (match_sequence_stream = turn-order buffering
+    fused with the pattern scan; an L-1 released-turn tail makes every
+    found match end in newly released turns, so emission is exactly-
+    once with no emitted-set bookkeeping). Runs as real Structured
+    Streaming with jittered arrival through the gate harness; the
+    oracle is the batch lead()-window SQL."""
+    from quanta_spark.operators.stateful import match_sequence_stream
+
+    steps = [
+        lambda v: v == "view",
+        lambda v: v == "click",
+        lambda v: v == "purchase",
+    ]
+
+    def op(src):
+        return match_sequence_stream(
+            src.withColumn("kind", F.split("text", " ")[0]),
+            steps,
+            pattern_col="kind",
+            watermark="1 hour",
+        )
+
+    return _run_stream_query(spark, op, jitter=True)
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,

@@ -583,3 +583,110 @@ def test_match_sequence_within_time_bound(spark):
         for r in match_sequence_kleene(df, kleene_steps, cols=("kind",)).collect()
     }
     assert unbounded == {("A", 3), ("B", 3), ("C", 4)}
+
+
+def _cep_stream_steps():
+    return [
+        lambda v: v == "user",
+        lambda v: v == "tool",
+        lambda v: v == "user",
+    ]
+
+
+def test_cep_stream_matches_batch_under_shuffle(spark, tmp_workdir):
+    """Streaming fixed-length CEP over OUT-OF-ORDER arrival equals the
+    batch matcher run on the whole input."""
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.stateful import match_sequence, match_sequence_stream
+
+    batches = _run_stream(
+        spark,
+        tmp_workdir,
+        lambda src: match_sequence_stream(
+            src, _cep_stream_steps(), pattern_col="role", watermark="1 hour"
+        ),
+    )
+    got = {
+        (r["conv_id"], r["start_turn"], r["match_len"])
+        for _b, rows in batches
+        for r in rows
+        if r["conv_id"] != HEARTBEAT_CONV
+    }
+    batch_df = read_transcripts_batch(
+        spark, os.path.join(tmp_workdir, "in")
+    ).dropDuplicates(["conv_id", "turn_idx"])
+    want = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df,
+            [
+                lambda c: c["role"] == "user",
+                lambda c: c["role"] == "tool",
+                lambda c: c["role"] == "user",
+            ],
+            cols=("role",),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cep_stream_restart_exactly_once(spark, tmp_workdir):
+    """Restart mid-stream on the same checkpoint: the union of both
+    runs' matches equals the batch matcher output with no duplicates."""
+    import shutil as sh
+
+    from quanta_spark.operators.stateful import match_sequence, match_sequence_stream
+
+    data_dir = os.path.join(tmp_workdir, "in_cep")
+    write_transcripts(data_dir, SPEC, n_files=8)
+    live = data_dir + "_live"
+    ckpt = os.path.join(tmp_workdir, "ckpt_cep")
+    rows: list = []
+
+    def build(src):
+        return match_sequence_stream(
+            src, _cep_stream_steps(), pattern_col="role", watermark="1 hour"
+        )
+
+    os.makedirs(live)
+    files = sorted(os.listdir(data_dir))
+    for f in files[:4]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    h1 = start_pipeline(
+        build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
+        lambda b, i: rows.extend(b.collect()), ckpt,
+    )
+    h1.process_all_available()
+    h1.stop()
+
+    for f in files[4:]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    h2 = start_pipeline(
+        build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
+        lambda b, i: rows.extend(b.collect()), ckpt,
+    )
+    h2.process_all_available()
+    write_heartbeat_file(live, generate(SPEC)["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h2)
+
+    got = [
+        (r["conv_id"], r["start_turn"]) for r in rows if r["conv_id"] != HEARTBEAT_CONV
+    ]
+    assert len(got) == len(set(got)), "duplicate matches across restart"
+    batch_df = read_transcripts_batch(spark, data_dir).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    want = {
+        (r["conv_id"], r["start_turn"])
+        for r in match_sequence(
+            batch_df,
+            [
+                lambda c: c["role"] == "user",
+                lambda c: c["role"] == "tool",
+                lambda c: c["role"] == "user",
+            ],
+            cols=("role",),
+        ).collect()
+    }
+    assert set(got) == want and len(want) > 0
