@@ -21,7 +21,7 @@ Spec (YAML or dict), mirroring the reference vocabulary:
       transformers:                 # ordered stage chain (≙ spec.go:34-39)
         - name: uppercase
       operator:                     # optional terminal operator
-        kind: sessionize            # | tumbling | sliding | turn_order | user_replies
+        kind: sessionize            # | tumbling | sliding | turn_order | user_replies | cep
                                     # | user_replies_outer | user_replies_full
                                     # | reply_sessions | stream_dedup | none
         gap: 30 minutes
@@ -219,6 +219,27 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
         from quanta_spark.operators.dedup import stream_dedup_exact
 
         return stream_dedup_exact(df, watermark=watermark)
+    if kind == "cep":
+        # declarative streaming pattern match:
+        #   operator:
+        #     kind: cep
+        #     pattern_col: kind                  # column the steps test
+        #     derive: "split(text, ' ')[0]"     # optional SQL expr for it
+        #     steps: [view, click, purchase]    # equality per position
+        from pyspark.sql import functions as F
+
+        from quanta_spark.operators.stateful import match_sequence_stream
+
+        pattern_col = op.get("pattern_col", "role")
+        if "derive" in op:
+            df = df.withColumn(pattern_col, F.expr(op["derive"]))
+        values = op.get("steps")
+        if not values:
+            raise ValueError("cep operator needs a non-empty steps list")
+        steps = [(lambda v, s=s: v == s) for s in values]
+        return match_sequence_stream(
+            df, steps, pattern_col=pattern_col, watermark=watermark
+        )
     raise ValueError(f"unknown operator kind {kind!r}")
 
 

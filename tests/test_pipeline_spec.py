@@ -206,3 +206,67 @@ pipeline:
     compiled = compile_pipeline(spark, spec)
     assert compiled.sink.base_dir == "/tmp/qs_default_out"
     assert compiled.df.isStreaming
+
+
+def test_cep_operator_kind_compiles_and_runs(spark, transcripts_dir, small_spec, tmp_workdir):
+    """The declarative `cep` operator wires steps to
+    match_sequence_stream and produces the same matches as the batch
+    matcher over the drained stream."""
+    from quanta_spark.datagen import generate, write_heartbeat_file
+    from quanta_spark.operators.stateful import match_sequence
+    from quanta_spark.sources.readers import read_transcripts_batch
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "cep",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "watermark": "1 hour",
+            "operator": {
+                "kind": "cep",
+                "pattern_col": "role",
+                "steps": ["user", "tool", "user"],
+            },
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out_cep"),
+                "key_cols": ["conv_id", "start_turn"],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_cep"),
+        },
+    }
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.df.isStreaming
+    assert {"conv_id", "start_turn", "match_len"} <= set(compiled.df.columns)
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    write_heartbeat_file(
+        transcripts_dir, generate(small_spec)["ts"].max() + pd.Timedelta(days=30)
+    )
+    h = start_pipeline(compiled.df, compiled.sink, compiled.checkpoint)
+    run_to_completion(h)
+    from quanta_spark.datagen import HEARTBEAT_CONV
+
+    got = {
+        (r["conv_id"], r["start_turn"])
+        for r in compiled.sink.read_data(spark).collect()
+        if r["conv_id"] != HEARTBEAT_CONV
+    }
+    want = {
+        (r["conv_id"], r["start_turn"])
+        for r in match_sequence(
+            read_transcripts_batch(spark, transcripts_dir).dropDuplicates(
+                ["conv_id", "turn_idx"]
+            ).filter(F.col("conv_id") != HEARTBEAT_CONV),
+            [
+                lambda c: c["role"] == "user",
+                lambda c: c["role"] == "tool",
+                lambda c: c["role"] == "user",
+            ],
+            cols=("role",),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
