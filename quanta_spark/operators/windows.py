@@ -127,3 +127,35 @@ def sessionize(
         "n_chars",
         "n_tool",
     )
+
+
+def label_sessions(
+    df: DataFrame, gap: str = "30 minutes", key_col: str = "conv_id"
+) -> DataFrame:
+    """Per-TURN session labels — the row-level flavor of sessionize:
+    every turn gets its conversation-local session index (0-based),
+    incremented whenever the event-time gap to the previous turn
+    exceeds ``gap``. The classic lag-gap-cumsum rewrite: one shuffle on
+    the conversation key, two window passes, pure codegen — this is
+    how you attach session ids to 10^12 rows without a join back to
+    the session aggregates."""
+    from pyspark.sql.window import Window
+
+    # parse "<n> <unit>" into microseconds without a Python date parser
+    n, unit = gap.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    gap_us = int(n) * mult
+    w = Window.partitionBy(key_col).orderBy("turn_idx")
+    # ts may arrive as TIMESTAMP_NTZ (parquet-derived); session TZ is
+    # pinned UTC so the cast is value-preserving
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    is_new = F.when(prev_us.isNull() | (ts_us - prev_us > gap_us), 1).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", (F.sum(is_new).over(run) - 1).cast("int"))

@@ -2222,6 +2222,38 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q72_session_labels",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+       CAST(sum(is_new) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - 1 AS INT) AS session_idx
+FROM s
+""",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn session labels (row-level sessionization): lag-gap +
+    running-sum over one conv_id shuffle — the way session ids attach
+    to 10^12 turns without joining back to session aggregates.
+    Microsecond-integer gap comparison keeps both engines exact."""
+    from quanta_spark.operators.windows import label_sessions
+
+    return label_sessions(transcripts_df(spark), gap="30 minutes").select(
+        "conv_id", "turn_idx", "session_idx"
+    )
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,

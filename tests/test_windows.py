@@ -153,3 +153,32 @@ def test_gate_harness_row_budget_fails_loudly(monkeypatch):
     with pytest.raises(RuntimeError, match="driver-side budget"):
         q._guard_gate_rows(11, "input stream")
     q._guard_gate_rows(10, "input stream")  # at the budget is fine
+
+
+def test_label_sessions_consistent_with_sessionize(spark, transcripts_dir):
+    """Row-level labels and the aggregate sessionizer must agree: per
+    conversation, (number of distinct session_idx) == (number of
+    session rows), and labels are 0-based contiguous."""
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.windows import label_sessions, sessionize
+    from quanta_spark.sources.readers import read_transcripts_batch
+
+    df = read_transcripts_batch(spark, transcripts_dir).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    labeled = label_sessions(df, gap="30 minutes")
+    per_conv = (
+        labeled.groupBy("conv_id")
+        .agg(
+            F.countDistinct("session_idx").alias("n_lbl"),
+            F.min("session_idx").alias("mn"),
+            F.max("session_idx").alias("mx"),
+        )
+    )
+    agg = sessionize(df, gap="30 minutes").groupBy("conv_id").count()
+    j = per_conv.join(agg, "conv_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["n_lbl"] == r["count"], r
+        assert r["mn"] == 0 and r["mx"] == r["n_lbl"] - 1, r
