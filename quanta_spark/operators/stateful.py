@@ -367,8 +367,10 @@ _CEP_STREAM_OUTPUT = T.StructType(
 _CEP_STREAM_STATE = T.StructType(
     [
         T.StructField("next_idx", T.LongType()),
+        T.StructField("decided_upto", T.LongType()),
         T.StructField("tail_idx", T.ArrayType(T.LongType())),
         T.StructField("tail_val", T.ArrayType(T.StringType())),
+        T.StructField("tail_ts", T.ArrayType(T.LongType())),
         T.StructField("buf_idx", T.ArrayType(T.LongType())),
         T.StructField("buf_val", T.ArrayType(T.StringType())),
         T.StructField("buf_ts", T.ArrayType(T.LongType())),
@@ -376,22 +378,46 @@ _CEP_STREAM_STATE = T.StructType(
 )
 
 
-def _scan_matches(idx, vals, steps):
-    """All starts s where steps[j] holds on the row with turn_idx s+j
-    and those rows are index-contiguous in the given (sorted) arrays."""
+def _duration_us(s: str) -> int:
+    n, unit = s.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return int(n) * mult
+
+
+def _scan_matches(idx, vals, ts_us, variants, within_us, lo, hi):
+    """GREEDY variable-length scan over DECIDED starts: for each
+    expanded variant (a flat predicate list), find starts s with
+    ``lo < s <= hi`` where every step holds on index-contiguous rows
+    (and the event-time span fits ``within_us``); the longest variant
+    wins per start. The (lo, hi] decided window is what makes emission
+    exactly-once AND greedy-correct: a start is only judged once every
+    variant's outcome is known."""
     import numpy as np
 
-    L = len(steps)
+    best: dict[int, int] = {}
     n = len(idx)
-    if n < L:
-        return np.empty(0, dtype=np.int64)
-    m = n - L + 1
-    ok = np.ones(m, dtype=bool)
-    for j, st in enumerate(steps):
-        ok &= np.asarray(st(vals[j : j + m]), dtype=bool)
-        if j:
-            ok &= idx[j : j + m] == idx[:m] + j
-    return idx[:m][ok]
+    for steps in variants:
+        L = len(steps)
+        m = n - L + 1
+        if m <= 0:
+            continue
+        ok = (idx[:m] > lo) & (idx[:m] <= hi)
+        for j, st in enumerate(steps):
+            ok &= np.asarray(st(vals[j : j + m]), dtype=bool)
+            if j:
+                ok &= idx[j : j + m] == idx[:m] + j
+        if within_us is not None:
+            ok &= ts_us[L - 1 : L - 1 + m] - ts_us[:m] <= within_us
+        for s in idx[:m][ok]:
+            s = int(s)
+            if best.get(s, 0) < L:
+                best[s] = L
+    return sorted(best.items())
 
 
 def match_sequence_stream(
@@ -399,45 +425,82 @@ def match_sequence_stream(
     steps,
     pattern_col: str = "role",
     watermark: str = "1 hour",
+    within: str | None = None,
 ) -> DataFrame:
-    """STREAMING fixed-length CEP over per-conversation turn order:
-    the one-operator fusion of enforce_turn_order + match_sequence.
+    """STREAMING CEP over per-conversation turn order: the one-operator
+    fusion of enforce_turn_order + match_sequence(_kleene).
 
     ``steps``: list of vectorized predicates over the ``pattern_col``
     value (numpy object array -> boolean array), e.g.
-    ``[lambda v: v == "user", lambda v: v == "tool"]``. A match is
-    emitted once per start turn, in start order, exactly once across
-    restarts (checkpointed state).
+    ``[lambda v: v == "user", lambda v: v == "tool"]`` — or tuples
+    ``(pred, m, n)`` for bounded Kleene quantifiers, GREEDY per start
+    like the batch matcher. ``within`` bounds each match's event-time
+    span. A match is emitted once per start turn, in start order,
+    exactly once across restarts (checkpointed state).
 
-    State per conversation: the contiguous-emission pointer, the
-    out-of-order buffer (turns ahead of the pointer), and a TAIL of
-    the last len(steps)-1 released turns. Each time the contiguous
-    prefix advances, the matcher scans tail+prefix; the tail is
-    shorter than the pattern, so every match found ends in the newly
-    released region — exactly-once without any emitted-set bookkeeping.
-    Watermark timeout flushes ripe buffered turns past permanent gaps
-    (matches never span a gap: index contiguity is enforced in the
-    scan). Bounded state: buffer is watermark-bounded, tail is L-1
-    rows."""
+    State per conversation: the contiguous-emission pointer, a
+    DECIDED-starts pointer, the out-of-order buffer (turns ahead of
+    the pointer), and a TAIL of the last max_len-1 released turns. A
+    start is judged only once every variant's outcome is known — when
+    the longest variant's window is fully released, or (with
+    ``within``) once the watermark passes its span bound, at which
+    point no future turn can join the window without violating the
+    span. That makes emission exactly-once AND greedy-correct with no
+    emitted-set bookkeeping. Without ``within``, a quantified pattern
+    at the very end of a conversation shorter than the longest variant
+    stays undecided until more turns arrive — the same reason CEP
+    engines require a time bound for Kleene patterns on open streams;
+    fixed-length patterns need no bound. Watermark timeout flushes
+    ripe buffered turns past permanent gaps (matches never span a gap:
+    index contiguity is enforced in the scan). Bounded state: buffer
+    is watermark-bounded, tail is max_len-1 rows."""
+    from itertools import product
+
     import numpy as np
 
-    L = len(steps)
-    if L < 1:
+    norm = []
+    for s in steps:
+        if callable(s):
+            norm.append((s, 1, 1))
+        else:
+            fn, m, n = s
+            if not (1 <= m <= n):
+                raise ValueError(f"bad Kleene bounds {{{m},{n}}} — need 1 <= m <= n")
+            norm.append((fn, m, n))
+    if not norm:
         raise ValueError("match_sequence_stream needs at least one step")
+    counts = [range(m, n + 1) for _, m, n in norm]
+    raw_variants = list(product(*counts))
+    if len(raw_variants) > MAX_KLEENE_VARIANTS:
+        raise ValueError(
+            f"pattern expands to {len(raw_variants)} variants > "
+            f"MAX_KLEENE_VARIANTS={MAX_KLEENE_VARIANTS}; tighten the bounds"
+        )
+    variants = [
+        [fn for (fn, _, _), r in zip(norm, reps) for _ in range(r)]
+        for reps in raw_variants
+    ]
+    L = max(len(v) for v in variants)
+    if L > MAX_KLEENE_DEPTH:
+        raise ValueError(f"pattern max length {L} > MAX_KLEENE_DEPTH={MAX_KLEENE_DEPTH}")
+    within_us = _duration_us(within) if within else None
 
     def fn(key, pdf_iter, state):
         conv_id = key[0]
         if state.exists:
-            next_idx, t_idx, t_val, b_idx, b_val, b_ts = state.get
+            next_idx, decided_upto, t_idx, t_val, t_ts, b_idx, b_val, b_ts = state.get
             t_idx = np.asarray(t_idx, dtype=np.int64)
             t_val = np.asarray(t_val, dtype=object)
+            t_ts = np.asarray(t_ts, dtype=np.int64)
             b_idx = np.asarray(b_idx, dtype=np.int64)
             b_val = np.asarray(b_val, dtype=object)
             b_ts = np.asarray(b_ts, dtype=np.int64)
         else:
             next_idx = 0
+            decided_upto = -1
             t_idx = np.empty(0, dtype=np.int64)
             t_val = np.empty(0, dtype=object)
+            t_ts = np.empty(0, dtype=np.int64)
             b_idx = np.empty(0, dtype=np.int64)
             b_val = np.empty(0, dtype=object)
             b_ts = np.empty(0, dtype=np.int64)
@@ -446,8 +509,10 @@ def match_sequence_stream(
             state.update(
                 (
                     int(next_idx),
+                    int(decided_upto),
                     t_idx.astype("int64").tolist(),
                     t_val.tolist(),
+                    t_ts.astype("int64").tolist(),
                     b_idx.astype("int64").tolist(),
                     b_val.tolist(),
                     b_ts.tolist(),
@@ -456,16 +521,36 @@ def match_sequence_stream(
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
 
-        def release(r_idx, r_val):
-            """Scan tail+released rows; update tail; return match starts."""
-            nonlocal t_idx, t_val
+        def release(r_idx, r_val, r_ts, wm_us=None):
+            """Scan tail+released rows over the newly DECIDED starts,
+            update tail + decided_upto; return matches.
+
+            A start decides when its longest-variant window is fully
+            released (idx bound), or — with ``within`` — once the
+            watermark passed its span bound (ts bound: any future turn
+            would have ts > wm >= ts[s]+within, violating the span; ts
+            is monotone in turn_idx per conversation, so both bounds
+            are prefixes and one scalar pointer suffices)."""
+            nonlocal t_idx, t_val, t_ts, decided_upto
             all_idx = np.concatenate([t_idx, r_idx])
             all_val = np.concatenate([t_val, r_val])
-            starts = _scan_matches(all_idx, all_val, steps)
+            all_ts = np.concatenate([t_ts, r_ts])
+            hi = decided_upto
+            if len(all_idx):
+                hi = max(hi, int(all_idx[-1]) - (L - 1))
+                if within_us is not None and wm_us is not None:
+                    ts_ok = all_ts <= wm_us - within_us
+                    if ts_ok.any():
+                        hi = max(hi, int(all_idx[ts_ok][-1]))
+            matches = _scan_matches(
+                all_idx, all_val, all_ts, variants, within_us, decided_upto, hi
+            )
+            decided_upto = max(decided_upto, hi)
             keep = min(L - 1, len(all_idx))
             t_idx = all_idx[len(all_idx) - keep :]
             t_val = all_val[len(all_val) - keep :]
-            return starts
+            t_ts = all_ts[len(all_ts) - keep :]
+            return matches
 
         if state.hasTimedOut:
             wm_us = state.getCurrentWatermarkMs() * 1000
@@ -474,7 +559,7 @@ def match_sequence_stream(
             ripe = b_ts <= wm_us
             n_ripe = int(ripe.sum())
             if n_ripe:
-                r_idx, r_val = b_idx[ripe], b_val[ripe]
+                r_idx, r_val, r_ts = b_idx[ripe], b_val[ripe], b_ts[ripe]
                 b_idx, b_val, b_ts = (a[~ripe] for a in (b_idx, b_val, b_ts))
                 next_idx = max(next_idx, int(r_idx[-1]) + 1)
                 live = b_idx >= next_idx
@@ -483,22 +568,54 @@ def match_sequence_stream(
                 n_un = int(contig.argmin()) if not contig.all() else len(contig)
                 r_idx = np.concatenate([r_idx, b_idx[:n_un]])
                 r_val = np.concatenate([r_val, b_val[:n_un]])
+                r_ts = np.concatenate([r_ts, b_ts[:n_un]])
                 b_idx, b_val, b_ts = (a[n_un:] for a in (b_idx, b_val, b_ts))
                 next_idx += n_un
-                starts = release(r_idx, r_val)
+                matches = release(r_idx, r_val, r_ts, wm_us=wm_us)
                 save()
-                if len(starts):
+                if matches:
                     yield pd.DataFrame(
                         {
                             "conv_id": conv_id,
-                            "start_turn": starts.astype("int32"),
-                            "match_len": np.int32(L),
+                            "start_turn": np.array(
+                                [s for s, _ in matches], dtype="int32"
+                            ),
+                            "match_len": np.array(
+                                [ln for _, ln in matches], dtype="int32"
+                            ),
                         }
                     )
-            elif len(b_idx):
-                save()
             else:
-                state.remove()
+                # nothing ripe: with `within`, the advancing watermark
+                # can still DECIDE pending frontier starts in the tail
+                matches = (
+                    release(
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=object),
+                        np.empty(0, dtype=np.int64),
+                        wm_us=wm_us,
+                    )
+                    if within_us is not None
+                    else []
+                )
+                if len(b_idx):
+                    save()
+                else:
+                    # tombstone semantics as _order_fn: evicted at the
+                    # second consecutive empty-buffer timeout
+                    state.remove()
+                if matches:
+                    yield pd.DataFrame(
+                        {
+                            "conv_id": conv_id,
+                            "start_turn": np.array(
+                                [s for s, _ in matches], dtype="int32"
+                            ),
+                            "match_len": np.array(
+                                [ln for _, ln in matches], dtype="int32"
+                            ),
+                        }
+                    )
             return
 
         parts = [p for p in pdf_iter if len(p)]
@@ -525,17 +642,17 @@ def match_sequence_stream(
             b_idx, b_val, b_ts = (a[first] for a in (b_idx, b_val, b_ts))
         contig = b_idx == (next_idx + np.arange(len(b_idx)))
         n_emit = int(contig.argmin()) if not contig.all() else len(contig)
-        r_idx, r_val = b_idx[:n_emit], b_val[:n_emit]
+        r_idx, r_val, r_ts = b_idx[:n_emit], b_val[:n_emit], b_ts[:n_emit]
         b_idx, b_val, b_ts = (a[n_emit:] for a in (b_idx, b_val, b_ts))
         next_idx += n_emit
-        starts = release(r_idx, r_val) if n_emit else np.empty(0, dtype=np.int64)
+        matches = release(r_idx, r_val, r_ts) if n_emit else []
         save()
-        if len(starts):
+        if matches:
             yield pd.DataFrame(
                 {
                     "conv_id": conv_id,
-                    "start_turn": starts.astype("int32"),
-                    "match_len": np.int32(L),
+                    "start_turn": np.array([s for s, _ in matches], dtype="int32"),
+                    "match_len": np.array([ln for _, ln in matches], dtype="int32"),
                 }
             )
 

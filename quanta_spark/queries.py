@@ -2253,6 +2253,35 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q73_cep_stream_kleene", ORACLES.get("q68_cep_within"))
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Kleene CEP with a WITHIN bound: the q68 pattern
+    (view -> click{{1,3}} -> purchase, 24h span, greedy) detected by
+    the stateful streaming matcher under jittered arrival. Greedy
+    correctness on a stream needs the decided-starts protocol: a start
+    is judged only when the longest variant's window is released or
+    the watermark passed its span bound — at drain this equals the
+    batch greedy CASE exactly (shared q68 oracle)."""
+    from quanta_spark.operators.stateful import match_sequence_stream
+
+    steps = [
+        lambda v: v == "view",
+        (lambda v: v == "click", 1, 3),
+        lambda v: v == "purchase",
+    ]
+
+    def op(src):
+        return match_sequence_stream(
+            src.withColumn("kind", F.split("text", " ")[0]),
+            steps,
+            pattern_col="kind",
+            watermark="1 hour",
+            within="24 hours",
+        )
+
+    return _run_stream_query(spark, op, jitter=True)
+
+
 @query(
     "q52_hll_merge",
     """
