@@ -217,11 +217,19 @@ def test_cep_operator_kind_compiles_and_runs(spark, transcripts_dir, small_spec,
     from quanta_spark.sources.readers import read_transcripts_batch
     from quanta_spark.streaming.engine import run_to_completion, start_pipeline
 
+    # PRIVATE copy: this test appends a heartbeat file, and
+    # transcripts_dir is session-scoped — mutating it poisons every
+    # later test reading the fixture
+    import shutil as _sh
+
+    private_dir = os.path.join(tmp_workdir, "in_cep")
+    _sh.copytree(transcripts_dir, private_dir)
+
     spec = {
         "schema_version": "v1",
         "pipeline": {
             "name": "cep",
-            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "source": {"kind": "parquet-stream", "path": private_dir},
             "watermark": "1 hour",
             "operator": {
                 "kind": "cep",
@@ -244,7 +252,7 @@ def test_cep_operator_kind_compiles_and_runs(spark, transcripts_dir, small_spec,
     from pyspark.sql import functions as F
 
     write_heartbeat_file(
-        transcripts_dir, generate(small_spec)["ts"].max() + pd.Timedelta(days=30)
+        private_dir, generate(small_spec)["ts"].max() + pd.Timedelta(days=30)
     )
     h = start_pipeline(compiled.df, compiled.sink, compiled.checkpoint)
     run_to_completion(h)
