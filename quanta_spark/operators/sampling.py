@@ -159,3 +159,41 @@ def token_budget_per_stratum(
         .filter((F.col("_running_tokens") <= budget) & (F.col("_any_overflow") == 0))
         .drop("_running_tokens", "_any_overflow", "_overflow")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value: Column,
+    stratum_col: str = "lang",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-stratum outlier flags via median/MAD (the
+    data-curation filter that survives heavy tails where mean/stddev
+    break): a row is an outlier when |x - median| > k * MAD, both
+    statistics computed per stratum with exact linear-interpolation
+    percentiles (cross-engine deterministic — q70 evidence).
+
+    Plan: two tiny per-stratum aggregations broadcast back onto the
+    corpus — the corpus-sized side never shuffles (stats rows ==
+    #strata), so the filter costs two scans at any scale."""
+    t = df.select("doc_id", stratum_col, value.cast("double").alias("_x"))
+    med = t.groupBy(stratum_col).agg(
+        F.expr("percentile(_x, 0.5)").alias("_med")
+    )
+    d = t.join(F.broadcast(med), stratum_col)
+    mad = (
+        d.withColumn("_dev", F.abs(F.col("_x") - F.col("_med")))
+        .groupBy(stratum_col)
+        .agg(F.expr("percentile(_dev, 0.5)").alias("_mad"))
+    )
+    out = d.join(F.broadcast(mad), stratum_col)
+    return out.select(
+        "doc_id",
+        stratum_col,
+        F.col("_x").cast("long").alias("value"),
+        F.floor(F.col("_med") * 10_000 + F.lit(0.5)).cast("long").alias("median_bp"),
+        F.floor(F.col("_mad") * 10_000 + F.lit(0.5)).cast("long").alias("mad_bp"),
+        (F.abs(F.col("_x") - F.col("_med")) > F.lit(k) * F.col("_mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -359,3 +359,47 @@ def bm25_scores(
         F.floor(F.sum(per_term) * 10_000 + F.lit(0.5)).cast("long").alias("score_bp"),
         F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
     )
+
+
+def repetition_ratio(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition (the Gopher-rules quality signal):
+    fraction of word n-grams that are duplicates of an earlier n-gram
+    in the SAME document — high values mark boilerplate/looping text
+    that LLM-data curation drops.
+
+        dup_ratio = 1 - distinct_ngrams / total_ngrams   (0 if none)
+
+    Plan: pure Column codegen, no shuffle at all — the token array is
+    materialized behind an exchange barrier first (transform() lambdas
+    re-evaluate captured EXPRESSIONS per element; see _norm_grams_df's
+    measured 25x pitfall), then grams, counts and the ratio are
+    per-row array ops. Ratio reported in basis points."""
+    from quanta_spark.operators.dedup import normalized
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.select(
+        "doc_id", F.split(normalized(F.col(text_col)), " ").alias("_toks")
+    ).repartition(n_parts, F.col("doc_id"))
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toked.select("doc_id", grams.alias("_grams"))
+    total = F.size("_grams")
+    distinct = F.size(F.array_distinct("_grams"))
+    return g.select(
+        "doc_id",
+        total.cast("int").alias("n_grams"),
+        distinct.cast("int").alias("n_distinct"),
+        F.floor(
+            (F.lit(1.0) - distinct / F.greatest(total, F.lit(1))) * 10_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_ratio_bp"),
+    )

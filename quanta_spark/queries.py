@@ -2283,6 +2283,72 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q74_repetition_ratio",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({DUCK_NORM}, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i : i + 2], ' ')
+                    for i in generate_series(1, len(toks) - 2)]
+              ELSE []::VARCHAR[] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       CAST(floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / greatest(len(grams), 1)) * 10000 + 0.5) AS BIGINT)
+         AS dup_ratio_bp
+FROM g
+""",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (duplicate word-3-gram fraction
+    — the Gopher-rules boilerplate signal). Zero shuffles: token array
+    materialized behind the exchange barrier, then pure per-row array
+    codegen; bp-floored ratio hash-matches DuckDB."""
+    from quanta_spark.operators.text import repetition_ratio
+
+    return repetition_ratio(spark.table("documents"), n=3)
+
+
+@query(
+    "q75_outlier_docs",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x
+  FROM documents
+),
+med AS (SELECT lang, quantile_cont(x, 0.5) AS m FROM t GROUP BY lang),
+d AS (SELECT t.*, med.m FROM t JOIN med USING (lang)),
+mad AS (SELECT lang, quantile_cont(abs(x - m), 0.5) AS md FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       CAST(d.x AS BIGINT) AS value,
+       CAST(floor(d.m * 10000 + 0.5) AS BIGINT) AS median_bp,
+       CAST(floor(mad.md * 10000 + 0.5) AS BIGINT) AS mad_bp,
+       abs(d.x - d.m) > 3.0 * mad.md AS is_outlier
+FROM d JOIN mad USING (lang)
+""",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum robust outlier flags (median/MAD, k=3) over
+    document token counts — the heavy-tail-safe length filter of a
+    curation pipeline. Stats rows == #strata, broadcast back; the
+    corpus never shuffles. Exact interpolation percentiles make the
+    booleans cross-engine deterministic."""
+    from quanta_spark.operators.sampling import robust_outliers
+    from quanta_spark.operators.text import ws_token_count
+
+    return robust_outliers(
+        spark.table("documents"), ws_token_count(F.col("text")), stratum_col="lang"
+    )
+
+
+@query(
     "q52_hll_merge",
     """
 SELECT lang,
