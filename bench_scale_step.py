@@ -63,14 +63,19 @@ def _ops():
         pq_adc_topk,
         quantize_int8,
     )
+    from quanta_spark.operators.sampling import robust_outliers as _outliers
+    from quanta_spark.operators.similarity import pq_rerank_topk as _pq_rerank
     from quanta_spark.operators.text import (
+        bm25_scores as _bm25,
         cdc_chunks,
         chunk_documents,
         decontaminate,
         quality_features,
         quality_keep,
+        repetition_ratio as _rep_ratio,
         ws_token_count,
     )
+    _wtc = ws_token_count
 
     def bench_set(docs):
         from quanta_spark.operators.dedup import normalized
@@ -131,6 +136,16 @@ def _ops():
             emb, emb.filter(F.col("vec_id") % 50 == 0).limit(200), k=5
         ),
         "cdc_chunks": lambda docs, emb: cdc_chunks(docs),
+        "pq_rerank_topk": lambda docs, emb: _pq_rerank(
+            emb, emb.filter(F.col("vec_id") % 50 == 0).limit(200), k=5, shortlist=50
+        ),
+        "bm25_scores": lambda docs, emb: _bm25(
+            docs, ["join", "vector", "stream"]
+        ),
+        "repetition_ratio": lambda docs, emb: _rep_ratio(docs, n=3),
+        "robust_outliers": lambda docs, emb: _outliers(
+            docs, _wtc(F.col("text")), stratum_col="lang"
+        ),
         "training_pipeline": lambda docs, emb: chunk_documents(
             deterministic_sample(
                 exact_dedup_keep_first(docs.filter(quality_keep("text"))),

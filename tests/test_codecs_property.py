@@ -626,3 +626,23 @@ def test_jpeg_restart_marker_sequence_validated():
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(_smooth(8, 8, 1), restart_interval=-1)
+
+
+def test_jpeg_progressive_fuzz_structured_errors_only():
+    """Same corruption contract for the PROGRESSIVE decode path: 1,000
+    seeded random byte-corruptions of a valid SOF2 stream either decode
+    or raise ValueError/NotImplementedError — never an unstructured
+    IndexError/KeyError/struct.error from the scan-script state
+    machine (EOB runs, refinement bits, per-scan table snapshots)."""
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg_progressive
+
+    blob = bytearray(encode_jpeg_progressive(_smooth(24, 24, 5), quality=80))
+    rng = np.random.default_rng(1)
+    for _trial in range(1000):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
