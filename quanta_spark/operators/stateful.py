@@ -598,7 +598,15 @@ def match_sequence_stream(
                     if within_us is not None
                     else []
                 )
-                if len(b_idx):
+                # the tail may still hold UNDECIDED frontier starts
+                # (watermark not yet past their span bound) — evicting
+                # now would silently drop their future matches
+                undecided = (
+                    within_us is not None
+                    and len(t_idx)
+                    and int(t_idx[-1]) > decided_upto
+                )
+                if len(b_idx) or undecided:
                     save()
                 else:
                     # tombstone semantics as _order_fn: evicted at the

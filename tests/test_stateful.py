@@ -690,3 +690,85 @@ def test_cep_stream_restart_exactly_once(spark, tmp_workdir):
         ).collect()
     }
     assert set(got) == want and len(want) > 0
+
+
+def test_cep_stream_kleene_restart_matches_batch_greedy(spark, tmp_workdir):
+    """Kleene + within across a mid-stream restart: the union of both
+    runs equals the batch greedy matcher (match_sequence_kleene with
+    the same within bound) — the decided-starts pointer must survive
+    the checkpoint, or a restart would re-judge (duplicate) or skip
+    starts at the boundary."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.stateful import (
+        match_sequence_kleene,
+        match_sequence_stream,
+    )
+
+    data_dir = os.path.join(tmp_workdir, "in_ck")
+    write_transcripts(data_dir, SPEC, n_files=8)
+    live = data_dir + "_live"
+    ckpt = os.path.join(tmp_workdir, "ckpt_ck")
+    rows: list = []
+
+    steps_stream = [
+        lambda v: v == "user",
+        (lambda v: v == "assistant", 1, 2),
+        lambda v: v == "user",
+    ]
+
+    def build(src):
+        return match_sequence_stream(
+            src, steps_stream, pattern_col="role",
+            watermark="1 hour", within="2 hours",
+        )
+
+    os.makedirs(live)
+    files = sorted(os.listdir(data_dir))
+    for f in files[:4]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    h1 = start_pipeline(
+        build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
+        lambda b, i: rows.extend(b.collect()), ckpt,
+    )
+    h1.process_all_available()
+    h1.stop()
+
+    for f in files[4:]:
+        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    h2 = start_pipeline(
+        build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
+        lambda b, i: rows.extend(b.collect()), ckpt,
+    )
+    h2.process_all_available()
+    write_heartbeat_file(live, generate(SPEC)["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h2)
+
+    got = {
+        (r["conv_id"], r["start_turn"], r["match_len"])
+        for r in rows
+        if r["conv_id"] != HEARTBEAT_CONV
+    }
+    assert len(got) == len(
+        [r for r in rows if r["conv_id"] != HEARTBEAT_CONV]
+    ), "duplicate matches across restart"
+
+    batch_df = read_transcripts_batch(spark, data_dir).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    want = {
+        tuple(r)
+        for r in match_sequence_kleene(
+            batch_df,
+            [
+                lambda c: c["role"] == "user",
+                (lambda c: c["role"] == "assistant", 1, 2),
+                lambda c: c["role"] == "user",
+            ],
+            cols=("role",),
+            within="2 hours",
+        ).collect()
+    }
+    assert got == want and len(want) > 0
