@@ -2482,3 +2482,43 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_blocks auto-derived from corpus count x dim so per-task memory
     # stays under the target at any scale (similarity.auto_n_blocks)
     return exact_allpairs_cosine(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# round 4 (this session): training-batch packing, CMS heavy hitters,
+# weighted sampling, bigram LM scoring, dialogue ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q76_pack_turns",
+    f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE},
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ntok
+  FROM transcripts
+),
+r AS (
+  SELECT conv_id, turn_idx, ntok, 0 AS pack_idx, ntok AS fill
+  FROM tok WHERE turn_idx = 0
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, t.ntok,
+         CASE WHEN r.fill > 0 AND r.fill + t.ntok > 64
+              THEN r.pack_idx + 1 ELSE r.pack_idx END,
+         CASE WHEN r.fill > 0 AND r.fill + t.ntok > 64
+              THEN t.ntok ELSE r.fill + t.ntok END
+  FROM r JOIN tok t ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx + 1
+)
+SELECT conv_id, turn_idx, ntok, CAST(pack_idx AS INT) AS pack_idx FROM r
+""",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: next-fit turns into
+    64-token packs per conversation (packing.pack_turns — JVM
+    aggregate-fold, one conv_id shuffle, zero Python). The oracle
+    re-derives the same next-fit recurrence with a DuckDB recursive
+    CTE, so pack assignments hash-match exactly."""
+    from quanta_spark.operators.packing import pack_turns
+
+    return pack_turns(transcripts_df(spark), budget=64)
