@@ -96,3 +96,105 @@ def mergeable_distinct_check(
             ).alias("merged_within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable frequency counters + exact-verified heavy
+# hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def _hash_slot(item: Column, row: Column, width: int, hasher: str) -> Column:
+    """Row-``i`` hash slot for ``item``. ``xxhash64`` is the production
+    family (one JVM hash per row); ``md5`` is the portable family the
+    DuckDB oracle re-derives digit-by-digit (see dedup.py minhash —
+    same two-family pattern, same plan shape)."""
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(item, row), F.lit(width))
+    if hasher == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit(":"), item)), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % width
+    raise ValueError(f"unknown hasher {hasher!r} (expected xxhash64|md5)")
+
+
+def cms_counters(
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Count-min counter table (row_i, slot, cnt) over one item per
+    input row — the MERGEABLE unit: CMS is linear, so per-shard/per-day
+    counter tables summed cell-wise equal the whole-corpus table
+    EXACTLY (integer addition — unlike HLL's mode-dependent estimates).
+    Size is depth*width rows regardless of corpus size: the fixed-
+    footprint frequency summary you can store per partition and union
+    at read time. One explode (x depth) + one groupBy with map-side
+    partial aggregation; no driver collection."""
+    rows = items.select(
+        F.col(item_col).alias("_item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
+    )
+    slot = _hash_slot(F.col("_item"), F.col("_row"), width, hasher)
+    return (
+        rows.select("_row", slot.alias("_slot"))
+        .groupBy("_row", "_slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Exact heavy hitters via CMS candidate generation: items whose
+    count-min estimate (min over depth rows; never an UNDERcount) is
+    >= ``threshold`` become candidates — a superset of the true heavy
+    hitters by the CMS guarantee — then ONLY candidates get an exact
+    count. At 100 TB the exact pass touches a candidate set sized by
+    the sketch error (~corpus/width per cell), not the vocabulary: the
+    counter table is bounded, the candidate list broadcasts, and the
+    final count is a map-side-combined aggregation over a filtered
+    scan. Output: (item, exact_count, cms_estimate, is_heavy) for every
+    candidate — deterministic given the hash family, so the md5 flavor
+    oracle-checks end to end."""
+    counters = cms_counters(items, item_col, depth, width, hasher)
+    distinct = items.select(F.col(item_col).alias("_item")).distinct()
+    probes = distinct.select(
+        "_item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row")
+    )
+    probes = probes.select(
+        "_item", "_row", _hash_slot(F.col("_item"), F.col("_row"), width, hasher).alias("_slot")
+    )
+    estimates = (
+        probes.join(F.broadcast(counters), ["_row", "_slot"])
+        .groupBy("_item")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    candidates = estimates.filter(F.col("cms_estimate") >= threshold)
+    exact = (
+        items.select(F.col(item_col).alias("_item"))
+        .join(F.broadcast(candidates), "_item")
+        .groupBy("_item", "cms_estimate")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return exact.select(
+        F.col("_item").alias(item_col),
+        F.col("exact_count").cast("long"),
+        F.col("cms_estimate").cast("long"),
+        (F.col("exact_count") >= threshold).alias("is_heavy"),
+    )

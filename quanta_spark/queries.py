@@ -2522,3 +2522,79 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.packing import pack_turns
 
     return pack_turns(transcripts_df(spark), budget=64)
+
+
+def _md5int7(expr: str) -> str:
+    """DuckDB twin of Spark ``conv(substr(md5(x),1,7),16,10)``."""
+    return (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        f"substr(md5({expr}), j, 1)) - 1 AS BIGINT) "
+        "* (1::BIGINT << ((7 - j) * 4)) for j in generate_series(1, 7)])"
+    )
+
+
+_Q77_ORACLE = f"""
+WITH t AS (
+  SELECT string_split({DUCK_NORM}, ' ') AS a FROM documents
+),
+g AS (
+  SELECT array_to_string(a[i : i + 2], ' ') AS gram
+  FROM (SELECT a, unnest(generate_series(1, len(a) - 2)) AS i FROM t)
+),
+r AS (SELECT unnest(generate_series(0, 3)) AS row_i),
+c AS (
+  SELECT row_i, {_md5int7("concat(row_i::VARCHAR, ':', gram)")} % 8192 AS slot,
+         count(*) AS cnt
+  FROM g CROSS JOIN r GROUP BY 1, 2
+),
+dg AS (SELECT DISTINCT gram FROM g),
+ph AS (
+  SELECT gram, row_i,
+         {_md5int7("concat(row_i::VARCHAR, ':', gram)")} % 8192 AS slot
+  FROM dg CROSS JOIN r
+),
+est AS (
+  SELECT ph.gram, min(c.cnt) AS cms_estimate
+  FROM ph JOIN c USING (row_i, slot) GROUP BY ph.gram
+),
+cand AS (SELECT * FROM est WHERE cms_estimate >= 5),
+ex AS (
+  SELECT g.gram, count(*) AS exact_count
+  FROM g JOIN cand USING (gram) GROUP BY g.gram
+)
+SELECT ex.gram,
+       CAST(ex.exact_count AS BIGINT) AS exact_count,
+       CAST(cand.cms_estimate AS BIGINT) AS cms_estimate,
+       ex.exact_count >= 5 AS is_heavy
+FROM ex JOIN cand USING (gram)
+"""
+
+
+@query("q77_heavy_hitters", _Q77_ORACLE)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter word-3-grams via count-min sketch candidates +
+    exact verification (sketches.cms_heavy_hitters): the counter table
+    is depth x width regardless of corpus size (the mergeable,
+    store-per-shard frequency summary), candidates broadcast, and only
+    candidate grams pay an exact count. md5 hash family here so the
+    oracle re-derives every counter cell; xxhash64 is the production
+    default (same plan)."""
+    from quanta_spark.operators.dedup import normalized
+    from quanta_spark.operators.sketches import cms_heavy_hitters
+
+    n_parts = spark.sparkContext.defaultParallelism
+    toked = (
+        spark.table("documents")
+        .select(F.split(normalized(F.col("text")), " ").alias("_toks"))
+        .repartition(n_parts)
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toked.select(F.explode(grams).alias("gram"))
+    return cms_heavy_hitters(g, "gram", threshold=5, hasher="md5")

@@ -580,3 +580,61 @@ def test_clustered_embedding_generator_structure():
     diff = sims[lab[:, None] != lab[None, :]]
     assert same.mean() > 0.75, same.mean()
     assert same.mean() - diff.mean() > 0.5, (same.mean(), diff.mean())
+
+
+def test_cms_counters_are_linear_across_shards(spark):
+    """CMS is a LINEAR sketch: per-shard counter tables summed cell-wise
+    must equal the whole-corpus table EXACTLY (integer equality — the
+    property that lets 100 TB keep per-day counter tables and add them
+    at read time)."""
+    from quanta_spark.operators.sketches import cms_counters
+
+    items = spark.createDataFrame(
+        [("tok%d" % (i % 37),) for i in range(500)], "item string"
+    ).withColumn("shard", F.expr("abs(hash(item)) % 3"))
+    whole = {
+        (r["_row"], r["_slot"]): r["cnt"]
+        for r in cms_counters(items, "item", width=64).collect()
+    }
+    summed: dict = {}
+    for s in range(3):
+        part = cms_counters(items.filter(F.col("shard") == s), "item", width=64)
+        for r in part.collect():
+            k = (r["_row"], r["_slot"])
+            summed[k] = summed.get(k, 0) + r["cnt"]
+    assert summed == whole
+
+
+def test_cms_heavy_hitters_no_false_negatives_and_overcount_only(spark):
+    """Every true heavy hitter must be reported (CMS never undercounts,
+    so thresholding estimates is a sound candidate filter), estimates
+    must be >= exact, and is_heavy must reflect the EXACT count. Tiny
+    width forces collisions so the overcount path is actually hit."""
+    from quanta_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("hot%d" % k,) for k in range(5) for _ in range(20)] + [
+        ("cold%d" % i,) for i in range(200)
+    ]
+    items = spark.createDataFrame(rows, "item string")
+    out = cms_heavy_hitters(items, "item", threshold=10, width=32).collect()
+    got = {r["item"]: r for r in out}
+    for k in range(5):
+        r = got["hot%d" % k]
+        assert r["is_heavy"] and r["exact_count"] == 20
+        assert r["cms_estimate"] >= r["exact_count"]
+    for r in out:  # any collision-promoted candidate is exactly demoted
+        assert r["is_heavy"] == (r["exact_count"] >= 10)
+        assert r["cms_estimate"] >= r["exact_count"]
+
+
+def test_cms_hash_families_same_shape(spark):
+    """xxhash64 (production) and md5 (oracle) families agree on exact
+    counts and the heavy set — only the estimates' collision noise may
+    differ."""
+    from quanta_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("w%d" % (i % 11),) for i in range(330)]
+    items = spark.createDataFrame(rows, "item string")
+    a = {r["item"]: r["exact_count"] for r in cms_heavy_hitters(items, "item", 30, hasher="xxhash64").collect()}
+    b = {r["item"]: r["exact_count"] for r in cms_heavy_hitters(items, "item", 30, hasher="md5").collect()}
+    assert a == b and len(a) == 11
