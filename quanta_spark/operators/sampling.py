@@ -197,3 +197,75 @@ def robust_outliers(
             "is_outlier"
         ),
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    stride: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted systematic sampling: lay all rows end-to-end on an
+    integer weight axis (in ``order_col`` order) and pick the row under
+    every ``stride``-th tick — each row is selected with probability
+    proportional to its weight (token count -> token-proportional
+    document sampling), deterministically, with no RNG. A row heavier
+    than ``stride`` is picked multiple times (``pick_count``).
+
+    The running weight sum is a DISTRIBUTED prefix sum (the
+    multimodal.repartition_by_size shape, not a one-task global
+    window): coarse ``width_bucket`` ranges over ``order_col``, a
+    narrow per-range total aggregate (O(n_ranges) rows to the driver —
+    bounded by parallelism, not data), broadcast range offsets, then a
+    per-range window cumsum. Weights cross exactly one shuffle.
+
+    Integer-only arithmetic end to end, so a plain SQL window-cumsum
+    oracle reproduces the selection exactly (q78)."""
+    if isinstance(weight, str):
+        weight = F.col(weight)
+    sized = df.select(
+        F.col(order_col), weight.cast("long").alias("_w")
+    )
+    bounds = sized.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return sized.select(
+            F.col(order_col),
+            F.col("_w").alias("weight"),
+            F.lit(0).cast("long").alias("cum_weight"),
+            F.lit(0).cast("long").alias("pick_count"),
+        ).limit(0)
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    n_ranges = max(df.sparkSession.sparkContext.defaultParallelism * 4, 4)
+    rid = F.width_bucket(
+        F.col(order_col).cast("double"), F.lit(lo), F.lit(hi + 1.0), F.lit(n_ranges)
+    )
+    ranged = sized.withColumn("_rid", rid)
+    per_range = (
+        ranged.select("_rid", "_w").groupBy("_rid").agg(F.sum("_w").alias("s")).collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in sorted(per_range, key=lambda r: int(r["_rid"])):
+        offsets[int(r["_rid"])] = running
+        running += int(r["s"])
+    off_map = F.create_map(
+        *[x for k, v in sorted(offsets.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (off_map[F.col("_rid")] + F.sum("_w").over(w)).cast("long")
+    with_cum = ranged.withColumn("_cum", cum).withColumn(
+        "_picks",
+        F.expr(f"_cum DIV {int(stride)}") - F.expr(f"(_cum - _w) DIV {int(stride)}"),
+    )
+    return with_cum.filter(F.col("_picks") > 0).select(
+        F.col(order_col),
+        F.col("_w").alias("weight"),
+        F.col("_cum").alias("cum_weight"),
+        F.col("_picks").alias("pick_count"),
+    )

@@ -2598,3 +2598,37 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     g = toked.select(F.explode(grams).alias("gram"))
     return cms_heavy_hitters(g, "gram", threshold=5, hasher="md5")
+
+
+@query(
+    "q78_weighted_sample",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, w AS weight, CAST(cum AS BIGINT) AS cum_weight,
+       CAST(cum // 250 - (cum - w) // 250 AS BIGINT) AS pick_count
+FROM c WHERE cum // 250 > (cum - w) // 250
+""",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional document sampling (systematic, stride=250
+    tokens): deterministic weighted sampling with no RNG — rows under
+    every 250th token tick are picked, heavy docs proportionally more
+    often. The running token sum is a distributed two-phase prefix sum
+    (sampling.systematic_weighted_sample) — the oracle's single global
+    window is exactly what the operator avoids at scale."""
+    from quanta_spark.operators.sampling import systematic_weighted_sample
+    from quanta_spark.operators.text import ws_token_count
+
+    return systematic_weighted_sample(
+        spark.table("documents"), ws_token_count(F.col("text")), stride=250
+    )

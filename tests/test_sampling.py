@@ -203,3 +203,33 @@ def test_assign_splits_disjoint_stable_and_proportional(spark):
     grown = spark.range(0, 8000).select(F.col("id").alias("doc_id"))
     b = assign_splits(grown).toPandas().set_index("doc_id")["split"]
     assert (b.loc[a.index] == a).all(), "existing assignments moved"
+
+
+def test_systematic_weighted_sample_invariants(spark, docs):
+    """Selection must be layout-independent, pick counts must sum to
+    floor(total/stride), and per-row pick_count proportional to weight
+    (a row spanning k ticks is picked k times)."""
+    from quanta_spark.operators.sampling import systematic_weighted_sample
+    from quanta_spark.operators.text import ws_token_count
+
+    stride = 97
+    a = systematic_weighted_sample(docs, ws_token_count(F.col("text")), stride)
+    b = systematic_weighted_sample(
+        docs.repartition(11), ws_token_count(F.col("text")), stride
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    total = docs.select(F.sum(ws_token_count(F.col("text")))).first()[0]
+    assert sum(r[3] for r in ra) == total // stride
+    for _doc, w, cum, picks in ra:
+        assert picks == cum // stride - (cum - w) // stride
+
+
+def test_systematic_weighted_sample_empty(spark):
+    from quanta_spark.operators.sampling import systematic_weighted_sample
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = systematic_weighted_sample(empty, F.length("text"), 10)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "weight", "cum_weight", "pick_count"]
