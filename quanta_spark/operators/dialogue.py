@@ -1,0 +1,98 @@
+"""Dialogue-structure operators over transcript tables.
+
+The payload of this engine is multi-turn conversation transcripts
+(BASELINE.json input_hint: conv_id, turn_idx, role, text, tool, ts);
+these operators extract the training-facing structure a fine-tuning
+pipeline needs from them: role-transition statistics (conversation
+shape QA), prompt/response pair extraction (SFT datasets), and
+context-tail truncation (fit a conversation into a model context).
+
+All three are single-shuffle window/aggregate plans — one exchange on
+the conversation key (or the role key for the global matrix), pure
+codegen, no Python — so they run at scan speed over 10^12 turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from quanta_spark.operators.text import ws_token_count
+
+
+def role_transitions(df: DataFrame) -> DataFrame:
+    """Global role-transition matrix: counts and per-source-role
+    probabilities (basis points) of ``role -> next role`` steps inside
+    conversations. The conversation-shape health check of a transcript
+    corpus — e.g. user->user runs flag merge bugs upstream.
+
+    One conv_id shuffle for the lead(), then an aggregation whose
+    output is |roles|^2 rows; the probability normalization is a
+    window over that tiny table, not the corpus."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = df.select(
+        F.col("role"), F.lead("role").over(w).alias("next_role")
+    ).filter(F.col("next_role").isNotNull())
+    counts = pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("role")
+    return counts.select(
+        "role",
+        "next_role",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("n") * 10_000 / F.sum("n").over(total) + F.lit(0.5))
+        .cast("long")
+        .alias("prob_bp"),
+    )
+
+
+def sft_pairs(df: DataFrame, context_turns: int = 3) -> DataFrame:
+    """Extract (prompt, response) training pairs: every assistant turn
+    becomes a response; its prompt is the previous ``context_turns``
+    turns (any role) joined newline-separated in order. The
+    bread-and-butter SFT dataset extraction.
+
+    Bounded context => bounded row width (no unbounded string_agg of a
+    mega-conversation); ``lag`` columns share one conv_id window, so
+    the plan is a single exchange + window + filter."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lags = [
+        F.lag("text", i).over(w) for i in range(context_turns, 0, -1)
+    ]
+    n_context = sum(
+        (F.lag("text", i).over(w).isNotNull()).cast("int")
+        for i in range(1, context_turns + 1)
+    )
+    out = df.select(
+        "conv_id",
+        "turn_idx",
+        F.col("role"),
+        F.concat_ws("\n", *lags).alias("prompt"),
+        F.col("text").alias("response"),
+        n_context.alias("n_context"),
+    )
+    return out.filter(F.col("role") == "assistant").drop("role")
+
+
+def truncate_to_context(
+    df: DataFrame, max_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Keep each conversation's LAST turns whose running token total
+    (counted from the end) fits ``max_tokens`` — how a serving/training
+    pipeline fits history into a context window. A turn is kept only
+    if the whole suffix through it fits; the newest turn always
+    competes first. Reverse-cumsum filter: one conv_id shuffle, pure
+    codegen."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ntok = ws_token_count(F.col(text_col))
+    return (
+        df.withColumn("_suffix_tokens", F.sum(ntok).over(w).cast("long"))
+        .filter(F.col("_suffix_tokens") <= max_tokens)
+        .drop("_suffix_tokens")
+    )

@@ -403,3 +403,66 @@ def repetition_ratio(df: DataFrame, n: int = 3, text_col: str = "text") -> DataF
         .cast("long")
         .alias("dup_ratio_bp"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-LM document scoring — the cheap statistical stand-in for
+    perplexity filtering: train word-bigram counts on the corpus
+    itself, then score each document by the mean conditional frequency
+    P(w_i | w_{i-1}) = c2(prev, cur) / c1(prev) of its bigrams. Low
+    scores mark documents whose word transitions are rare in the
+    corpus (noise, mangled text); high scores mark formulaic text.
+
+    Plan (100 TB posture): one explode to bigram rows, then the count
+    tables. c1 (prefix counts) is derived from c2 by a window over the
+    MUCH smaller count table — not a second corpus aggregation — so
+    the corpus-sized bigram rows cross exactly two shuffles: the join
+    on (prev, cur) against the count table, and the per-doc rollup.
+    All counts are integers; only the final mean is a double, reported
+    floor(x*1e4+0.5) so the oracle hash-matches.
+    """
+    from pyspark.sql.window import Window
+
+    from quanta_spark.operators.dedup import normalized
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.select(
+        F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("_toks")
+    ).repartition(n_parts, F.col(id_col))
+    toks = F.col("_toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<prev:STRING,cur:STRING>>)"))
+    big = toked.select(id_col, F.explode(pairs).alias("_b")).select(
+        id_col, F.col("_b.prev").alias("prev"), F.col("_b.cur").alias("cur")
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c2e = c2.withColumn(
+        "n1", F.sum("n2").over(Window.partitionBy("prev"))
+    )
+    scored = big.join(c2e, ["prev", "cur"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("n2").cast("long").alias("sum_bigram_count"),
+        F.floor(
+            F.avg(F.col("n2").cast("double") / F.col("n1")) * 10_000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("score_bp"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce("sum_bigram_count", F.lit(0)).cast("long").alias("sum_bigram_count"),
+            F.coalesce("score_bp", F.lit(0)).cast("long").alias("score_bp"),
+        )
+    )

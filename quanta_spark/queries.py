@@ -2632,3 +2632,121 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_weighted_sample(
         spark.table("documents"), ws_token_count(F.col("text")), stride=250
     )
+
+
+@query(
+    "q79_bigram_lm_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({DUCK_NORM}, ' ') AS a FROM documents
+),
+big AS (
+  SELECT doc_id, a[i] AS prev, a[i + 1] AS cur
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM t)
+),
+c2 AS (SELECT prev, cur, count(*) AS n2 FROM big GROUP BY prev, cur),
+c2e AS (SELECT prev, cur, n2, sum(n2) OVER (PARTITION BY prev) AS n1 FROM c2),
+sc AS (
+  SELECT big.doc_id,
+         CAST(count(*) AS INT) AS n_bigrams,
+         CAST(sum(n2) AS BIGINT) AS sum_bigram_count,
+         CAST(floor(avg(CAST(n2 AS DOUBLE) / n1) * 10000 + 0.5) AS BIGINT) AS score_bp
+  FROM big JOIN c2e USING (prev, cur) GROUP BY big.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       CAST(coalesce(sc.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
+       CAST(coalesce(sc.score_bp, 0) AS BIGINT) AS score_bp
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM scoring (text.bigram_lm_scores) — perplexity's
+    cheap statistical stand-in for quality filtering: mean conditional
+    bigram frequency per document. Prefix counts come from a window
+    over the count table, not a second corpus pass."""
+    from quanta_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(spark.table("documents"))
+
+
+@query(
+    "q80_role_transitions",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+p AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM transcripts
+),
+c AS (
+  SELECT role, next_role, count(*) AS n
+  FROM p WHERE next_role IS NOT NULL GROUP BY role, next_role
+)
+SELECT role, next_role, CAST(n AS BIGINT) AS n,
+       CAST(floor(n * 10000.0 / sum(n) OVER (PARTITION BY role) + 0.5) AS BIGINT)
+         AS prob_bp
+FROM c
+""",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix with per-source probabilities
+    (dialogue.role_transitions) — conversation-shape QA over the
+    corpus. One conv_id shuffle; normalization is a window over the
+    |roles|^2 count table."""
+    from quanta_spark.operators.dialogue import role_transitions
+
+    return role_transitions(transcripts_df(spark))
+
+
+@query(
+    "q81_sft_pairs",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+l AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(text, 3) OVER w AS l3,
+         lag(text, 2) OVER w AS l2,
+         lag(text, 1) OVER w AS l1
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+       concat_ws(chr(10), l3, l2, l1) AS prompt,
+       text AS response,
+       CAST(CAST(l3 IS NOT NULL AS INT) + CAST(l2 IS NOT NULL AS INT)
+            + CAST(l1 IS NOT NULL AS INT) AS INT) AS n_context
+FROM l WHERE role = 'assistant'
+""",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, response) pair extraction (dialogue.sft_pairs):
+    every assistant turn paired with its previous 3 turns. Bounded
+    context keeps row width bounded — no mega-conversation string_agg
+    — and all lag columns share one conv_id window."""
+    from quanta_spark.operators.dialogue import sft_pairs
+
+    return sft_pairs(transcripts_df(spark), context_turns=3)
+
+
+@query(
+    "q82_context_truncate",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         sum(len(string_split_regex(trim(text), '\\s+')))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suf
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM s WHERE suf <= 48
+""",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (dialogue.truncate_to_context): keep
+    each conversation's newest suffix that fits 48 tokens —
+    reverse-cumsum filter, one conv_id shuffle, pure codegen."""
+    from quanta_spark.operators.dialogue import truncate_to_context
+
+    return truncate_to_context(transcripts_df(spark), max_tokens=48)

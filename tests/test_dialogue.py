@@ -1,0 +1,55 @@
+"""Dialogue-structure operators: SFT pairs, truncation, transitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quanta_spark.operators.dialogue import (
+    role_transitions,
+    sft_pairs,
+    truncate_to_context,
+)
+
+
+def _conv(spark):
+    rows = [
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "hi how can i help"),
+        ("c1", 2, "user", "do a thing"),
+        ("c1", 3, "tool", "tool output text"),
+        ("c1", 4, "assistant", "done the thing"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_sft_pairs_context_and_edges(spark):
+    got = {r["turn_idx"]: r for r in sft_pairs(_conv(spark), 3).collect()}
+    assert set(got) == {1, 4}  # one pair per assistant turn
+    assert got[1]["prompt"] == "hello there"  # missing lags skipped
+    assert got[1]["n_context"] == 1
+    assert got[4]["prompt"] == "hi how can i help\ndo a thing\ntool output text"
+    assert got[4]["n_context"] == 3
+    assert got[4]["response"] == "done the thing"
+
+
+def test_truncate_keeps_newest_suffix_only(spark):
+    # token counts: 2,5,3,3,3 from newest: 3,3,3 -> 9; +5 = 14
+    kept = sorted(
+        r["turn_idx"] for r in truncate_to_context(_conv(spark), 9).collect()
+    )
+    assert kept == [2, 3, 4]
+    # an oversized newest turn drops the whole conversation
+    assert truncate_to_context(_conv(spark), 2).count() == 0
+
+
+def test_role_transition_probs_sum_to_one(spark):
+    out = role_transitions(_conv(spark)).collect()
+    n_by_src: dict = {}
+    for r in out:
+        n_by_src.setdefault(r["role"], []).append(r["prob_bp"])
+    for src, bps in n_by_src.items():
+        assert abs(sum(bps) - 10_000) <= len(bps), (src, bps)
+    m = {(r["role"], r["next_role"]): r["n"] for r in out}
+    assert m[("user", "assistant")] == 1 and m[("user", "tool")] == 1
