@@ -467,3 +467,178 @@ def simhash_near_dup_pairs(
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup gate: new documents vs a static historical LSH index
+# ---------------------------------------------------------------------------
+
+
+def _band_bucket_of(mh_cols: list[Column], band: int, hasher: str) -> Column:
+    """Bucket id of one band from its row minhashes — same two hash
+    families as minhash_lsh_candidates (xxhash64 fast path, md5
+    portable path) so batch-built indexes and row-wise stream
+    signatures land in identical buckets."""
+    if hasher == "xxhash64":
+        return F.xxhash64(F.lit(band), *mh_cols)
+    return F.md5(F.concat_ws("-", *[c.cast("string") for c in mh_cols]))
+
+
+def rowwise_minhash_bands(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_n: int = 5,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Minhash band buckets computed per ROW — one projection, no
+    aggregation — so it runs on an unbounded stream in append mode
+    (a groupBy(doc).min signature can't). Identical values to
+    minhash_signatures + banding: same distinct-gram set, same
+    universal-hash coefficients, same bucket hash.
+
+    Output: ``id_cols`` + ``grams`` (kept for the exact verify join)
+    + exploded (band, bucket). The gram hashes are materialized into a
+    column BEFORE the 64 per-hash array_min transforms — the captured-
+    expression re-eval pitfall (_grams_of_norm doc) would otherwise
+    re-hash every shingle 64 times."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    keep = [F.col(c) for c in id_cols]
+    normed = df.select(
+        *keep, normalized(F.col(text_col)).alias("_nrm")
+    ).repartition(n_parts)
+    grams = normed.select(
+        *keep, _grams_of_norm(F.col("_nrm"), shingle_n).alias("grams")
+    )
+    xs = grams.withColumn(
+        "_xs", F.transform("grams", lambda s: _shingle_hash(s, hasher))
+    )
+    a = MINHASH_A[:n_hashes]
+    b = MINHASH_B[:n_hashes]
+
+    # single-arg closure per coefficient pair: a two-parameter lambda
+    # would be read by F.transform as its (element, index) form and the
+    # array index would shadow the coefficient index
+    def _uh(ai: int, bi: int):
+        return lambda x: (x * ai + bi) % _P
+
+    mh = [
+        F.array_min(F.transform("_xs", _uh(int(a[i]), int(b[i])))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = xs.select(*keep, "grams", *mh)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                _band_bucket_of(
+                    [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)],
+                    bi,
+                    hasher,
+                ).alias("bucket"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    return sigs.select(*keep, "grams", F.explode(bands).alias("bb")).select(
+        *keep, "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def neardup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+    hasher: str = "xxhash64",
+    n_bands: int = 8,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """The STORED historical LSH index of a production dedup gate:
+    (band, bucket, idx_doc_id, idx_grams) rows a pipeline keeps in a
+    table and appends each day's accepted documents to. Built with the
+    batch signature path (mapInPandas partials); carries the gram
+    arrays so the gate's exact verify needs no second lookup."""
+    sigs = minhash_signatures(
+        df, shingle_n=shingle_n, text_col=text_col, hasher=hasher
+    )
+    stacked = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _band_bucket_of(
+                            [
+                                F.col(f"mh_{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                            bi,
+                            hasher,
+                        ).alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    grams = _norm_grams_df(df, text_col, shingle_n)
+    return stacked.join(grams, "doc_id").select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("idx_doc_id"),
+        F.col("grams").alias("idx_grams"),
+    )
+
+
+def stream_neardup_gate(
+    stream_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+    hasher: str = "xxhash64",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingestion near-dup gate: every arriving document is
+    checked against the historical index — THE production shape of
+    dedup at 10^12 scale (nobody re-runs all-pairs over the full
+    corpus per day; new data joins a maintained index).
+
+    Plan: row-wise join-free signatures on the stream (stateless
+    projection), stream-static equi-join on (band, bucket) — the
+    static side shuffles once, the stream side is append-mode
+    stateless — then watermark-bounded pair dedup (a doc matching the
+    same index doc in several bands must report once) and the exact
+    gram-Jaccard verify as a codegen filter. Emits matches eagerly;
+    the watermark only evicts dedup state."""
+    s = stream_df
+    if s.isStreaming:
+        s = s.withWatermark(ts_col, watermark)
+    bands = rowwise_minhash_bands(
+        s,
+        [id_col, ts_col],
+        text_col=text_col,
+        shingle_n=shingle_n,
+        hasher=hasher,
+    )
+    joined = bands.join(index, ["band", "bucket"])
+    if joined.isStreaming:
+        pairs = joined.dropDuplicatesWithinWatermark([id_col, "idx_doc_id"])
+    else:
+        pairs = joined.dropDuplicates([id_col, "idx_doc_id"])
+    inter = F.size(F.array_intersect("grams", "idx_grams"))
+    union = F.size(F.array_union("grams", "idx_grams"))
+    out = pairs.select(
+        F.col(id_col).alias("new_doc_id"),
+        "idx_doc_id",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= threshold)

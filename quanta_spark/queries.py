@@ -2750,3 +2750,91 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.dialogue import truncate_to_context
 
     return truncate_to_context(transcripts_df(spark), max_tokens=48)
+
+
+_Q83_ORACLE = f"""
+WITH {_Q28_CTES.replace("cand AS (", "cand0 AS (")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS idx_doc_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+)
+SELECT c.new_doc_id, c.idx_doc_id,
+       CAST(len(list_intersect(ga.grams, gb.grams)) AS INT) AS n_common,
+       CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS INT) AS n_union,
+       round(len(list_intersect(ga.grams, gb.grams)) /
+             greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1), 4) AS jaccard
+FROM cand c JOIN g ga ON ga.doc_id = c.new_doc_id JOIN g gb ON gb.doc_id = c.idx_doc_id
+WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+            greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1), 4) >= 0.8
+"""
+
+
+@query("q83_stream_neardup", _Q83_ORACLE)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion near-dup gate: the _DOCS2 clone documents
+    arrive as a real file stream and are checked against a static
+    historical MinHash/LSH index of the original corpus
+    (dedup.stream_neardup_gate) — the production shape of dedup at
+    scale: new data joins a maintained index, nobody re-runs
+    all-pairs. Stream side computes JOIN-FREE per-row signatures
+    (append-mode-safe: no aggregation), candidates come from the
+    stream-static (band, bucket) equi-join, repeated band hits dedup
+    within the watermark, and the exact gram-Jaccard verify is a
+    codegen filter. Oracle: the q28 md5-family batch SQL restricted to
+    (clone x original) pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators.dedup import neardup_index, stream_neardup_gate
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    index = neardup_index(spark.table("documents"), hasher="md5")
+
+    clones_pdf = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _guard_gate_rows(len(clones_pdf), "doc stream input")
+    clones_pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.arange(len(clones_pdf)), unit="s"
+    )
+    d = tempfile.mkdtemp(prefix="qs_docstream_")
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("text", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    for k, ix in enumerate(np.array_split(np.arange(len(clones_pdf)), 4)):
+        pq.write_table(
+            pa.Table.from_pandas(clones_pdf.iloc[ix], schema=schema, preserve_index=False),
+            os.path.join(d, f"part-{k:05d}.parquet"),
+        )
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    out_stream = stream_neardup_gate(src, index, hasher="md5")
+    rows: list = []
+
+    def _sink(b, i):
+        rows.extend(b.collect())
+        _guard_gate_rows(len(rows), "collected output")
+
+    h = start_pipeline(out_stream, _sink, tempfile.mkdtemp(prefix="qs_docstream_ckpt_"))
+    run_to_completion(h)
+    out_pdf = pd.DataFrame([r.asDict() for r in rows])
+    return spark.createDataFrame(out_pdf, schema=out_stream.schema)
