@@ -230,3 +230,57 @@ def test_q72_session_labels_single_exchange(spark):
     # the transcripts derivation itself windows on user_id; allow its
     # exchange plus exactly one for the conv_id windows
     assert final.count("Exchange hashpartitioning(conv_id") == 1, plan
+
+
+def test_q76_pack_turns_single_conv_exchange_no_python(spark):
+    """Packing: the fold runs as a Catalyst aggregate over one conv_id
+    shuffle — no Python worker (the stream of 10^12 turns never leaves
+    the JVM) and no join anywhere."""
+    plan = _plan(spark, "q76_pack_turns")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning(conv_id") == 1, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "Join"):
+        assert bad not in final, (bad, plan)
+
+
+def test_q77_cms_counters_broadcast_and_partial_agg(spark):
+    """CMS heavy hitters: the depth x width counter table and the
+    candidate list must BROADCAST back to the corpus-sized sides, and
+    the counter aggregation must partial-aggregate before its
+    exchange (map-side combine on the token stream)."""
+    plan = _plan(spark, "q77_heavy_hitters")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    first_exchange = plan.index("Exchange")
+    assert "partial_count" in plan[first_exchange:] or "partial_count" in plan, plan
+
+
+def test_q78_weighted_sample_no_global_sort(spark):
+    """The prefix sum must be per-range windows, never a single-task
+    global window: no SinglePartition exchange carrying the corpus,
+    no global Sort outside a range partition."""
+    plan = _plan(spark, "q78_weighted_sample")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Window") >= 1, plan
+    # the cumsum window is partitioned by range id, never unpartitioned
+    assert "windowspecdefinition(_rid" in plan, plan
+    assert "windowspecdefinition(doc_id" not in plan, plan
+
+
+def test_q79_bigram_prefix_counts_from_count_table_window(spark):
+    """Bigram LM: prefix counts must come from a window over the count
+    table (partitioned by prev), not a second corpus aggregation —
+    and the count-table join back to the corpus must be a hash join,
+    never cartesian."""
+    plan = _plan(spark, "q79_bigram_lm_scores")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(prev" in plan, plan
+
+
+def test_q80_q82_dialogue_single_conv_exchange(spark):
+    """Dialogue ops are one-exchange window plans over conv_id."""
+    for name in ("q81_sft_pairs", "q82_context_truncate"):
+        plan = _plan(spark, name)
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Exchange hashpartitioning(conv_id") == 1, (name, plan)
+        assert "Join" not in final, (name, plan)
