@@ -76,6 +76,16 @@ def _ops():
         ws_token_count,
     )
     _wtc = ws_token_count
+    from quanta_spark.operators.dedup import (
+        neardup_index as _nd_index,
+        stream_neardup_gate as _nd_gate,
+    )
+    from quanta_spark.operators.packing import pack_turns as _pack
+    from quanta_spark.operators.sampling import (
+        systematic_weighted_sample as _wsample,
+    )
+    from quanta_spark.operators.sketches import cms_heavy_hitters as _cms_hh
+    from quanta_spark.operators.text import bigram_lm_scores as _bigram_lm
 
     def bench_set(docs):
         from quanta_spark.operators.dedup import normalized
@@ -145,6 +155,31 @@ def _ops():
         "repetition_ratio": lambda docs, emb: _rep_ratio(docs, n=3),
         "robust_outliers": lambda docs, emb: _outliers(
             docs, _wtc(F.col("text")), stratum_col="lang"
+        ),
+        "pack_turns": lambda docs, emb: _pack(
+            docs.select(
+                F.concat(F.lit("c"), (F.col("doc_id") / 10).cast("long").cast("string")).alias("conv_id"),
+                (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+                "text",
+            ),
+            budget=64,
+        ),
+        "cms_heavy_hitters": lambda docs, emb: _cms_hh(
+            docs.select(
+                F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " ")).alias("tok")
+            ),
+            "tok",
+            threshold=max(50, docs.count() // 100),
+        ),
+        "weighted_sample": lambda docs, emb: _wsample(
+            docs, _wtc(F.col("text")), stride=250
+        ),
+        "bigram_lm_scores": lambda docs, emb: _bigram_lm(docs),
+        "neardup_gate_batch": lambda docs, emb: _nd_gate(
+            docs.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+            .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+            _nd_index(docs),
         ),
         "training_pipeline": lambda docs, emb: chunk_documents(
             deterministic_sample(
