@@ -96,3 +96,38 @@ def truncate_to_context(
         .filter(F.col("_suffix_tokens") <= max_tokens)
         .drop("_suffix_tokens")
     )
+
+
+def render_conversations(
+    df: DataFrame, max_turns: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Render each conversation to one training-text document —
+    ``role: text`` lines in turn order — the standard transcript →
+    pretraining-corpus materialization. ``max_turns`` keeps the
+    rendered KEEP-LAST suffix bounded (row width must stay bounded at
+    mega-conversation skew; render the chunks of a 10^5-turn
+    conversation separately if you really need all of it).
+
+    Plan: one conv_id shuffle into a sorted collect_list fold —
+    the array is bounded by ``max_turns`` via slice-after-sort, all
+    JVM-side."""
+    lines = df.select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx"),
+            F.concat_ws(": ", F.col("role"), F.col(text_col)).alias("line"),
+        ).alias("_t"),
+    )
+    agg = lines.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list("_t")).alias("_turns")
+    )
+    tail = F.slice(
+        F.col("_turns"), F.greatest(F.size("_turns") - max_turns + 1, F.lit(1)),
+        max_turns,
+    )
+    return agg.select(
+        "conv_id",
+        F.size("_turns").cast("int").alias("n_turns"),
+        F.least(F.size("_turns"), F.lit(max_turns)).cast("int").alias("n_rendered"),
+        F.array_join(F.transform(tail, lambda t: t["line"]), "\n").alias("rendered"),
+    )

@@ -2838,3 +2838,32 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_completion(h)
     out_pdf = pd.DataFrame([r.asDict() for r in rows])
     return spark.createDataFrame(out_pdf, schema=out_stream.schema)
+
+
+@query(
+    "q84_render_conversations",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+n AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id),
+tail AS (
+  SELECT conv_id, turn_idx, concat(role, ': ', text) AS line
+  FROM transcripts t
+  WHERE turn_idx >= (SELECT n_turns FROM n WHERE n.conv_id = t.conv_id) - 8
+)
+SELECT n.conv_id,
+       CAST(n.n_turns AS INT) AS n_turns,
+       CAST(least(n.n_turns, 8) AS INT) AS n_rendered,
+       (SELECT string_agg(line, chr(10) ORDER BY turn_idx)
+        FROM tail WHERE tail.conv_id = n.conv_id) AS rendered
+FROM n
+""",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript -> pretraining-text rendering
+    (dialogue.render_conversations): each conversation's last 8 turns
+    as 'role: text' lines. The rendered width is BOUNDED by max_turns
+    (slice after sort) — the mega-conversation-safe flavor of
+    conversation rendering."""
+    from quanta_spark.operators.dialogue import render_conversations
+
+    return render_conversations(transcripts_df(spark), max_turns=8)

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from quanta_spark.operators.dialogue import (
+    render_conversations,
     role_transitions,
     sft_pairs,
     truncate_to_context,
@@ -53,3 +54,14 @@ def test_role_transition_probs_sum_to_one(spark):
         assert abs(sum(bps) - 10_000) <= len(bps), (src, bps)
     m = {(r["role"], r["next_role"]): r["n"] for r in out}
     assert m[("user", "assistant")] == 1 and m[("user", "tool")] == 1
+
+
+def test_render_conversations_bounded_and_ordered(spark):
+    rows = [("c1", i, "user" if i % 2 == 0 else "assistant", f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    r = render_conversations(df, max_turns=4).collect()[0]
+    assert (r["n_turns"], r["n_rendered"]) == (10, 4)
+    assert r["rendered"] == "user: t6\nassistant: t7\nuser: t8\nassistant: t9"
+    # layout-independence of the sort-then-slice
+    r2 = render_conversations(df.repartition(7), max_turns=4).collect()[0]
+    assert r2["rendered"] == r["rendered"]
