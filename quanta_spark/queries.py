@@ -2646,7 +2646,7 @@ big AS (
 ),
 c2 AS (SELECT prev, cur, count(*) AS n2 FROM big GROUP BY prev, cur),
 c2e AS (SELECT prev, cur, n2, sum(n2) OVER (PARTITION BY prev) AS n1 FROM c2),
-sc AS (
+scored AS (
   SELECT big.doc_id,
          CAST(count(*) AS INT) AS n_bigrams,
          CAST(sum(n2) AS BIGINT) AS sum_bigram_count,
@@ -2654,10 +2654,10 @@ sc AS (
   FROM big JOIN c2e USING (prev, cur) GROUP BY big.doc_id
 )
 SELECT d.doc_id,
-       coalesce(sc.n_bigrams, 0) AS n_bigrams,
-       CAST(coalesce(sc.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
-       CAST(coalesce(sc.score_bp, 0) AS BIGINT) AS score_bp
-FROM documents d LEFT JOIN sc USING (doc_id)
+       coalesce(scored.n_bigrams, 0) AS n_bigrams,
+       CAST(coalesce(scored.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
+       CAST(coalesce(scored.score_bp, 0) AS BIGINT) AS score_bp
+FROM documents d LEFT JOIN scored USING (doc_id)
 """,
 )
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
