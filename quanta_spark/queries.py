@@ -2867,3 +2867,60 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.dialogue import render_conversations
 
     return render_conversations(transcripts_df(spark), max_turns=8)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB twin of tokenizer.bpe_train: k CTE rounds of
+    (pair counts -> deterministic argmax -> string-replace merge) over
+    the same '<sym>' wrapped representation. replace() is
+    non-overlapping left-to-right in both engines, which IS greedy BPE
+    merge application."""
+    parts = [
+        f"""it0 AS (
+  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms, n FROM (
+    SELECT w, count(*) AS n FROM (
+      SELECT unnest(string_split({DUCK_NORM}, ' ')) AS w FROM documents
+    ) WHERE len(w) > 0 GROUP BY w
+  )
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""pr{k} AS (
+  SELECT a[i] AS l, a[i + 1] AS r, n
+  FROM (SELECT a, n, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM (SELECT regexp_extract_all(syms, '<([^>]*)>', 1) AS a, n FROM it{k}))
+),
+pc{k} AS (SELECT l, r, sum(n) AS cnt FROM pr{k} GROUP BY l, r),
+b{k} AS (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+it{k + 1} AS (
+  SELECT replace(syms,
+                 '<' || (SELECT l FROM b{k}) || '><' || (SELECT r FROM b{k}) || '>',
+                 '<' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || '>') AS syms,
+         n
+  FROM it{k}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    # MATERIALIZED: each it{k} is referenced twice (pair counts + next
+    # round); without it DuckDB inlines the chain and the base corpus
+    # CTE evaluates 2^k times (measured: timeout at k=6 vs 0.4 s)
+    body = ",\n".join(parts).replace("AS (", "AS MATERIALIZED (")
+    return "WITH " + body + "\n" + selects
+
+
+@query("q85_bpe_train", _bpe_oracle(6))
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (tokenizer.bpe_train): 6
+    merge rounds on the corpus word-frequency table — iterations
+    shuffle VOCAB-sized data, the argmax is an O(1)-row driver action
+    per round, merge application is pure-codegen string replace.
+    Oracle: the same rounds unrolled as DuckDB CTEs; verified equal to
+    a reference Python BPE in tests/test_tokenizer.py."""
+    from quanta_spark.operators.tokenizer import bpe_train
+
+    return bpe_train(spark.table("documents"), n_merges=6)
