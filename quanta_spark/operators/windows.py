@@ -159,3 +159,37 @@ def label_sessions(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("session_idx", (F.sum(is_new).over(run) - 1).cast("int"))
+
+
+def windowed_distinct(
+    df: DataFrame,
+    value_col: str = "conv_id",
+    window: str = "6 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """EXACT distinct count per tumbling window, streaming-capable:
+    COUNT(DISTINCT) is not allowed in a streaming aggregation, so the
+    stream path chains two stateful operators — watermark-bounded
+    dedup on (window, value), then a plain windowed count (the Spark
+    3.5+ multiple-stateful-operator pattern). State is O(distinct
+    values per open window), evicted with the watermark. The batch
+    path is the same plan with ordinary dropDuplicates (used by the
+    DuckDB oracle)."""
+    d = with_watermark(df, watermark)
+    # the window struct inherits the event-time mark; keeping ts too
+    # would leave TWO event-time columns (AnalysisException)
+    keyed = d.select(F.window("ts", window).alias("win"), F.col(value_col))
+    # classic dropDuplicates, NOT dropDuplicatesWithinWatermark: the
+    # within-watermark variant re-admits a value whose occurrences in
+    # the SAME window are separated by more than the watermark delay
+    # (measured: 2 of 120 windows over-counted at 6h windows / 1h
+    # watermark). With the event-time win struct in the key, classic
+    # dedup state is still evicted once the watermark passes the
+    # window, so state stays O(distinct values per open window).
+    deduped = keyed.dropDuplicates(["win", value_col])
+    out = deduped.groupBy("win").agg(F.count(F.lit(1)).alias("n_distinct"))
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

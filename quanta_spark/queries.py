@@ -932,13 +932,23 @@ def _write_transcript_stream(spark: SparkSession, jitter: bool) -> str:
 
 
 def _run_stream_query(
-    spark: SparkSession, op, jitter: bool, heartbeat_in_output: bool = True
+    spark: SparkSession,
+    op,
+    jitter: bool,
+    heartbeat_in_output: bool = True,
+    strip_heartbeat=None,
 ) -> DataFrame:
     """``heartbeat_in_output=False``: the operator's output carries no
     conv_id to filter the watermark-heartbeat row by, so the heartbeat
     is excluded at the SOURCE instead — valid for operators that emit
     rows eagerly (e.g. streaming dedup) and only use the watermark to
-    evict state, never to release held results."""
+    evict state, never to release held results.
+
+    ``strip_heartbeat`` (pdf -> pdf): for operators whose output has
+    neither a conv_id column nor eager emission (e.g. windowed
+    aggregates that NEED the heartbeat to advance the watermark and
+    release held windows) — drops the heartbeat's own output rows by
+    whatever predicate fits the schema."""
     import pandas as pd
 
     from quanta_spark.datagen import HEARTBEAT_CONV, write_heartbeat_file
@@ -961,7 +971,9 @@ def _run_stream_query(
     write_heartbeat_file(data_dir, max_ts + pd.Timedelta(days=30))
     run_to_completion(h)
     out_pdf = pd.DataFrame([r.asDict() for r in rows])
-    if heartbeat_in_output:
+    if strip_heartbeat is not None:
+        out_pdf = strip_heartbeat(out_pdf)
+    elif heartbeat_in_output:
         out_pdf = out_pdf[out_pdf["conv_id"] != HEARTBEAT_CONV]
     return spark.createDataFrame(out_pdf, schema=op(src).schema)
 
@@ -2924,3 +2936,41 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.tokenizer import bpe_train
 
     return bpe_train(spark.table("documents"), n_merges=6)
+
+
+_Q86_ORACLE = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
+       to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS window_end,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_distinct
+FROM transcripts
+GROUP BY 1, 2
+"""
+
+
+@query("q86_stream_window_distinct", _Q86_ORACLE)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact distinct-conversations per 6h tumbling window
+    (windows.windowed_distinct): chained stateful operators —
+    watermark-bounded dedup then windowed count — because
+    COUNT(DISTINCT) can't run in a streaming agg. Held windows are
+    released by the heartbeat's watermark advance; the heartbeat's own
+    far-future window is stripped by timestamp (it's beyond every real
+    window)."""
+    import pandas as pd
+
+    from quanta_spark.operators.windows import windowed_distinct
+
+    max_ts = pd.Timestamp(
+        spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"]
+    )
+
+    def strip(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pd.to_datetime(pdf["window_start"]) <= max_ts]
+
+    return _run_stream_query(
+        spark,
+        lambda src: windowed_distinct(src, "conv_id", window="6 hours", watermark="1 hour"),
+        jitter=True,
+        strip_heartbeat=strip,
+    )
