@@ -144,8 +144,18 @@ def _load(spec: str | dict) -> dict:
 def _build_source(spark: SparkSession, src: dict) -> DataFrame:
     kind = src.get("kind", "parquet-stream")
     if kind == "parquet-stream":
+        # optional DDL schema overrides the transcript default, so the
+        # same source kind streams document/embedding-shaped tables
+        schema = src.get("schema")
+        if isinstance(schema, str):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(schema)
         return readers.stream_transcripts_files(
-            spark, src["path"], max_files_per_trigger=src.get("max_files_per_trigger", 1)
+            spark,
+            src["path"],
+            max_files_per_trigger=src.get("max_files_per_trigger", 1),
+            schema=schema,
         )
     if kind == "json-stream":
         return readers.stream_transcripts_json(
@@ -239,6 +249,29 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
         steps = [(lambda v, s=s: v == s) for s in values]
         return match_sequence_stream(
             df, steps, pattern_col=pattern_col, watermark=watermark
+        )
+    if kind == "neardup_gate":
+        # declarative streaming ingestion dedup vs a maintained index:
+        #   operator:
+        #     kind: neardup_gate
+        #     index_path: /path/to/historical.parquet   # (doc_id, text)
+        #     threshold: 0.8
+        #     id_col: doc_id         # stream-side id column
+        #     text_col: text
+        from quanta_spark.operators.dedup import neardup_index, stream_neardup_gate
+
+        path = op.get("index_path")
+        if not path:
+            raise ValueError("neardup_gate operator needs index_path")
+        hist = df.sparkSession.read.parquet(path)
+        index = neardup_index(hist, text_col=op.get("text_col", "text"))
+        return stream_neardup_gate(
+            df,
+            index,
+            id_col=op.get("id_col", "doc_id"),
+            text_col=op.get("text_col", "text"),
+            threshold=float(op.get("threshold", 0.8)),
+            watermark=watermark,
         )
     raise ValueError(f"unknown operator kind {kind!r}")
 

@@ -278,3 +278,71 @@ def test_cep_operator_kind_compiles_and_runs(spark, transcripts_dir, small_spec,
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_neardup_gate_operator_kind_compiles_and_runs(spark, tmp_workdir):
+    """The declarative `neardup_gate` operator builds the historical
+    index from index_path and matches the direct operator call on the
+    drained stream."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.dedup import neardup_index, stream_neardup_gate
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    hist_path = os.path.join(tmp_workdir, "hist.parquet")
+    docs.select("doc_id", "text").write.parquet(hist_path)
+
+    clones = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+        .toPandas()
+    )
+    clones["ts"] = pd.Timestamp("2024-03-01")
+    stream_dir = os.path.join(tmp_workdir, "new_docs")
+    os.makedirs(stream_dir)
+    for k, ix in enumerate(np.array_split(np.arange(len(clones)), 2)):
+        clones.iloc[ix].to_parquet(os.path.join(stream_dir, f"p{k}.parquet"), index=False)
+
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "gate",
+            "source": {
+                "kind": "json-stream", "path": stream_dir,
+            },
+            "watermark": "1 hour",
+            "operator": {
+                "kind": "neardup_gate",
+                "index_path": hist_path,
+                "threshold": 0.8,
+            },
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out_gate"),
+                "key_cols": ["new_doc_id", "idx_doc_id"],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_gate"),
+        },
+    }
+    # json-stream won't read parquet; compile with a parquet reader by
+    # patching the source kind if unsupported — use the raw reader:
+    spec["pipeline"]["source"] = {"kind": "parquet-stream", "path": stream_dir,
+                                  "schema": "doc_id long, text string, ts timestamp"}
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.df.isStreaming
+    h = start_pipeline(compiled.df, compiled.sink, compiled.checkpoint)
+    run_to_completion(h)
+    got = {
+        (r["new_doc_id"], r["idx_doc_id"])
+        for r in compiled.sink.read_data(spark).collect()
+    }
+    want = {
+        (r["new_doc_id"], r["idx_doc_id"])
+        for r in stream_neardup_gate(
+            spark.createDataFrame(clones), neardup_index(docs)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
