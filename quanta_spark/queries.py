@@ -2974,3 +2974,47 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter=True,
         strip_heartbeat=strip,
     )
+
+
+@query(
+    "q87_sft_pipeline",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(len(string_split_regex(trim(text), '\\s+')))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suf
+  FROM transcripts
+),
+kept AS (SELECT conv_id, turn_idx, role, text FROM s WHERE suf <= 64),
+l AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(text, 3) OVER w AS l3,
+         lag(text, 2) OVER w AS l2,
+         lag(text, 1) OVER w AS l1
+  FROM kept
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+       concat_ws(chr(10), l3, l2, l1) AS prompt,
+       text AS response,
+       CAST(CAST(l3 IS NOT NULL AS INT) + CAST(l2 IS NOT NULL AS INT)
+            + CAST(l1 IS NOT NULL AS INT) AS INT) AS n_context
+FROM l
+WHERE role = 'assistant'
+  AND len(string_split_regex(trim(text), '\\s+')) >= 3
+""",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SFT-prep pipeline: context truncation (keep the
+    newest 64-token suffix) -> (prompt, response) extraction ->
+    response-quality floor (>= 3 tokens) — the dialogue operators
+    COMPOSING, with both window passes sharing the conv_id
+    partitioning (one exchange end to end, plan-asserted)."""
+    from quanta_spark.operators.dialogue import sft_pairs, truncate_to_context
+    from quanta_spark.operators.text import ws_token_count
+
+    kept = truncate_to_context(transcripts_df(spark), max_tokens=64)
+    pairs = sft_pairs(kept, context_turns=3)
+    return pairs.filter(ws_token_count(F.col("response")) >= 3)

@@ -284,3 +284,13 @@ def test_q80_q82_dialogue_single_conv_exchange(spark):
         final = plan.split("Initial Plan")[0]
         assert final.count("Exchange hashpartitioning(conv_id") == 1, (name, plan)
         assert "Join" not in final, (name, plan)
+
+
+def test_q87_sft_pipeline_single_conv_exchange(spark):
+    """Truncate -> pairs -> quality floor: both window passes share the
+    conv_id partitioning — one exchange, zero joins, zero Python."""
+    plan = _plan(spark, "q87_sft_pipeline")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning(conv_id") == 1, plan
+    for bad in ("Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in final, (bad, plan)
