@@ -655,3 +655,51 @@ def axis_lsh_cosine_topk(
         F.col("embedding").alias("q_emb"),
     )
     return _bucketed_topk(c_sig, q_sig, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus items with a DIFFERENT label (the
+    near-misses a retrieval model must learn to separate; same-label
+    hits are positives, not negatives). Same bounded-query-broadcast
+    scan shape as brute_force_cosine_topk — labels ride the Arrow
+    batch, the label filter runs inside the scoring kernel, so the
+    corpus crosses zero joins and zero extra shuffles."""
+    q_rows = _bounded_query_rows(queries, "vec_id", "embedding", label_col)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_lab = np.array([str(r[label_col]) for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_lab, b_mat = sc.broadcast(q_ids), sc.broadcast(q_lab), sc.broadcast(q_mat)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, ql, qm = b_ids.value, b_lab.value, b_mat.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims = c @ qm.T  # (batch, n_queries)
+            n, q = sims.shape
+            clab = pdf["_lab"].to_numpy().astype(str)
+            keep = np.tile(clab, q) != np.repeat(ql, n)  # different-label only
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi, n)[keep],
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), q)[keep],
+                    "sim_bp": _bp_half_away(sims.T.reshape(-1))[keep],
+                }
+            )
+            if len(out):
+                yield out
+
+    scored = corpus.select(
+        "vec_id", "embedding", F.col(label_col).cast("string").alias("_lab")
+    ).mapInPandas(score, schema="query_id long, vec_id long, sim_bp long")
+    return _topk_window(scored, k)

@@ -3018,3 +3018,43 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = truncate_to_context(transcripts_df(spark), max_tokens=64)
     pairs = sft_pairs(kept, context_turns=3)
     return pairs.filter(ws_token_count(F.col("response")) >= 3)
+
+
+@query(
+    "q88_hard_negatives",
+    """
+WITH lab AS (
+  SELECT vec_id, embedding, vec_id % 8 AS label FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding, label AS qlab FROM lab
+      WHERE vec_id % 50 = 0 AND vec_id < 2500),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM q, lab c
+  WHERE c.label <> q.qlab
+)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, sim_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, vec_id ASC) AS rk
+  FROM scored
+) t
+WHERE rk <= 5
+""",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query the
+    top-5 most-similar DIFFERENT-label vectors — the contrastive-
+    training counterpart of top-k retrieval. Labels ride the Arrow
+    batch and the label filter runs inside the scoring kernel: zero
+    joins, one corpus scan. (The driver corpus has no label column, so
+    the gate derives label = vec_id % 8 — any real source/category
+    column slots in unchanged.)"""
+    from quanta_spark.operators.similarity import hard_negatives
+
+    lab = spark.table("embeddings").withColumn(
+        "label", (F.col("vec_id") % 8).cast("int")
+    )
+    queries_df = lab.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+    return hard_negatives(lab, queries_df, k=5, label_col="label")

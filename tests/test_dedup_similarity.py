@@ -638,3 +638,34 @@ def test_cms_hash_families_same_shape(spark):
     a = {r["item"]: r["exact_count"] for r in cms_heavy_hitters(items, "item", 30, hasher="xxhash64").collect()}
     b = {r["item"]: r["exact_count"] for r in cms_heavy_hitters(items, "item", 30, hasher="md5").collect()}
     assert a == b and len(a) == 11
+
+
+def test_hard_negatives_excludes_same_label(spark, emb2):
+    """Every returned negative must have a different label than its
+    query, and ranks must be the global different-label top-k (checked
+    vs a numpy reference on a small corpus)."""
+    import numpy as np
+
+    from quanta_spark.operators.similarity import hard_negatives
+
+    lab = emb2.withColumn("label", (F.col("vec_id") % 3).cast("int")).cache()
+    queries = lab.filter(F.col("vec_id") < 3)
+    got = hard_negatives(lab, queries, k=4, label_col="label").collect()
+    rows = lab.select("vec_id", "embedding", "label").collect()
+    mat = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"]) for r in rows}
+    for r in got:
+        assert mat[r["query_id"]][1] != mat[r["vec_id"]][1]
+    for qid in {r["query_id"] for r in got}:
+        qv, ql = mat[qid]
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = sorted(
+            (
+                (int(np.sign(s := float(qv @ (v / max(np.linalg.norm(v), 1e-12))) * 10_000)
+                     * np.floor(abs(s) + 0.5)), vid)
+                for vid, (v, l) in mat.items() if l != ql
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        want_ids = [vid for _s, vid in sims]
+        got_ids = [r["vec_id"] for r in sorted((x for x in got if x["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got_ids == want_ids, (qid, got_ids, want_ids)
