@@ -81,3 +81,77 @@ def test_token_budget_two_phase_equals_naive_random(spark, seed, budget, n_salt)
         df, budget=budget, tokens_col="n_tokens", n_salt=n_salt
     )
     assert {r["doc_id"] for r in got.collect()} == _naive_budget(pdf, budget)
+
+
+def _naive_next_fit(items: list[tuple[int, int]], budget: int) -> dict:
+    """(turn_idx, ntok) sorted -> {turn_idx: pack_idx} next-fit."""
+    out, cur, fill = {}, 0, 0
+    for idx, tok in sorted(items):
+        if fill > 0 and fill + tok > budget:
+            cur += 1
+            fill = tok
+        else:
+            fill += tok
+        out[idx] = cur
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    budget=st.integers(3, 40),
+    n_convs=st.integers(1, 6),
+)
+def test_pack_turns_equals_naive_next_fit(spark, seed, budget, n_convs):
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.packing import pack_turns
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_convs):
+        for i in range(int(rng.integers(1, 15))):
+            rows.append((f"c{c}", i, "w " * int(rng.integers(0, 12))))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["pack_idx"]
+        for r in pack_turns(df, budget=budget).collect()
+    }
+    # ws_token_count("") == 1 (split of empty string yields ['']), so
+    # mirror that in the reference
+    by_conv: dict = {}
+    for conv, idx, text in rows:
+        ntok = len(text.strip().split()) if text.strip() else 1
+        by_conv.setdefault(conv, []).append((idx, ntok))
+    want = {
+        (conv, idx): pk
+        for conv, items in by_conv.items()
+        for idx, pk in _naive_next_fit(items, budget).items()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10_000), stride=st.integers(3, 200))
+def test_systematic_weighted_sample_equals_naive_cumsum(spark, seed, stride):
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.sampling import systematic_weighted_sample
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 80))
+    ids = sorted(rng.choice(100_000, size=n, replace=False).tolist())
+    w = rng.integers(0, 60, size=n).tolist()
+    df = spark.createDataFrame(list(zip(ids, w)), "doc_id long, w long")
+    got = {
+        r["doc_id"]: (r["cum_weight"], r["pick_count"])
+        for r in systematic_weighted_sample(df, "w", stride).collect()
+    }
+    cum = 0
+    want = {}
+    for i, wi in zip(ids, w):
+        prev, cum = cum, cum + wi
+        picks = cum // stride - prev // stride
+        if picks > 0:
+            want[i] = (cum, picks)
+    assert got == want
