@@ -93,6 +93,80 @@ def _run(spark, listener, data_dir: str, op, ckpt: str) -> dict:
     }
 
 
+def _doc_stream_dir(n_docs: int, n_files: int = 32) -> str:
+    """New-day document stream: the whole corpus re-arrives as clones
+    (new ids) to be gated against the maintained index — the heaviest
+    realistic ingest (every row hits the index buckets)."""
+    import numpy as np
+
+    from quanta_spark.datagen import generate_documents
+
+    cache = f"/tmp/qs_docstream_step_{n_docs}"
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache)
+        pdf = generate_documents(n_docs, seed=42)[["doc_id", "text"]].copy()
+        pdf["doc_id"] = pdf["doc_id"] + 10_000_000
+        pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.arange(len(pdf)), unit="s"
+        )
+        for k, ix in enumerate(np.array_split(np.arange(len(pdf)), n_files)):
+            pdf.iloc[ix].to_parquet(
+                os.path.join(cache, f"part-{k:05d}.parquet"), index=False
+            )
+        open(marker, "w").close()
+    return cache
+
+
+def _run_gate(spark, listener, n_docs: int, ckpt: str) -> dict:
+    from quanta_spark.datagen import generate_documents
+    from quanta_spark.operators.dedup import neardup_index, stream_neardup_gate
+
+    hist = spark.createDataFrame(generate_documents(n_docs, seed=42)[["doc_id", "text"]])
+    index = neardup_index(hist).cache()
+    index.count()  # index build is the maintained artifact — untimed
+    data_dir = _doc_stream_dir(n_docs)
+    src = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 16)
+        .parquet(data_dir)
+    )
+    start_idx = len(listener.progress)
+    counts: list[int] = []
+    t0 = time.perf_counter()
+    h = start_pipeline(
+        stream_neardup_gate(src, index),
+        lambda b, i: counts.append(b.count()),
+        ckpt,
+    )
+    run_to_completion(h)
+    wall = time.perf_counter() - t0
+    index.unpersist()
+    with listener._lock:
+        recs = listener.progress[start_idx:]
+    add_batch = [r["durationMs"].get("addBatch") for r in recs if r["durationMs"].get("addBatch")]
+    state_rows = [
+        sum(s.get("numRowsTotal") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    state_bytes = [
+        sum(s.get("memoryUsedBytes") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    return {
+        "wall_sec": round(wall, 3),
+        "batches": len(recs),
+        "add_batch_ms_mean": round(sum(add_batch) / max(len(add_batch), 1), 1),
+        "add_batch_ms_max": max(add_batch, default=0),
+        "state_rows_max": max(state_rows, default=0),
+        "state_bytes_max": max(state_bytes, default=0),
+        "output_rows": int(sum(counts)),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark(
         app_name="quanta_stream_step", cores=CPUS, shuffle_partitions=CPUS
@@ -116,6 +190,12 @@ def main() -> None:
             r["turns"] = n_turns
             r["turns_per_sec"] = round(n_turns / r["wall_sec"], 1)
             results[name][tag] = r
+    gate_scales = {"1x": 5_000, "10x": 50_000}
+    results["stream_neardup_gate"] = {}
+    for tag, nd in gate_scales.items():
+        results["stream_neardup_gate"][tag] = _run_gate(
+            spark, listener, nd, os.path.join(work, f"gate_{tag}")
+        )
     for name, r in results.items():
         r["wall_ratio_10x"] = round(r["10x"]["wall_sec"] / r["1x"]["wall_sec"], 2)
         r["state_bytes_ratio_10x"] = round(

@@ -50,10 +50,14 @@ def pack_turns(
     re-derives it exactly (the q76 gate oracle)."""
     if ntok is None:
         ntok = ws_token_count(F.col(text_col))
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     t = df.select(
         F.col(key_col),
         F.col(order_col).cast("int").alias(order_col),
-        ntok.cast("int").alias("ntok"),
+        # a NULL token count (e.g. NULL text) would poison the whole
+        # conversation's fold — treat it as an empty turn instead
+        F.coalesce(ntok.cast("int"), F.lit(0)).alias("ntok"),
     )
     arr = t.groupBy(key_col).agg(
         F.array_sort(F.collect_list(F.struct(order_col, "ntok"))).alias("_turns")

@@ -221,10 +221,16 @@ def systematic_weighted_sample(
 
     Integer-only arithmetic end to end, so a plain SQL window-cumsum
     oracle reproduces the selection exactly (q78)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     if isinstance(weight, str):
         weight = F.col(weight)
+    # weights must be non-negative for the tick semantics to hold; a
+    # negative weight would make the cumsum non-monotonic and a NULL
+    # would poison its range's offset — clamp both to 0
     sized = df.select(
-        F.col(order_col), weight.cast("long").alias("_w")
+        F.col(order_col),
+        F.greatest(F.coalesce(weight.cast("long"), F.lit(0)), F.lit(0)).alias("_w"),
     )
     bounds = sized.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")

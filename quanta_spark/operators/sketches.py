@@ -141,6 +141,8 @@ def cms_counters(
     footprint frequency summary you can store per partition and union
     at read time. One explode (x depth) + one groupBy with map-side
     partial aggregation; no driver collection."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got ({depth}, {width})")
     rows = items.select(
         F.col(item_col).alias("_item"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
@@ -172,6 +174,12 @@ def cms_heavy_hitters(
     scan. Output: (item, exact_count, cms_estimate, is_heavy) for every
     candidate — deterministic given the hash family, so the md5 flavor
     oracle-checks end to end."""
+    if threshold < 1:
+        raise ValueError(
+            f"threshold must be >= 1 (got {threshold}): thresholding at 0 "
+            "makes EVERY distinct item a candidate and the exact pass "
+            "degenerates to a full vocabulary count"
+        )
     counters = cms_counters(items, item_col, depth, width, hasher)
     distinct = items.select(F.col(item_col).alias("_item")).distinct()
     probes = distinct.select(
