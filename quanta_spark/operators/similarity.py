@@ -357,13 +357,22 @@ def _ivf_centroids(corpus: DataFrame, n_cells: int) -> tuple[np.ndarray, np.ndar
     return ids, mat  # cell_id i == position i in (h, vec_id) order
 
 
-def _ivf_cells(df: DataFrame, cent_mat: np.ndarray, top: int, id_out: str, emb_out: str) -> DataFrame:
+def _ivf_cells(
+    df: DataFrame,
+    cent_mat: np.ndarray,
+    top: int,
+    id_out: str,
+    emb_out: str,
+    extra_cols: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
     """Append the ``top`` nearest cell ids (by cosine, bp-rounded with
     cell-id tie-break) to every vector — one join-free, shuffle-free
     Arrow pass with the centroid matrix broadcast, same shape as
     hyperplane_signature. top=1 is corpus assignment; top=nprobe is
     query probing. ``top`` is clamped to the cell count (probing "more
-    cells than exist" is an exhaustive scan, not an error)."""
+    cells than exist" is an exhaustive scan, not an error).
+    ``extra_cols``: (name, ddl_type) pairs carried through the pass
+    untouched (e.g. an event-time column on a stream)."""
     top = min(top, cent_mat.shape[0])
     sc = df.sparkSession.sparkContext
     b_cent = sc.broadcast(cent_mat)
@@ -386,9 +395,13 @@ def _ivf_cells(df: DataFrame, cent_mat: np.ndarray, top: int, id_out: str, emb_o
             yield out.rename(columns={"vec_id": id_out, "embedding": emb_out})
 
     out_schema = ", ".join(
-        [f"{id_out} long", f"{emb_out} array<float>", "cell_id long"]
+        [f"{id_out} long", f"{emb_out} array<float>"]
+        + [f"{n} {t}" for n, t in extra_cols]
+        + ["cell_id long"]
     )
-    return df.select("vec_id", "embedding").mapInPandas(assign, schema=out_schema)
+    return df.select(
+        "vec_id", "embedding", *[n for n, _t in extra_cols]
+    ).mapInPandas(assign, schema=out_schema)
 
 
 def auto_n_cells(n_rows: int) -> int:
@@ -703,3 +716,40 @@ def hard_negatives(
         "vec_id", "embedding", F.col(label_col).cast("string").alias("_lab")
     ).mapInPandas(score, schema="query_id long, vec_id long, sim_bp long")
     return _topk_window(scored, k)
+
+
+def stream_ivf_ingest(
+    stream_emb: DataFrame,
+    cent_mat: np.ndarray,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming vector ingestion into an IVF index: every arriving
+    embedding is assigned its nearest coarse cell (the same
+    shuffle-free broadcast-centroid Arrow pass as the batch index —
+    STATELESS, so it streams in append mode), then per-window cell
+    occupancy counts come out of a windowed aggregation — the
+    index-maintenance signal (when a cell outgrows its neighbors it's
+    time to split/rebalance). At 10^12 vectors/day this is the only
+    tenable shape: assignment is embarrassingly parallel, and the
+    stateful part aggregates O(n_cells x windows) rows, not vectors.
+
+    The watermark is applied AFTER the Arrow pass: mapInPandas emits
+    fresh attributes, so an upstream event-time mark would not
+    propagate through it."""
+    assigned = _ivf_cells(
+        stream_emb, cent_mat, 1, "vec_id", "embedding",
+        extra_cols=((ts_col, "timestamp"),),
+    )
+    if assigned.isStreaming:
+        assigned = assigned.withWatermark(ts_col, watermark)
+    out = assigned.groupBy(
+        F.window(ts_col, window).alias("win"), F.col("cell_id")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "cell_id",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+    )

@@ -3058,3 +3058,101 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = lab.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
     return hard_negatives(lab, queries_df, k=5, label_col="label")
+
+
+_Q89_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_Q56_CENT_ORDER}) - 1 AS BIGINT) AS cell_id,
+         embedding AS c_emb
+  FROM embeddings
+  ORDER BY {_Q56_CENT_ORDER}
+  LIMIT 16
+),
+asg AS (
+  SELECT e.vec_id, c.cell_id,
+         CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(c.c_emb AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM embeddings e, cents c
+),
+cell AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_bp DESC, cell_id ASC) AS rk
+    FROM asg
+  ) t WHERE rk = 1
+),
+t AS (SELECT vec_id, cell_id, 1704067200 + vec_id AS ep FROM cell)
+SELECT to_timestamp(CAST(ep // 21600 * 21600 AS BIGINT)) AS window_start,
+       to_timestamp(CAST(ep // 21600 * 21600 + 21600 AS BIGINT)) AS window_end,
+       cell_id,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+@query("q89_stream_ivf_ingest", _Q89_ORACLE)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector ingestion into the IVF index
+    (similarity.stream_ivf_ingest): embeddings arrive as a real file
+    stream with deterministic event times (epoch 2024-01-01 + vec_id
+    seconds), each is assigned its md5-least coarse cell in a
+    stateless broadcast-centroid Arrow pass, and per-6h-window cell
+    occupancy counts aggregate O(cells x windows) state. Oracle:
+    the q56 centroid/assignment SQL + epoch-floored window counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators.similarity import _ivf_centroids, stream_ivf_ingest
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    emb = spark.table("embeddings")
+    _, cent_mat = _ivf_centroids(emb, 16)
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    _guard_gate_rows(len(pdf), "embedding stream input")
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["vec_id"], unit="s")
+    d = tempfile.mkdtemp(prefix="qs_vecstream_")
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            os.path.join(d, f"part-{k:05d}.parquet"),
+        )
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    out_stream = stream_ivf_ingest(src, cent_mat, window="6 hours", watermark="1 hour")
+    rows: list = []
+
+    def _sink(b, i):
+        rows.extend(b.collect())
+        _guard_gate_rows(len(rows), "collected output")
+
+    h = start_pipeline(out_stream, _sink, tempfile.mkdtemp(prefix="qs_vecstream_ckpt_"))
+    h.process_all_available()
+    # heartbeat vector: far-future ts advances the watermark so held
+    # windows flush; its own row is dropped after the drain
+    hb = pdf.iloc[[0]].copy()
+    hb["vec_id"] = -1
+    hb["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+    pq.write_table(
+        pa.Table.from_pandas(hb, schema=schema, preserve_index=False),
+        os.path.join(d, "part-heartbeat.parquet"),
+    )
+    run_to_completion(h)
+    import pandas as _pd
+
+    out_pdf = _pd.DataFrame([r.asDict() for r in rows])
+    out_pdf = out_pdf[
+        _pd.to_datetime(out_pdf["window_start"]) <= pdf["ts"].max()
+    ]
+    return spark.createDataFrame(out_pdf, schema=out_stream.schema)
