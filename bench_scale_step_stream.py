@@ -111,9 +111,22 @@ def _doc_stream_dir(n_docs: int, n_files: int = 32) -> str:
         pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
             np.arange(len(pdf)), unit="s"
         )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # explicit us timestamps: pandas' default ns unit writes an
+        # INT64 column Spark's vectorized reader rejects
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("text", pa.string()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        )
         for k, ix in enumerate(np.array_split(np.arange(len(pdf)), n_files)):
-            pdf.iloc[ix].to_parquet(
-                os.path.join(cache, f"part-{k:05d}.parquet"), index=False
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+                os.path.join(cache, f"part-{k:05d}.parquet"),
             )
         open(marker, "w").close()
     return cache
