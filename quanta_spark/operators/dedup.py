@@ -642,3 +642,27 @@ def stream_neardup_gate(
         F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def accept_and_append_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    gate_matches: DataFrame,
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Close the ingestion loop: documents that passed the gate (no
+    near-dup match) are added to the historical index so TOMORROW'S
+    stream sees them. ``gate_matches`` is stream_neardup_gate output;
+    accepted = new_docs anti-joined on its new_doc_id column. Returns
+    the grown index (same schema — union of band rows), ready to be
+    written back to the index table. Day-over-day cost is
+    O(accepted docs), never O(index)."""
+    accepted = new_docs.join(
+        gate_matches.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return index.unionByName(
+        neardup_index(accepted.select("doc_id", text_col), text_col=text_col, hasher=hasher)
+    )

@@ -61,3 +61,40 @@ def test_stream_matches_batch_and_duplicate_arrivals_suppressed(spark):
     assert len(want) > 0
     # duplicate arrivals emit no second pair; stream set == batch set
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_multi_day_gate_with_index_append(spark):
+    """Day 1 indexed; day 2 gated and ACCEPTED docs appended; day 3
+    re-sends a day-2 accepted doc and must now catch it as a dup —
+    the production loop (gate -> accept -> append) actually closes."""
+    from quanta_spark.operators.dedup import (
+        accept_and_append_index,
+        neardup_index,
+        stream_neardup_gate,
+    )
+
+    docs = _docs(spark).limit(120).cache()
+    day1 = docs.filter(F.col("doc_id") < 60)
+    idx1 = neardup_index(day1)
+
+    # day 2: 10 clones of day-1 docs (dups) + 10 genuinely new docs
+    d2_dup = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    d2_new = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70)).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    day2 = d2_dup.union(d2_new).withColumn("ts", F.to_timestamp(F.lit("2024-01-02")))
+    m2 = stream_neardup_gate(day2, idx1).cache()
+    assert {r["new_doc_id"] for r in m2.collect()} >= {1000 + i for i in range(10)}
+    idx2 = accept_and_append_index(idx1, day2.select("doc_id", "text"), m2)
+
+    # day 3: clone of a day-2 ACCEPTED doc — caught only via the append
+    day3 = docs.filter(F.col("doc_id") == 65).select(
+        (F.col("doc_id") + 3000).alias("doc_id"), "text"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-03")))
+    m3 = stream_neardup_gate(day3, idx2).collect()
+    assert any(r["idx_doc_id"] == 2065 and r["jaccard"] == 1.0 for r in m3)
+    # and the same probe against the UN-appended index misses it
+    m3_old = stream_neardup_gate(day3, idx1).collect()
+    assert not any(r["idx_doc_id"] == 2065 for r in m3_old)
