@@ -131,3 +131,44 @@ def render_conversations(
         F.least(F.size("_turns"), F.lit(max_turns)).cast("int").alias("n_rendered"),
         F.array_join(F.transform(tail, lambda t: t["line"]), "\n").alias("rendered"),
     )
+
+
+def curate_conversations(
+    df: DataFrame,
+    min_turns: int = 4,
+    min_tokens: int = 60,
+    max_tool_ratio_bp: int = 5_000,
+) -> DataFrame:
+    """Conversation-level curation: per-conversation health stats and
+    a keep flag — the transcript counterpart of document quality
+    filtering. Signals: length floors, tool-turn ratio ceiling,
+    must-start-with-user, and zero adjacent same-role turns (a merge
+    bug upstream shows up as user->user runs). The lead() pass and the
+    rollup share one conv_id partitioning — a single exchange."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        ws_token_count(F.col("text")).alias("_ntok"),
+        (F.lead("role").over(w) == F.col("role")).cast("int").alias("_same_next"),
+        ((F.col("turn_idx") == 0) & (F.col("role") == "user")).cast("int").alias("_starts_user"),
+        (F.col("role") == "tool").cast("int").alias("_is_tool"),
+    )
+    agg = p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.sum("_ntok").cast("long").alias("total_tokens"),
+        F.sum(F.coalesce(F.col("_same_next"), F.lit(0))).cast("int").alias("n_same_role_adjacent"),
+        F.max("_starts_user").cast("int").alias("starts_with_user"),
+        F.floor(F.sum("_is_tool") * 10_000 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("tool_ratio_bp"),
+    )
+    keep = (
+        (F.col("n_turns") >= min_turns)
+        & (F.col("total_tokens") >= min_tokens)
+        & (F.col("n_same_role_adjacent") == 0)
+        & (F.col("starts_with_user") == 1)
+        & (F.col("tool_ratio_bp") <= max_tool_ratio_bp)
+    )
+    return agg.withColumn("keep", keep)

@@ -3156,3 +3156,40 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pd.to_datetime(out_pdf["window_start"]) <= pdf["ts"].max()
     ]
     return spark.createDataFrame(out_pdf, schema=out_stream.schema)
+
+
+@query(
+    "q90_curate_conversations",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+p AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok,
+         CAST(lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role AS INT) AS same_next,
+         CAST(turn_idx = 0 AND role = 'user' AS INT) AS starts_user,
+         CAST(role = 'tool' AS INT) AS is_tool
+  FROM transcripts
+),
+a AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         CAST(sum(coalesce(same_next, 0)) AS INT) AS n_same_role_adjacent,
+         CAST(max(starts_user) AS INT) AS starts_with_user,
+         CAST(floor(sum(is_tool) * 10000.0 / count(*) + 0.5) AS BIGINT) AS tool_ratio_bp
+  FROM p GROUP BY conv_id
+)
+SELECT *,
+       n_turns >= 4 AND total_tokens >= 60 AND n_same_role_adjacent = 0
+       AND starts_with_user = 1 AND tool_ratio_bp <= 5000 AS keep
+FROM a
+""",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level curation (dialogue.curate_conversations):
+    per-conversation health stats + keep flag — length floors,
+    tool-ratio ceiling, starts-with-user, zero same-role adjacency.
+    One conv_id exchange for the lead() pass and the rollup."""
+    from quanta_spark.operators.dialogue import curate_conversations
+
+    return curate_conversations(transcripts_df(spark))
