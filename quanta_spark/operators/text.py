@@ -466,3 +466,30 @@ def bigram_lm_scores(
             F.coalesce("score_bp", F.lit(0)).cast("long").alias("score_bp"),
         )
     )
+
+
+# shared with the q91 oracle — RE2-compatible (DuckDB) AND Java-regex
+# compatible: no backrefs, no lookaround
+_URL_RE = "https?://[^ ]+"
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+# a character-class run, NOT a backreference run — RE2 (DuckDB's regex
+# engine) has no backreferences, so the oracle could not share one
+_PUNCT_RUN_RE = "[!?.,;:*#=~-]{3,}"
+
+
+def strip_boilerplate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate stripping — the mechanical cleanup pass of a text
+    curation pipeline: URLs, e-mail addresses and runs of 3+ repeated
+    punctuation are removed (runs collapse to a space), whitespace is
+    re-normalized. Emits the cleaned text plus the removed-character
+    count (the 'how much was boilerplate' signal downstream filters
+    threshold on). Pure per-row codegen — scan speed, no shuffle."""
+    c = F.lower(F.col(text_col))
+    cleaned = F.regexp_replace(c, _URL_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _EMAIL_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _PUNCT_RUN_RE, " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    return df.withColumn("clean_text", cleaned).withColumn(
+        "removed_chars",
+        (F.length(F.col(text_col)) - F.length("clean_text")).cast("int"),
+    )

@@ -3193,3 +3193,82 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.dialogue import curate_conversations
 
     return curate_conversations(transcripts_df(spark))
+
+
+@query(
+    "q91_strip_boilerplate",
+    """
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), 'https?://[^ ]+', ' ', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', ' ', 'g'),
+             '[!?.,;:*#=~-]{3,}', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(len(text) - len(clean_text) AS INT) AS removed_chars
+FROM c
+""",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping (text.strip_boilerplate): URLs, e-mails,
+    punctuation runs removed, whitespace renormalized — pure per-row
+    codegen at scan speed; patterns are RE2-compatible so the oracle
+    shares them verbatim."""
+    from quanta_spark.operators.text import strip_boilerplate
+
+    return strip_boilerplate(spark.table("documents")).select(
+        "doc_id", "clean_text", "removed_chars"
+    )
+
+
+@query(
+    "q92_trending_terms",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+tok AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
+         unnest(string_split({DUCK_NORM}, ' ')) AS term
+  FROM transcripts
+),
+c AS (
+  SELECT window_start, term, count(*) AS n
+  FROM tok WHERE len(term) > 0 GROUP BY window_start, term
+)
+SELECT window_start, CAST(rk AS INT) AS rank, term, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, term ASC) AS rk
+  FROM c
+) t
+WHERE rk <= 5
+""",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms: top-5 tokens per 6h tumbling window over the
+    transcript stream (batch flavor) — window keys + token explode +
+    count + rank, the 'what changed this window' report. Partial
+    aggregation combines map-side; the rank window runs on the
+    (window, term) count table, never raw turns."""
+    from pyspark.sql.window import Window
+
+    from quanta_spark.operators.dedup import normalized
+
+    t = transcripts_df(spark)
+    tok = t.select(
+        F.window("ts", "6 hours").alias("win"),
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    counts = tok.groupBy(F.col("win.start").alias("window_start"), "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("window_start", "rank", "term", F.col("n").cast("long"))
+    )
