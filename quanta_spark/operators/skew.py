@@ -102,3 +102,35 @@ def top_k_turns_per_conv(
             "role",
         )
     )
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-skew diagnostics — the report you run BEFORE choosing a
+    partitioning strategy (salt? AQE skew join? broadcast?): exact
+    per-key-count percentiles, the heaviest key's share, and a
+    max/median skew factor. Two aggregations: per-key counts (map-side
+    combined), then a one-row rollup over the counts table — the
+    corpus never sorts globally. All values integer/bp-floored so a
+    SQL oracle hash-matches."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    c = F.col("n").cast("double")
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.floor(F.percentile(c, F.lit(0.5)) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("p50_bp"),
+        F.floor(F.percentile(c, F.lit(0.99)) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("p99_bp"),
+        F.floor(F.max("n") * 10_000 / F.sum("n") + F.lit(0.5))
+        .cast("long")
+        .alias("top1_share_bp"),
+        F.floor(
+            F.max("n") * 10_000 / F.greatest(F.percentile(c, F.lit(0.5)), F.lit(1.0))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("skew_factor_bp"),
+    )

@@ -3272,3 +3272,68 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("window_start", "rank", "term", F.col("n").cast("long"))
     )
+
+
+@query(
+    "q93_zorder_keys",
+    """
+WITH t AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x0,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS y0
+  FROM orders
+),
+b AS (SELECT min(x0) AS xlo, max(x0) AS xhi, min(y0) AS ylo, max(y0) AS yhi FROM t),
+n AS (
+  SELECT o_orderkey,
+         ((x0 - xlo) * 65535) // greatest(xhi - xlo, 1) AS x,
+         ((y0 - ylo) * 65535) // greatest(yhi - ylo, 1) AS y
+  FROM t, b
+)
+SELECT o_orderkey,
+       CAST(list_sum([((x >> i) & 1) * (1::BIGINT << (2 * i))
+                      + ((y >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                      for i in generate_series(0, 15)]) AS BIGINT) AS z_value
+FROM n
+""",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (plans/zorder.py): Morton-interleaved
+    (o_custkey, o_orderdate-day) — the lakehouse layout-maintenance
+    step that makes min/max file statistics prune on EITHER column.
+    Pure integer codegen (16 shift/mask terms per dimension), one
+    O(1)-row bounds aggregate; the oracle re-derives every bit."""
+    from quanta_spark.plans.zorder import zorder_keys
+
+    t = spark.table("orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.floor(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("y"),
+    )
+    return zorder_keys(t, "x", "y").select("o_orderkey", "z_value")
+
+
+@query(
+    "q94_skew_report",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+c AS (SELECT conv_id, CAST(count(*) AS DOUBLE) AS n FROM transcripts GROUP BY conv_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       CAST(floor(quantile_cont(n, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_bp,
+       CAST(floor(quantile_cont(n, 0.99) * 10000 + 0.5) AS BIGINT) AS p99_bp,
+       CAST(floor(max(n) * 10000 / sum(n) + 0.5) AS BIGINT) AS top1_share_bp,
+       CAST(floor(max(n) * 10000 / greatest(quantile_cont(n, 0.5), 1.0) + 0.5) AS BIGINT) AS skew_factor_bp
+FROM c
+""",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the conversation key (skew.skew_report)
+    — per-key-count percentiles, heaviest-key share, max/median skew
+    factor: the numbers that decide between salting, AQE skew-join and
+    broadcast before a 100 TB run."""
+    from quanta_spark.operators.skew import skew_report
+
+    return skew_report(transcripts_df(spark), "conv_id")

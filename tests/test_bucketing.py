@@ -99,3 +99,35 @@ def test_mismatched_bucket_counts_still_correct(spark, bucketed_tables, tmp_path
         assert joined.count() == users.join(other, "conv_id").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS qs_replies_b5")
+
+
+def test_zorder_localizes_both_dimensions(spark):
+    """Range-partitioning on the z-value must shrink BOTH columns'
+    per-partition spans (the data-skipping property); sorting by x
+    alone leaves y spans at ~full range. Grid data makes the contrast
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from quanta_spark.plans.zorder import repartition_by_zvalue
+
+    n = 64
+    rows = [(i * n + j, i, j) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    def mean_span(d, col):
+        spans = (
+            d.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg((F.max(col) - F.min(col)).alias("s"))
+            .agg(F.avg("s"))
+            .first()[0]
+        )
+        return float(spans)
+
+    z = repartition_by_zvalue(df, "x", "y", n_files=16)
+    by_x = df.repartitionByRange(16, F.col("x"))
+    # x-sorted layout: x localizes but y spans stay ~full range
+    assert mean_span(by_x, "y") > 0.9 * (n - 1)
+    # z-order: BOTH dimensions localized well below full range
+    assert mean_span(z, "x") < 0.5 * (n - 1), mean_span(z, "x")
+    assert mean_span(z, "y") < 0.5 * (n - 1), mean_span(z, "y")
