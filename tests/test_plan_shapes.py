@@ -294,3 +294,41 @@ def test_q87_sft_pipeline_single_conv_exchange(spark):
     assert final.count("Exchange hashpartitioning(conv_id") == 1, plan
     for bad in ("Join", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in final, (bad, plan)
+
+
+def test_q90_curation_single_conv_exchange(spark):
+    """Lead() pass + rollup share the conv_id partitioning — one
+    exchange, zero joins."""
+    plan = _plan(spark, "q90_curate_conversations")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning(conv_id") == 1, plan
+    assert "Join" not in final, plan
+
+
+def test_q91_strip_boilerplate_no_shuffle(spark):
+    """Pure per-row codegen: no exchange, no Python."""
+    plan = _plan(spark, "q91_strip_boilerplate")
+    final = plan.split("Initial Plan")[0]
+    assert "Exchange" not in final, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in final, (bad, plan)
+
+
+def test_q92_trending_rank_on_count_table(spark):
+    """The rank window must partition on the window key over the
+    (window, term) COUNT table — i.e. sit above the aggregation — and
+    the token aggregation must partial-aggregate map-side."""
+    plan = _plan(spark, "q92_trending_terms")
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition(window_start" in plan, plan
+
+
+def test_q94_skew_report_no_global_sort_of_corpus(spark):
+    """Percentiles run over the per-key COUNT table (one row per conv),
+    never a global sort of raw turns: the only Sort allowed feeds the
+    single-partition percentile aggregate of count rows."""
+    plan = _plan(spark, "q94_skew_report")
+    final = plan.split("Initial Plan")[0]
+    # corpus rollup partial-aggregates before its exchange
+    assert "partial_count" in final, plan
+    assert "CartesianProduct" not in final, plan
