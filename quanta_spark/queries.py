@@ -3337,3 +3337,105 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.skew import skew_report
 
     return skew_report(transcripts_df(spark), "conv_id")
+
+
+@query(
+    "q95_rising_terms",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+tok AS (
+  SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS w,
+         unnest(string_split({DUCK_NORM}, ' ')) AS term
+  FROM transcripts
+),
+c AS (
+  SELECT w, term, count(*) AS n FROM tok WHERE len(term) > 0 GROUP BY w, term
+),
+j AS (
+  SELECT c.w, c.term, c.n,
+         coalesce(p.n, 0) AS n_prev,
+         CAST(floor(c.n * 10000.0 / greatest(coalesce(p.n, 0), 1) + 0.5) AS BIGINT) AS rise_bp
+  FROM c LEFT JOIN c p ON p.term = c.term AND p.w = c.w - 1
+  WHERE c.n >= 5
+)
+SELECT to_timestamp(w * 21600) AS window_start, term,
+       CAST(n AS BIGINT) AS n, CAST(n_prev AS BIGINT) AS n_prev, rise_bp
+FROM j WHERE rise_bp >= 20000
+""",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rising terms: tokens whose 6h-window count at least DOUBLED vs
+    the previous window (with a floor of 5 occurrences) — trend
+    detection over the transcript stream. Self-join of the compact
+    (window, term) count table on the lagged window key; raw turns
+    cross one explode+aggregate only."""
+    from quanta_spark.operators.dedup import normalized
+
+    t = transcripts_df(spark)
+    tok = t.select(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600)
+        .cast("long")
+        .alias("w"),
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    c = tok.groupBy("w", "term").agg(F.count(F.lit(1)).alias("n"))
+    cur = c.filter(F.col("n") >= 5)
+    prev = c.select((F.col("w") + 1).alias("w"), "term", F.col("n").alias("n_prev"))
+    j = cur.join(prev, ["w", "term"], "left").select(
+        "w",
+        "term",
+        "n",
+        F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+        F.floor(
+            F.col("n") * 10_000 / F.greatest(F.coalesce("n_prev", F.lit(0)), F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rise_bp"),
+    )
+    return j.filter(F.col("rise_bp") >= 20_000).select(
+        F.timestamp_seconds(F.col("w") * 21600).alias("window_start"),
+        "term",
+        F.col("n").cast("long"),
+        F.col("n_prev").cast("long"),
+        "rise_bp",
+    )
+
+
+@query(
+    "q96_retention_cohorts",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT f.cohort_wk,
+       CAST(a.wk - f.cohort_wk AS INT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM first f JOIN act a USING (user_id)
+GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+""",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts over the event stream: users grouped by
+    first-seen week, counted in each subsequent week — the standard
+    engagement matrix. Cohort table is user-sized; the join keys on
+    user_id (co-partitioned), and the final rollup is |cohorts| x
+    |offsets| rows."""
+    e = spark.table("events").select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 604800)
+        .cast("long")
+        .alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
