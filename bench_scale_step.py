@@ -32,6 +32,8 @@ from quanta_spark.session import get_spark  # noqa: E402
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALES = {"sf0.1eq": (5_000, 2_000), "sf1eq": (50_000, 20_000)}
+# per-scale values the op lambdas read; set by main() BEFORE timing
+_SCALE_CTX: dict = {}
 
 
 def _input_dir(tag: str, n_docs: int, n_vecs: int) -> str:
@@ -164,17 +166,23 @@ def _ops():
             ),
             budget=64,
         ),
+        # threshold precomputed per scale (main() fills _SCALE_CTX
+        # before timing) — a docs.count() here would add a full corpus
+        # action to the measured wall
         "cms_heavy_hitters": lambda docs, emb: _cms_hh(
             docs.select(
                 F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " ")).alias("tok")
             ),
             "tok",
-            threshold=max(50, docs.count() // 100),
+            threshold=_SCALE_CTX["cms_threshold"],
         ),
         "weighted_sample": lambda docs, emb: _wsample(
             docs, _wtc(F.col("text")), stride=250
         ),
         "bigram_lm_scores": lambda docs, emb: _bigram_lm(docs),
+        # NOTE: unlike the stream bench (_run_gate, index untimed), the
+        # batch gate leg times build+probe together — it measures the
+        # one-shot batch flavor, not the maintained-index flavor
         "neardup_gate_batch": lambda docs, emb: _nd_gate(
             docs.filter(F.col("doc_id") % 50 == 0)
             .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
@@ -199,6 +207,7 @@ def main() -> None:
     ops = _ops()
     results: dict[str, dict] = {name: {} for name in ops}
     for tag, (n_docs, n_vecs) in SCALES.items():
+        _SCALE_CTX["cms_threshold"] = max(50, n_docs // 100)
         d = _input_dir(tag, n_docs, n_vecs)
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(

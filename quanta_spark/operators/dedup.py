@@ -167,6 +167,7 @@ def minhash_signatures(
     shingle_n: int = 5,
     text_col: str = "text",
     hasher: str = "xxhash64",
+    grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """64 minhash values per doc over 5-gram shingles.
 
@@ -185,7 +186,12 @@ def minhash_signatures(
     b = MINHASH_B[:n_hashes]
     cols = [f"mh_{i}" for i in range(n_hashes)]
 
-    shingles = _norm_grams_df(df, text_col, shingle_n).select(
+    # callers that already materialized (doc_id, grams) — e.g. the
+    # index builder, which also stores the gram arrays — pass it in so
+    # the corpus-wide normalization+gram pass runs once, not twice
+    if grams_df is None:
+        grams_df = _norm_grams_df(df, text_col, shingle_n)
+    shingles = grams_df.select(
         "doc_id", F.explode("grams").alias("sh")
     ).select("doc_id", _shingle_hash(F.col("sh"), hasher).alias("x"))
 
@@ -561,8 +567,9 @@ def neardup_index(
     table and appends each day's accepted documents to. Built with the
     batch signature path (mapInPandas partials); carries the gram
     arrays so the gate's exact verify needs no second lookup."""
+    grams = _norm_grams_df(df, text_col, shingle_n)
     sigs = minhash_signatures(
-        df, shingle_n=shingle_n, text_col=text_col, hasher=hasher
+        df, shingle_n=shingle_n, text_col=text_col, hasher=hasher, grams_df=grams
     )
     stacked = sigs.select(
         "doc_id",
@@ -585,7 +592,6 @@ def neardup_index(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    grams = _norm_grams_df(df, text_col, shingle_n)
     return stacked.join(grams, "doc_id").select(
         "band",
         "bucket",
@@ -604,6 +610,8 @@ def stream_neardup_gate(
     shingle_n: int = 5,
     hasher: str = "xxhash64",
     watermark: str = "1 hour",
+    n_bands: int = 8,
+    rows_per_band: int = 8,
 ) -> DataFrame:
     """Streaming ingestion near-dup gate: every arriving document is
     checked against the historical index — THE production shape of
@@ -626,6 +634,8 @@ def stream_neardup_gate(
         text_col=text_col,
         shingle_n=shingle_n,
         hasher=hasher,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
     )
     joined = bands.join(index, ["band", "bucket"])
     if joined.isStreaming:
@@ -650,6 +660,10 @@ def accept_and_append_index(
     gate_matches: DataFrame,
     text_col: str = "text",
     hasher: str = "xxhash64",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
 ) -> DataFrame:
     """Close the ingestion loop: documents that passed the gate (no
     near-dup match) are added to the historical index so TOMORROW'S
@@ -659,10 +673,21 @@ def accept_and_append_index(
     written back to the index table. Day-over-day cost is
     O(accepted docs), never O(index)."""
     accepted = new_docs.join(
-        gate_matches.select(F.col("new_doc_id").alias("doc_id")).distinct(),
-        "doc_id",
+        gate_matches.select(F.col("new_doc_id").alias(id_col)).distinct(),
+        id_col,
         "left_anti",
     )
+    # every signature/banding parameter must match what the gate and
+    # the existing index were built with — a mismatched append would
+    # put rows in buckets tomorrow's stream never probes, silently
+    # re-admitting accepted docs forever
     return index.unionByName(
-        neardup_index(accepted.select("doc_id", text_col), text_col=text_col, hasher=hasher)
+        neardup_index(
+            accepted.select(F.col(id_col).alias("doc_id"), text_col),
+            text_col=text_col,
+            hasher=hasher,
+            shingle_n=shingle_n,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+        )
     )

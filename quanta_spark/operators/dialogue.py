@@ -152,14 +152,16 @@ def curate_conversations(
         "role",
         ws_token_count(F.col("text")).alias("_ntok"),
         (F.lead("role").over(w) == F.col("role")).cast("int").alias("_same_next"),
-        ((F.col("turn_idx") == 0) & (F.col("role") == "user")).cast("int").alias("_starts_user"),
         (F.col("role") == "tool").cast("int").alias("_is_tool"),
     )
     agg = p.groupBy("conv_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_turns"),
         F.sum("_ntok").cast("long").alias("total_tokens"),
         F.sum(F.coalesce(F.col("_same_next"), F.lit(0))).cast("int").alias("n_same_role_adjacent"),
-        F.max("_starts_user").cast("int").alias("starts_with_user"),
+        # role of the EARLIEST PRESENT turn — a literal turn_idx==0
+        # test would reject every conversation whose head was
+        # truncated/filtered upstream (e.g. truncate_to_context)
+        (F.min_by("role", "turn_idx") == "user").cast("int").alias("starts_with_user"),
         F.floor(F.sum("_is_tool") * 10_000 / F.count(F.lit(1)) + F.lit(0.5))
         .cast("long")
         .alias("tool_ratio_bp"),

@@ -251,6 +251,11 @@ def systematic_weighted_sample(
     per_range = (
         ranged.select("_rid", "_w").groupBy("_rid").agg(F.sum("_w").alias("s")).collect()
     )
+    if any(r["_rid"] is None for r in per_range):
+        raise ValueError(
+            f"{order_col} contains NULLs — a NULL key has no position "
+            "on the weight axis; filter or impute it first"
+        )
     offsets: dict[int, int] = {}
     running = 0
     for r in sorted(per_range, key=lambda r: int(r["_rid"])):

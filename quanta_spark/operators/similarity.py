@@ -58,6 +58,14 @@ def _topk_window(df: DataFrame, k: int) -> DataFrame:
 MAX_BROADCAST_QUERIES = 10_000
 
 
+def _empty_topk(spark) -> DataFrame:
+    """Typed empty result for a zero-query call — np.linalg.norm on a
+    0-row matrix would raise an AxisError instead."""
+    return spark.createDataFrame(
+        [], "query_id long, rank int, vec_id long, sim_bp long"
+    )
+
+
 def _bounded_query_rows(queries: DataFrame, *cols: str) -> list:
     """Collect a query set under the MAX_BROADCAST_QUERIES ceiling —
     THE single chokepoint every broadcast-query ANN path goes through
@@ -91,6 +99,8 @@ def brute_force_cosine_topk(
     Raises if the query set exceeds MAX_BROADCAST_QUERIES: the caller
     must bound the budget explicitly (e.g. a fixed id set or limit)."""
     q_rows = _bounded_query_rows(queries, "vec_id", "embedding")
+    if not q_rows:
+        return _empty_topk(corpus.sparkSession)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
@@ -684,6 +694,8 @@ def hard_negatives(
     batch, the label filter runs inside the scoring kernel, so the
     corpus crosses zero joins and zero extra shuffles."""
     q_rows = _bounded_query_rows(queries, "vec_id", "embedding", label_col)
+    if not q_rows:
+        return _empty_topk(corpus.sparkSession)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_lab = np.array([str(r[label_col]) for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)

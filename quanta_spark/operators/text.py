@@ -470,8 +470,8 @@ def bigram_lm_scores(
 
 # shared with the q91 oracle — RE2-compatible (DuckDB) AND Java-regex
 # compatible: no backrefs, no lookaround
-_URL_RE = "https?://[^ ]+"
-_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_URL_RE = "(?i)https?://[^ ]+"
+_EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 # a character-class run, NOT a backreference run — RE2 (DuckDB's regex
 # engine) has no backreferences, so the oracle could not share one
 _PUNCT_RUN_RE = "[!?.,;:*#=~-]{3,}"
@@ -484,7 +484,10 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text") -> DataFrame:
     re-normalized. Emits the cleaned text plus the removed-character
     count (the 'how much was boilerplate' signal downstream filters
     threshold on). Pure per-row codegen — scan speed, no shuffle."""
-    c = F.lower(F.col(text_col))
+    # match case-insensitively via inline (?i) — RE2 and Java both
+    # support it — but PRESERVE the text's case: silently lowercasing a
+    # curated corpus destroys information stripping never promised
+    c = F.col(text_col)
     cleaned = F.regexp_replace(c, _URL_RE, " ")
     cleaned = F.regexp_replace(cleaned, _EMAIL_RE, " ")
     cleaned = F.regexp_replace(cleaned, _PUNCT_RUN_RE, " ")

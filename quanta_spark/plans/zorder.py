@@ -22,13 +22,32 @@ from pyspark.sql import functions as F
 ZBITS = 16
 
 
+# the (col-lo)*65535 numerator must stay inside a signed 64-bit long
+# (ANSI mode raises on overflow, but fail with a clear message first)
+MAX_KEY_SPAN = ((1 << 63) - 1) // 65535
+
+
 def _normalize16(col: Column, lo: int, hi: int) -> Column:
-    """Map [lo, hi] -> [0, 65535] with EXACT integer floor division
-    (num - num % span) / span — a plain ``/`` would round in double
-    and could truncate one-off vs an engine's integer ``//``."""
+    """Map [lo, hi] -> [0, 65535] with EXACT integer floor division.
+    The quotient is computed as a double first and then CORRECTED by
+    comparing against the exact integer products — num can exceed
+    2^53, where a binary64 division may truncate one-off vs an
+    engine's integer ``//`` (both neighbors are checked, so the result
+    is the true floor for any in-range span)."""
     span = max(hi - lo, 1)
+    if span > MAX_KEY_SPAN:
+        raise ValueError(
+            f"key span {span} overflows the 16-bit rank arithmetic "
+            f"(max {MAX_KEY_SPAN}); pre-scale the key (e.g. days, not "
+            "microseconds) before z-ordering"
+        )
     num = (col.cast("long") - F.lit(lo)) * F.lit(65535)
-    return ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
+    q0 = (num / F.lit(span)).cast("long")
+    too_low = (num - (q0 + 1) * F.lit(span)) >= 0
+    too_high = (num - q0 * F.lit(span)) < 0
+    return (
+        q0 + F.when(too_low, 1).otherwise(0) - F.when(too_high, 1).otherwise(0)
+    ).cast("long")
 
 
 def _interleave(x: Column, y: Column, bits: int = ZBITS) -> Column:

@@ -3166,7 +3166,6 @@ p AS (
   SELECT conv_id, turn_idx, role,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok,
          CAST(lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role AS INT) AS same_next,
-         CAST(turn_idx = 0 AND role = 'user' AS INT) AS starts_user,
          CAST(role = 'tool' AS INT) AS is_tool
   FROM transcripts
 ),
@@ -3175,7 +3174,7 @@ a AS (
          CAST(count(*) AS INT) AS n_turns,
          CAST(sum(ntok) AS BIGINT) AS total_tokens,
          CAST(sum(coalesce(same_next, 0)) AS INT) AS n_same_role_adjacent,
-         CAST(max(starts_user) AS INT) AS starts_with_user,
+         CAST(min_by(role, turn_idx) = 'user' AS INT) AS starts_with_user,
          CAST(floor(sum(is_tool) * 10000.0 / count(*) + 0.5) AS BIGINT) AS tool_ratio_bp
   FROM p GROUP BY conv_id
 )
@@ -3203,8 +3202,8 @@ WITH c AS (
          trim(regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(lower(text), 'https?://[^ ]+', ' ', 'g'),
-               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', ' ', 'g'),
+               regexp_replace(text, '(?i)https?://[^ ]+', ' ', 'g'),
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', ' ', 'g'),
              '[!?.,;:*#=~-]{3,}', ' ', 'g'),
            '\\s+', ' ', 'g')) AS clean_text
   FROM documents
