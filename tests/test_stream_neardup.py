@@ -98,3 +98,33 @@ def test_multi_day_gate_with_index_append(spark):
     # and the same probe against the UN-appended index misses it
     m3_old = stream_neardup_gate(day3, idx1).collect()
     assert not any(r["idx_doc_id"] == 2065 for r in m3_old)
+
+
+def test_loop_with_nondefault_signature_config(spark):
+    """The gate/index/append trio must carry a NON-default signature
+    configuration (shingle_n=3, 4 bands x 16 rows) end to end — a
+    mismatched append would put day-2 docs in buckets the day-3 stream
+    never probes (silent duplicate leakage)."""
+    from quanta_spark.operators.dedup import (
+        accept_and_append_index,
+        neardup_index,
+        stream_neardup_gate,
+    )
+
+    cfg = dict(shingle_n=3, n_bands=4, rows_per_band=16)
+    docs = _docs(spark).limit(80).cache()
+    idx1 = neardup_index(docs.filter(F.col("doc_id") < 40), **cfg)
+    day2 = (
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+        .select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-02")))
+    )
+    m2 = stream_neardup_gate(day2, idx1, **cfg)
+    idx2 = accept_and_append_index(idx1, day2.select("doc_id", "text"), m2, **cfg)
+    day3 = (
+        docs.filter(F.col("doc_id") == 45)
+        .select((F.col("doc_id") + 3000).alias("doc_id"), "text")
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-03")))
+    )
+    m3 = stream_neardup_gate(day3, idx2, **cfg).collect()
+    assert any(r["idx_doc_id"] == 2045 and r["jaccard"] == 1.0 for r in m3)
