@@ -3438,3 +3438,60 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q97_funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase,
+       CAST(floor((SELECT count(*) FROM p) * 10000.0
+                  / greatest((SELECT count(*) FROM v), 1) + 0.5) AS BIGINT)
+         AS conversion_bp
+""",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users progressing view -> click -> purchase
+    in event-time order (min-timestamp chaining — each stage joins the
+    previous stage's user set, co-partitioned on user_id; the CEP
+    operators q62/q67 are the per-sequence flavor, this is the classic
+    user-level conversion report)."""
+    e = spark.table("events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv, nc, np_ = v.count(), c.count(), p.count()
+    return spark.createDataFrame(
+        [(nv, nc, np_, int((np_ * 10_000 + max(nv, 1) // 2) // max(nv, 1)))],
+        "n_view long, n_view_click long, n_view_click_purchase long, conversion_bp long",
+    )
