@@ -59,3 +59,47 @@ def asof_join_tool_to_user(
             "user_ts",
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Generic point-in-interval (range) join WITHOUT an equi key —
+    the join Catalyst would otherwise plan as BroadcastNestedLoopJoin
+    (a full cross product at 10^12 rows). The standard rewrite: pick a
+    time-bucket width near the typical interval length, explode each
+    interval to the buckets it covers, map each point to its single
+    bucket, EQUI-join on the bucket, then apply the exact containment
+    filter. Every matching pair shares exactly the point's bucket, so
+    no dedup is needed; an interval's fan-out is bounded by
+    ceil(duration / bucket) + 1 (watch degenerate week-long intervals
+    with minute buckets).
+
+    Inclusive on both ends (ts BETWEEN start AND end). Returns
+    points x matching-interval rows with all columns of both sides."""
+    n, unit = bucket.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    w = int(n) * mult
+    p = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(point_ts).cast("timestamp")) / w)
+    )
+    s = F.floor(F.unix_timestamp(F.col(start_col).cast("timestamp")) / w)
+    e = F.floor(F.unix_timestamp(F.col(end_col).cast("timestamp")) / w)
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(s, e))
+    )
+    joined = p.join(iv, "_b").filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("_b")

@@ -3495,3 +3495,61 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(nv, nc, np_, int((np_ * 10_000 + max(nv, 1) // 2) // max(nv, 1)))],
         "n_view long, n_view_click long, n_view_click_purchase long, conversion_bp long",
     )
+
+
+@query(
+    "q98_interval_join",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+sess AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+lab AS (
+  SELECT conv_id, ts,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM sess
+),
+iv AS (
+  SELECT conv_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM lab GROUP BY conv_id, sid
+),
+hits AS (
+  SELECT e.event_id, count(*) AS n_active
+  FROM events e JOIN iv ON e.ts >= iv.s_start AND e.ts <= iv.s_end
+  GROUP BY e.event_id
+)
+SELECT e.event_id, CAST(coalesce(h.n_active, 0) AS BIGINT) AS n_active_sessions
+FROM events e LEFT JOIN hits h USING (event_id)
+""",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile via the bucketed INTERVAL JOIN
+    (asof.interval_join): for every raw event, how many conversation
+    sessions (30-min-gap sessionization) were active at its instant.
+    No equi key exists between events and sessions — the naive plan is
+    a nested-loop cross product; the operator's time-bucket rewrite
+    makes it an equi-join (plan-asserted: no BroadcastNestedLoopJoin,
+    no CartesianProduct)."""
+    from quanta_spark.operators.asof import interval_join
+    from quanta_spark.operators.windows import label_sessions
+
+    # session intervals as exact turn spans (min/max ts per label) —
+    # sessionize's session_window end is gap-padded, which the SQL
+    # oracle would have to re-derive; the labeled spans are exact
+    lab = label_sessions(transcripts_df(spark), gap="30 minutes")
+    iv = lab.groupBy("conv_id", "session_idx").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    events = spark.table("events").select("event_id", "ts")
+    hits = interval_join(events, iv, point_ts="ts", start_col="s_start", end_col="s_end")
+    counts = hits.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_active"))
+    return events.join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active_sessions"),
+    )

@@ -332,3 +332,12 @@ def test_q94_skew_report_no_global_sort_of_corpus(spark):
     # corpus rollup partial-aggregates before its exchange
     assert "partial_count" in final, plan
     assert "CartesianProduct" not in final, plan
+
+
+def test_q98_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed range-join rewrite must plan an equi join on the
+    time bucket — never the BroadcastNestedLoopJoin/CartesianProduct a
+    raw BETWEEN predicate produces."""
+    plan = _plan(spark, "q98_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
