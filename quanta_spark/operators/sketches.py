@@ -17,7 +17,7 @@ resolve sparse-vs-dense modes differently per split (measured 500 vs
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -205,4 +205,97 @@ def cms_heavy_hitters(
         F.col("exact_count").cast("long"),
         F.col("cms_estimate").cast("long"),
         (F.col("exact_count") >= threshold).alias("is_heavy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram: mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _floor_div(num: Column, den: int) -> Column:
+    """Exact floor division of a non-negative long Column by a positive
+    int, portable to DuckDB's ``//``: ``(num - num % den) / den`` is an
+    exactly-divisible quotient, so the double division is exact below
+    2^53 — no float-rounding divergence between engines."""
+    return ((num - F.pmod(num, F.lit(den))) / F.lit(den)).cast("long")
+
+
+def histogram_counts(
+    df: DataFrame, value: Column | str, lo: int, hi: int, n_bins: int
+) -> DataFrame:
+    """Fixed-bin histogram ``(bin_idx, cnt)`` over a LONG-valued
+    column — the mergeable quantile unit: like the CMS counter table
+    (and unlike HLL estimates) it is LINEAR, so per-shard/per-day
+    histograms summed cell-wise equal the whole-corpus histogram
+    EXACTLY. Store one per partition, merge with a sum at read time,
+    answer any quantile from the merged table without rescanning.
+    Out-of-range values clamp into the edge bins, so cnt always sums
+    to the row count. One map-side-combined aggregation; output is
+    <= n_bins rows regardless of corpus size."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got ({lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    if (hi - lo) * n_bins >= (1 << 52):
+        raise ValueError(
+            f"(hi-lo)*n_bins = {(hi - lo) * n_bins} risks exceeding exact "
+            "double arithmetic (2^52); rescale the value domain"
+        )
+    value = F.col(value) if isinstance(value, str) else value
+    vc = F.greatest(F.least(value.cast("long"), F.lit(hi - 1)), F.lit(lo))
+    bin_idx = _floor_div((vc - F.lit(lo)) * F.lit(n_bins), hi - lo)
+    return (
+        df.select(bin_idx.cast("int").alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(shard_hists: DataFrame) -> DataFrame:
+    """Sum per-shard histogram tables cell-wise — the read-time merge.
+    Input: (bin_idx, cnt) rows from any number of shards."""
+    return shard_hists.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs_bp: list[int], lo: int, hi: int, n_bins: int
+) -> DataFrame:
+    """Quantiles from a (merged) histogram: for each quantile q (basis
+    points), the first bin whose cumulative count reaches
+    ``ceil(q * n / 10000)``, with its integer upper edge. All
+    arithmetic is integer-exact (ceil via ``(q*n + 9999) // 10000``,
+    edges via portable floor division), so the result oracle-checks
+    value-for-value. Everything here runs on a <= n_bins-row table —
+    the single-partition window is the point of a bounded sketch."""
+    span = hi - lo
+    cum = hist.select(
+        "bin_idx",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cnt"),
+    )
+    total = hist.agg(F.sum("cnt").alias("total_cnt"))
+    spark = hist.sparkSession
+    qs = spark.createDataFrame([(int(q),) for q in qs_bp], "q_bp int")
+    target = _floor_div(F.col("q_bp") * F.col("total_cnt") + F.lit(9999), 10_000)
+    sel = (
+        qs.crossJoin(total)
+        .join(cum, cum["cum_cnt"] >= target)
+        .groupBy("q_bp", "total_cnt")
+        .agg(F.min("bin_idx").alias("bin_idx"))
+    )
+    upper = F.lit(lo).cast("long") + _floor_div(
+        (F.col("bin_idx") + 1).cast("long") * F.lit(span).cast("long"), n_bins
+    )
+    return (
+        sel.join(cum.select("bin_idx", "cum_cnt"), "bin_idx")
+        .select(
+            "q_bp",
+            F.col("bin_idx").cast("int"),
+            upper.alias("bin_upper"),
+            F.col("cum_cnt").cast("long"),
+            F.col("total_cnt").cast("long"),
+        )
     )

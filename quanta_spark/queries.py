@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3552,4 +3553,151 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.join(counts, "event_id", "left").select(
         "event_id",
         F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active_sessions"),
+    )
+
+
+_Q99_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS kk
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+seeds AS (SELECT unnest(generate_series(0, 2)) AS i),
+kp AS (
+  SELECT {_md5int7("concat(i::VARCHAR, ':', kk)")} % 65536 AS p
+  FROM keys CROSS JOIN seeds
+),
+w AS (
+  SELECT p // 63 AS word, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+  FROM kp GROUP BY 1
+),
+op AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         {_md5int7("concat(i::VARCHAR, ':', CAST(o.o_custkey AS VARCHAR))")} % 65536 AS p
+  FROM orders o CROSS JOIN seeds
+),
+chk AS (
+  SELECT o_orderkey, o_custkey,
+         bool_and((coalesce(w.bits, 0) & (1::BIGINT << CAST(op.p % 63 AS INT))) != 0) AS pass
+  FROM op LEFT JOIN w ON op.p // 63 = w.word
+  GROUP BY 1, 2
+),
+mk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+fin AS (
+  SELECT chk.pass, chk.o_custkey IN (SELECT c_custkey FROM mk) AS is_match
+  FROM chk
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (WHERE is_match) AS BIGINT) AS n_match,
+       CAST(count(*) FILTER (WHERE pass AND NOT is_match) AS BIGINT) AS n_false_pos,
+       count(*) FILTER (WHERE is_match AND NOT pass) = 0 AS no_false_negatives
+FROM fin
+"""
+
+
+@query("q99_bloom_prefilter", _Q99_ORACLE)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast bloom-filter semi-join prefilter (filters.py): the
+    BUILDING-segment customer keys become an 8 KiB bitset; every order
+    probes it with three JVM-side hashes inside its own scan stage —
+    the fact side never shuffles before the exact residual join. The
+    gate certifies the two bloom invariants exactly: ZERO false
+    negatives and a counted (bounded) false-positive tail, md5 family
+    so the oracle re-derives every bit; xxhash64 is the production
+    default with the identical plan (property-tested)."""
+    from quanta_spark.operators.filters import bloom_bitset, with_bloom_flag
+
+    keys = (
+        spark.table("customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words = bloom_bitset(keys, "c_custkey", hasher="md5")
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    flagged = with_bloom_flag(orders, "o_custkey", words, hasher="md5")
+    marker = keys.distinct().select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("_m")
+    )
+    j = flagged.join(F.broadcast(marker), "o_custkey", "left").select(
+        F.col("bloom_pass"), F.coalesce("_m", F.lit(False)).alias("is_match")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_pass"),
+        F.count(F.when(F.col("is_match"), 1)).alias("n_match"),
+        F.count(F.when(F.col("bloom_pass") & ~F.col("is_match"), 1)).alias(
+            "n_false_pos"
+        ),
+        (
+            F.count(F.when(F.col("is_match") & ~F.col("bloom_pass"), 1)) == 0
+        ).alias("no_false_negatives"),
+    )
+
+
+_Q100_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+),
+p AS (SELECT greatest(least(c, 59999999), 0) AS vc FROM v),
+h AS (SELECT CAST((vc * 64) // 60000000 AS INT) AS bin_idx, count(*) AS cnt
+      FROM p GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n FROM h),
+cum AS (SELECT bin_idx, sum(cnt) OVER (ORDER BY bin_idx) AS cum_cnt FROM h),
+q AS (SELECT unnest([5000, 9000, 9900]) AS q_bp),
+sel AS (
+  SELECT q.q_bp, min(c2.bin_idx) AS bin_idx
+  FROM q CROSS JOIN tot
+  JOIN cum c2 ON c2.cum_cnt >= (q.q_bp * tot.n + 9999) // 10000
+  GROUP BY q.q_bp
+)
+SELECT CAST(s.q_bp AS INT) AS q_bp,
+       CAST(s.bin_idx AS INT) AS bin_idx,
+       CAST(((s.bin_idx + 1)::BIGINT * 60000000) // 64 AS BIGINT) AS bin_upper_cents,
+       CAST(c.cum_cnt AS BIGINT) AS cum_cnt,
+       CAST(tot.n AS BIGINT) AS total_cnt,
+       true AS merge_ok
+FROM sel s JOIN cum c USING (bin_idx) CROSS JOIN tot
+"""
+
+
+@query("q100_quantile_histogram", _Q100_ORACLE)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (sketches.histogram_counts): order
+    totals binned into a 64-cell fixed-bin histogram — the LINEAR
+    store-per-shard summary (like the CMS counters, unlike HLL's
+    mode-dependent estimates): 7 per-shard histograms summed cell-wise
+    EQUAL the whole-corpus histogram, certified by merge_ok, and
+    p50/p90/p99 are answered from the merged 64-row table with
+    integer-exact rank/edge arithmetic (portable floor division) —
+    no corpus rescan at read time."""
+    from quanta_spark.operators.sketches import (
+        histogram_counts,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    LO, HI, NB = 0, 60_000_000, 64
+    orders = spark.table("orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    whole = histogram_counts(orders, cents, LO, HI, NB)
+    shards = [
+        histogram_counts(
+            orders.filter(F.pmod("o_custkey", F.lit(7)) == s), cents, LO, HI, NB
+        )
+        for s in range(7)
+    ]
+    merged = merge_histograms(reduce(lambda a, b: a.unionByName(b), shards))
+    cmp = (
+        whole.withColumnRenamed("cnt", "w_cnt")
+        .join(merged.withColumnRenamed("cnt", "m_cnt"), "bin_idx", "full")
+        .select(
+            (
+                F.coalesce("w_cnt", F.lit(-1)) == F.coalesce("m_cnt", F.lit(-2))
+            ).alias("eq")
+        )
+    )
+    merge_ok = cmp.agg(F.bool_and("eq").alias("merge_ok"))
+    res = histogram_quantiles(merged, [5000, 9000, 9900], LO, HI, NB)
+    return res.withColumnRenamed("bin_upper", "bin_upper_cents").crossJoin(
+        F.broadcast(merge_ok)
     )
