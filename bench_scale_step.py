@@ -87,6 +87,14 @@ def _ops():
         systematic_weighted_sample as _wsample,
     )
     from quanta_spark.operators.sketches import cms_heavy_hitters as _cms_hh
+    from quanta_spark.operators.filters import (
+        bloom_bitset as _bloom_bits,
+        bloom_prefilter as _bloom_pref,
+    )
+    from quanta_spark.operators.sketches import (
+        histogram_counts as _hist_counts,
+        histogram_quantiles as _hist_q,
+    )
     from quanta_spark.operators.text import bigram_lm_scores as _bigram_lm
 
     def bench_set(docs):
@@ -189,6 +197,22 @@ def _ops():
             .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
             _nd_index(docs),
         ),
+        # bitset build (bounded collect) is deliberately INSIDE the
+        # timed lambda: build+probe is the one-shot batch flavor
+        "bloom_prefilter": lambda docs, emb: _bloom_pref(
+            docs.select("doc_id", "lang"),
+            "doc_id",
+            _bloom_bits(
+                docs.filter(F.col("doc_id") % 50 == 0).select("doc_id"), "doc_id"
+            ),
+        ),
+        "quantile_histogram": lambda docs, emb: _hist_q(
+            _hist_counts(docs, _wtc(F.col("text")), 0, 4096, 64),
+            [5000, 9000, 9900],
+            0,
+            4096,
+            64,
+        ),
         "training_pipeline": lambda docs, emb: chunk_documents(
             deterministic_sample(
                 exact_dedup_keep_first(docs.filter(quality_keep("text"))),
@@ -205,6 +229,13 @@ def main() -> None:
         app_name="quanta_scale_step", cores=CPUS, shuffle_partitions=CPUS
     )
     ops = _ops()
+    only = os.environ.get("SCALE_STEP_ONLY")
+    if only:
+        sel = {n.strip() for n in only.split(",")}
+        unknown = sel - set(ops)
+        if unknown:
+            raise SystemExit(f"SCALE_STEP_ONLY names not in ops: {sorted(unknown)}")
+        ops = {n: f for n, f in ops.items() if n in sel}
     results: dict[str, dict] = {name: {} for name in ops}
     for tag, (n_docs, n_vecs) in SCALES.items():
         _SCALE_CTX["cms_threshold"] = max(50, n_docs // 100)
@@ -216,8 +247,8 @@ def main() -> None:
         docs.count()  # warm file listing before timing
         # one untimed pass so the first TIMED op doesn't absorb
         # codegen + python-worker cold start for the whole scale
-        ops["exact_dedup"](docs, emb).count()
-        ops["minhash_xxhash64"](docs, emb).count()
+        for warm in list(ops)[:2]:
+            ops[warm](docs, emb).count()
         for name, fn in ops.items():
             t0 = time.perf_counter()
             out = fn(docs, emb)
@@ -233,6 +264,12 @@ def main() -> None:
         "ops": results,
     }
     os.makedirs("BENCH", exist_ok=True)
+    if only and os.path.exists("BENCH/scale_step.json"):
+        # partial run: merge the selected ops into the existing table
+        with open("BENCH/scale_step.json") as f:
+            prev = json.load(f)
+        prev.get("ops", {}).update(results)
+        payload = prev
     with open("BENCH/scale_step.json", "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
