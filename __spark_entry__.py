@@ -39,6 +39,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _row_green(row: dict) -> bool:
+    """The single definition of a green driver CORRECTNESS row, shared by
+    the gate rotation and the test suite: no error, rows match, and
+    neither schema nor hash explicitly failed (None = weaker rows-only
+    contract for oracle-less ops, which still counts as green)."""
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    )
+
+
 def _gate_order(names: list[str]) -> list[str]:
     """Deterministic gate rotation: the driver's correctness gate checks
     the FIRST 50 entries of ``queries()``, but the registry is larger.
@@ -69,13 +82,7 @@ def _gate_order(names: list[str]) -> list[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = (
-                row.get("err") is None
-                and row.get("rows_match") is True
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-            )
-            if green:
+            if _row_green(row):
                 last_green[name] = max(last_green.get(name, 0), rnd)
     canon = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last_green.get(n, 0), canon[n]))

@@ -93,6 +93,42 @@ def _cpu_jiffies() -> tuple[int, int, int]:
     return sum(vals), vals[3] + vals[4], vals[7]
 
 
+def _wait_for_quiet_box(
+    max_wait_sec: float = 300.0,
+    load_thresh: float = 2.0,
+    steal_cores_thresh: float = 0.05,
+    probe_sec: float = 2.0,
+) -> dict:
+    """Refuse to start timed legs on a loaded box (VERDICT r04 ask #4:
+    BENCH_r04 launched at loadavg 9.6 / 12.5 busy cores and regressed
+    every leg vs an idle re-run). Spin until 1-min loadavg and steal are
+    under thresholds, bounded by max_wait_sec; the outcome — waited
+    seconds and whether the gate was satisfied — lands in the result
+    JSON either way so a dirty launch is self-documenting."""
+    t0 = time.perf_counter()
+    clean = False
+    load1 = steal_cores = 0.0
+    ncpu = os.cpu_count() or CPUS
+    while True:
+        load1 = os.getloadavg()[0]
+        j0, _, s0 = _cpu_jiffies()
+        time.sleep(probe_sec)
+        j1, _, s1 = _cpu_jiffies()
+        steal_cores = (s1 - s0) / max(j1 - j0, 1) * ncpu
+        if load1 < load_thresh and steal_cores < steal_cores_thresh:
+            clean = True
+            break
+        if time.perf_counter() - t0 >= max_wait_sec:
+            break
+        time.sleep(max(probe_sec, 5.0))
+    return {
+        "waited_sec": round(time.perf_counter() - t0, 1),
+        "clean_launch": clean,
+        "loadavg1_at_start": round(load1, 2),
+        "steal_cores_at_start": round(steal_cores, 2),
+    }
+
+
 def run_stream(spark, data_dir: str, op, ckpt: str, files_per_trigger: int = 64) -> None:
     """files_per_trigger=64 over 128 files => 2 data batches + flush —
     the same mega-batch stance as the scaling protocol: the ~3s/batch
@@ -122,6 +158,7 @@ def main() -> None:
     # box-load evidence (BENCH/BASELINE.md variance protocol): pre-run
     # load average + external busy cores sampled over the whole run, so
     # a noisy-neighbor leg is visible IN the result JSON, not just prose
+    gate = _wait_for_quiet_box()
     load_before = os.getloadavg()
     j0, i0, s0 = _cpu_jiffies()
     spark = get_spark(
@@ -209,6 +246,7 @@ def main() -> None:
                 "stream_turns": n_turns,
                 "turns_per_sec": tps,
                 "box": {
+                    "launch_gate": gate,
                     "loadavg_before": [round(v, 2) for v in load_before],
                     "busy_cores_avg_during": round(
                         (1 - (i1 - i0) / (j1 - j0)) * ncpu, 1

@@ -2941,8 +2941,8 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q86_ORACLE = f"""
 WITH {TRANSCRIPTS_CTE}
-SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
-       to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS window_end,
+SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS window_start,
+       make_timestamp((CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) + 21600) * 1000000) AS window_end,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_distinct
 FROM transcripts
 GROUP BY 1, 2
@@ -3082,8 +3082,8 @@ cell AS (
   ) t WHERE rk = 1
 ),
 t AS (SELECT vec_id, cell_id, 1704067200 + vec_id AS ep FROM cell)
-SELECT to_timestamp(CAST(ep // 21600 * 21600 AS BIGINT)) AS window_start,
-       to_timestamp(CAST(ep // 21600 * 21600 + 21600 AS BIGINT)) AS window_end,
+SELECT make_timestamp(CAST(ep // 21600 * 21600 AS BIGINT) * 1000000) AS window_start,
+       make_timestamp((CAST(ep // 21600 * 21600 AS BIGINT) + 21600) * 1000000) AS window_end,
        cell_id,
        CAST(count(*) AS BIGINT) AS n_vectors
 FROM t GROUP BY 1, 2, 3
@@ -3231,7 +3231,7 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {TRANSCRIPTS_CTE},
 tok AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS window_start,
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS window_start,
          unnest(string_split({DUCK_NORM}, ' ')) AS term
   FROM transcripts
 ),
@@ -3358,7 +3358,7 @@ j AS (
   FROM c LEFT JOIN c p ON p.term = c.term AND p.w = c.w - 1
   WHERE c.n >= 5
 )
-SELECT to_timestamp(w * 21600) AS window_start, term,
+SELECT make_timestamp(CAST(w * 21600 AS BIGINT) * 1000000) AS window_start, term,
        CAST(n AS BIGINT) AS n, CAST(n_prev AS BIGINT) AS n_prev, rise_bp
 FROM j WHERE rise_bp >= 20000
 """,

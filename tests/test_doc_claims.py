@@ -1,0 +1,46 @@
+"""Doc-check (VERDICT r04 ask #5): every "qNN ✓" gate-status claim in
+COVERAGE.md / README.md must correspond to an ever-green driver row in a
+committed CORRECTNESS_r*.json (green per the shared ``_row_green``
+predicate). Operators without a green driver row must say
+"driver-pending" instead — docs may not claim what the driver hasn't
+confirmed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ever_green_prefixes() -> set[str]:
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            if isinstance(row, dict) and entrymod._row_green(row):
+                green.add(name.split("_")[0])
+    return green
+
+
+def test_doc_gate_claims_match_driver_rows():
+    green = _ever_green_prefixes()
+    assert green, "no CORRECTNESS_r*.json rows found"
+    bad: list[str] = []
+    for doc in ("COVERAGE.md", "README.md"):
+        p = os.path.join(HERE, doc)
+        if not os.path.exists(p):
+            continue
+        for i, line in enumerate(open(p), 1):
+            for m in re.finditer(r"\b(q\d+)\w*\s*✓", line):
+                if m.group(1) not in green:
+                    bad.append(f"{doc}:{i}: claims {m.group(0)!r} with no green driver row")
+    assert bad == [], "\n".join(bad)

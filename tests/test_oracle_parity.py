@@ -35,11 +35,20 @@ def _duck(sql: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame, *, strict_tz: bool = False) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            if strict_tz and isinstance(s.dtype, pd.DatetimeTZDtype):
+                # The driver's gate is schema-strict: a DuckDB oracle that
+                # emits TIMESTAMPTZ (e.g. bare to_timestamp()) fails its
+                # schema+hash compare against Spark's plain TimestampType.
+                # Fail here too so the replica predicts the driver.
+                raise AssertionError(
+                    f"oracle column {c!r} is tz-aware ({s.dtype}); use "
+                    "make_timestamp(us) or CAST(... AS TIMESTAMP) in the oracle"
+                )
             df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):
             df[c] = np.round(s.astype("float64"), 9)
@@ -60,12 +69,21 @@ def test_query_matches_oracle(spark, name):
         if name.startswith(("q28", "q29", "q30", "q31")):
             assert len(got) > 0, f"{name}: expected non-empty result"
         return
-    want = _normalize(_duck(_ORACLES[name]))
+    want = _normalize(_duck(_ORACLES[name]), strict_tz=True)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_no_bare_to_timestamp_in_oracles():
+    """DuckDB to_timestamp() returns TIMESTAMPTZ, which fails the
+    driver's schema-strict compare against Spark's plain TimestampType
+    (CORRECTNESS_r04: q86/q89/q92/q95). Ban it outright — oracles use
+    make_timestamp(us), which returns plain TIMESTAMP."""
+    offenders = [n for n, sql in _ORACLES.items() if "to_timestamp(" in sql]
+    assert offenders == [], f"oracles using to_timestamp(): {offenders}"
 
 
 def test_gate_rotation_stalest_first():
@@ -87,7 +105,8 @@ def test_gate_rotation_stalest_first():
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         rows = json.load(open(path))
         for n, row in rows.items():
-            if row.get("err") is None and row.get("rows_match"):
+            # shared predicate: the test must agree with production
+            if entrymod._row_green(row):
                 last_green[n] = max(last_green.get(n, 0), rnd)
     ranks = {n: i for i, n in enumerate(order)}
     for a in names:
