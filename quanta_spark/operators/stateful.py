@@ -539,6 +539,15 @@ def match_sequence_stream(
             if len(all_idx):
                 hi = max(hi, int(all_idx[-1]) - (L - 1))
                 if within_us is not None and wm_us is not None:
+                    # Boundary proof for the <= bound: Spark DROPS rows
+                    # with event time == watermark and admits only
+                    # ts > wm (verified empirically; pinned by
+                    # test_cep_stream_within_boundary). A start decided
+                    # here has ts[s] <= wm - within, so any future
+                    # admissible row (ts >= wm + 1us) has span
+                    # >= within + 1us > within — it can no longer
+                    # complete the match. Strict < would only delay
+                    # decisions by one watermark tick.
                     ts_ok = all_ts <= wm_us - within_us
                     if ts_ok.any():
                         hi = max(hi, int(all_idx[ts_ok][-1]))

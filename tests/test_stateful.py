@@ -585,6 +585,90 @@ def test_match_sequence_within_time_bound(spark):
     assert unbounded == {("A", 3), ("B", 3), ("C", 4)}
 
 
+def _run_cep_boundary(spark, workdir, w_minutes: float):
+    """4 single-file micro-batches: A gets user@0m, tool@5m, then two W
+    turns at ``w_minutes`` advance the watermark (delay 10m) to
+    w_minutes-10m while A's start is pending, then A's final user turn
+    arrives at exactly t0+30m (span == within == 30m)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.datagen import _ARROW_SCHEMA
+    from quanta_spark.operators.stateful import match_sequence_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def row(conv, idx, role, minutes):
+        return {
+            "conv_id": conv, "turn_idx": idx, "role": role,
+            "text": "x", "tool": None, "ts": t0 + dt.timedelta(minutes=minutes),
+        }
+
+    files = [
+        [row("A", 0, "user", 0), row("A", 1, "tool", 5)],
+        [row("W", 0, "user", w_minutes)],
+        [row("W", 1, "tool", w_minutes)],
+        [row("A", 2, "user", 30)],
+    ]
+    data_dir = os.path.join(workdir, "in")
+    os.makedirs(data_dir)
+    for k, rows in enumerate(files):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows), schema=_ARROW_SCHEMA, preserve_index=False
+            ),
+            os.path.join(data_dir, f"part-{k:05d}.parquet"),
+        )
+
+    batches: list[list] = []
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=1, with_lineage=False
+    )
+    h = start_pipeline(
+        match_sequence_stream(
+            src, _cep_stream_steps(), pattern_col="role",
+            watermark="10 minutes", within="30 minutes",
+        ),
+        lambda b, i: batches.append(b.collect()),
+        os.path.join(workdir, "ckpt"),
+    )
+    h.process_all_available()
+    write_heartbeat_file(data_dir, pd.Timestamp(t0) + pd.Timedelta(days=30))
+    run_to_completion(h)
+    return {
+        (r["conv_id"], r["start_turn"], r["match_len"])
+        for bs in batches
+        for r in bs
+        if r["conv_id"] != HEARTBEAT_CONV
+    }
+
+
+def test_cep_stream_within_boundary(spark, tmp_workdir):
+    """Decided-starts boundary (ADVICE r04 follow-up). The <= decide
+    bound (ts[s] <= wm - within) is safe because Spark ADMITS only rows
+    with event time strictly greater than the watermark — so against a
+    decided start every future row's span is >= within + 1us. Pin both
+    halves:
+
+    (a) the premise — a span==within match whose last row lands in a
+        batch where wm == that row's ts is DROPPED by Spark, so no
+        match can exist (if Spark ever admits ts == wm, this fails and
+        the decide bound must become strict);
+    (b) the non-eager side — with wm one second SHORT of the boundary
+        when the last row arrives, the start must still be undecided
+        and the span==within match emitted."""
+    got_at_boundary = _run_cep_boundary(
+        spark, os.path.join(tmp_workdir, "at"), w_minutes=40
+    )
+    assert got_at_boundary == set()  # (a): wm == 30m, A2@30m dropped
+    got_below_boundary = _run_cep_boundary(
+        spark, os.path.join(tmp_workdir, "below"), w_minutes=39 + 59 / 60
+    )
+    assert got_below_boundary == {("A", 0, 3)}  # (b): wm == 29m59s
+
+
 def _cep_stream_steps():
     return [
         lambda v: v == "user",
