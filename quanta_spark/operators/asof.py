@@ -61,13 +61,16 @@ def asof_join_tool_to_user(
     )
 
 
+MAX_INTERVAL_FANOUT = 4096
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
     point_ts: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
-    bucket: str = "1 hour",
+    bucket: str = "auto",
 ) -> DataFrame:
     """Generic point-in-interval (range) join WITHOUT an equi key —
     the join Catalyst would otherwise plan as BroadcastNestedLoopJoin
@@ -77,19 +80,49 @@ def interval_join(
     bucket, EQUI-join on the bucket, then apply the exact containment
     filter. Every matching pair shares exactly the point's bucket, so
     no dedup is needed; an interval's fan-out is bounded by
-    ceil(duration / bucket) + 1 (watch degenerate week-long intervals
-    with minute buckets).
+    ceil(duration / bucket) + 1.
+
+    ``bucket="auto"`` (default, VERDICT r04 ask #6) derives the width
+    from the data with ONE O(1)-row aggregate: the median interval
+    duration (typical fan-out ~2 buckets/interval), floored so the
+    LONGEST interval explodes to at most MAX_INTERVAL_FANOUT rows —
+    a degenerate mix (week-long tails under minute-scale medians)
+    cannot melt an executor. An explicit ``bucket`` is validated
+    against the same cap and rejected loudly instead of silently
+    exploding.
 
     Inclusive on both ends (ts BETWEEN start AND end). Returns
     points x matching-interval rows with all columns of both sides."""
-    n, unit = bucket.split()
-    mult = {
-        "second": 1, "seconds": 1,
-        "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600,
-        "day": 86400, "days": 86400,
-    }[unit]
-    w = int(n) * mult
+    dur_s = F.unix_timestamp(F.col(end_col).cast("timestamp")) - F.unix_timestamp(
+        F.col(start_col).cast("timestamp")
+    )
+    stats = intervals.agg(
+        F.percentile_approx(dur_s, 0.5).alias("med_s"),
+        F.max(dur_s).alias("max_s"),
+    ).collect()[0]
+    med_s = int(stats["med_s"] or 0)
+    max_s = int(stats["max_s"] or 0)
+    if bucket == "auto":
+        # median => typical interval spans ~2 buckets; floor so the
+        # longest interval stays under the fan-out cap; never below 1s
+        w = max(med_s, -(-max_s // (MAX_INTERVAL_FANOUT - 1)), 1)
+    else:
+        n, unit = bucket.split()
+        mult = {
+            "second": 1, "seconds": 1,
+            "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600,
+            "day": 86400, "days": 86400,
+        }[unit]
+        w = int(n) * mult
+        worst = max_s // w + 1
+        if worst > MAX_INTERVAL_FANOUT:
+            raise ValueError(
+                f"interval_join bucket={bucket!r} explodes the longest "
+                f"interval ({max_s}s) to {worst} rows > "
+                f"MAX_INTERVAL_FANOUT={MAX_INTERVAL_FANOUT}; pass a wider "
+                "bucket or bucket='auto'"
+            )
     p = points.withColumn(
         "_b", F.floor(F.unix_timestamp(F.col(point_ts).cast("timestamp")) / w)
     )
