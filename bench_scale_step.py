@@ -27,11 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from quanta_spark.datagen import write_documents_embeddings  # noqa: E402
+from quanta_spark.datagen import write_documents_embeddings, write_events  # noqa: E402
 from quanta_spark.session import get_spark  # noqa: E402
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALES = {"sf0.1eq": (5_000, 2_000), "sf1eq": (50_000, 20_000)}
+# (n_docs, n_vecs, n_events) per scale tag — events run 20x the doc
+# count so the events-table legs clear the fixed-overhead floor (at
+# 20k/200k all three measured < 1.0x, i.e. pure noise)
+SCALES = {"sf0.1eq": (5_000, 2_000, 100_000), "sf1eq": (50_000, 20_000, 1_000_000)}
 # per-scale values the op lambdas read; set by main() BEFORE timing
 _SCALE_CTX: dict = {}
 
@@ -213,6 +216,19 @@ def _ops():
             4096,
             64,
         ),
+        # events-table relational shapes (VERDICT r04 ask #7): reuse the
+        # REGISTERED query fns verbatim over a 10x seeded events dir
+        # (_prepare registers the view from sf_dir) so the measured
+        # plan is exactly the gated one
+        "retention_cohorts": lambda docs, emb: _SCALE_CTX["q"]["q96_retention_cohorts"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
+        "funnel": lambda docs, emb: _SCALE_CTX["q"]["q97_funnel_conversion"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
+        "interval_join_concurrency": lambda docs, emb: _SCALE_CTX["q"][
+            "q98_interval_join"
+        ](_SCALE_CTX["spark"], _SCALE_CTX["events_dir"]),
         "training_pipeline": lambda docs, emb: chunk_documents(
             deterministic_sample(
                 exact_dedup_keep_first(docs.filter(quality_keep("text"))),
@@ -228,6 +244,9 @@ def main() -> None:
     spark = get_spark(
         app_name="quanta_scale_step", cores=CPUS, shuffle_partitions=CPUS
     )
+    from quanta_spark import queries as q
+
+    _SCALE_CTX["q"] = q.QUERY_FNS
     ops = _ops()
     only = os.environ.get("SCALE_STEP_ONLY")
     if only:
@@ -237,9 +256,16 @@ def main() -> None:
             raise SystemExit(f"SCALE_STEP_ONLY names not in ops: {sorted(unknown)}")
         ops = {n: f for n, f in ops.items() if n in sel}
     results: dict[str, dict] = {name: {} for name in ops}
-    for tag, (n_docs, n_vecs) in SCALES.items():
+    for tag, (n_docs, n_vecs, n_events) in SCALES.items():
         _SCALE_CTX["cms_threshold"] = max(50, n_docs // 100)
+        _SCALE_CTX["spark"] = spark
         d = _input_dir(tag, n_docs, n_vecs)
+        ed = f"/tmp/qs_scale_events_{tag}_{n_events}"
+        if not os.path.exists(os.path.join(ed, "_DONE")):
+            write_events(ed, n_events, seed=42)
+            open(os.path.join(ed, "_DONE"), "w").close()
+        _SCALE_CTX["events_dir"] = ed
+        spark.read.parquet(os.path.join(ed, "events.parquet")).count()  # warm listing
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
             "vec_id", "embedding"
@@ -260,7 +286,10 @@ def main() -> None:
     payload = {
         "metric": "batch operator wall-sec at sf0.1-eq vs sf1-eq (10x rows, same generator seed)",
         "cores": CPUS,
-        "scales": {k: {"n_docs": v[0], "n_vecs": v[1]} for k, v in SCALES.items()},
+        "scales": {
+            k: {"n_docs": v[0], "n_vecs": v[1], "n_events": v[2]}
+            for k, v in SCALES.items()
+        },
         "ops": results,
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -269,6 +298,7 @@ def main() -> None:
         with open("BENCH/scale_step.json") as f:
             prev = json.load(f)
         prev.get("ops", {}).update(results)
+        prev["scales"] = payload["scales"]
         payload = prev
     with open("BENCH/scale_step.json", "w") as f:
         json.dump(payload, f, indent=1)

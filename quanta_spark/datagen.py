@@ -322,6 +322,43 @@ def generate_clustered_embeddings(
     )
 
 
+def generate_events(n: int, seed: int = 42, n_users: int | None = None) -> pd.DataFrame:
+    """Deterministic events table matching the driver testdata's shape
+    (TESTDATA.md): uniform five event types, ~n/67 users (testdata
+    sf0.01 has 150 users per 10k events), event times over 30 days,
+    tiny JSON props. Pure function of (n, seed) so a 10x-bigger input
+    is the SAME distribution — the scale-step bench input for the
+    events-table operators (retention/funnel/interval join)."""
+    rng = np.random.default_rng(seed)
+    n_users = n_users or max(10, n // 67)
+    types = np.array(["signup", "error", "click", "view", "purchase"])
+    ts0 = pd.Timestamp("2024-01-01")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # us precision: Spark cannot read parquet NANOS timestamps
+            "ts": (
+                ts0 + pd.to_timedelta(np.sort(rng.integers(0, 30 * 86400, n)), unit="s")
+            ).astype("datetime64[us]"),
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "event_type": types[rng.integers(0, len(types), n)],
+            "value": np.round(rng.random(n) * 100, 4),
+            "props": ['{"k": %d}' % k for k in rng.integers(0, 100, n)],
+        }
+    )
+
+
+def write_events(out_dir: str, n: int, seed: int = 42) -> None:
+    """Write events.parquet into ``out_dir`` (scale-step bench cache;
+    same layout as the driver's sf dirs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ev = generate_events(n, seed=seed)
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
+
 def write_documents_embeddings(
     out_dir: str, n_docs: int, n_vecs: int, seed: int = 42
 ) -> None:
