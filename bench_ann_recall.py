@@ -68,7 +68,12 @@ def measure(spark, emb, n: int) -> dict[str, dict]:
     paths = {
         # (df, candidate fraction of corpus scanned per query)
         "lsh_hyperplane_8bit": (
-            lsh_cosine_topk(emb, queries, k=K, n_bits=8), 1 / 256
+            lsh_cosine_topk(emb, queries, k=K, n_bits=8, extra_probes=0), 1 / 256
+        ),
+        # the tuned default (VERDICT r04 ask #8): +4 nearest-margin
+        # bit-flip probes per query
+        "lsh_hyperplane_8bit_mp4": (
+            lsh_cosine_topk(emb, queries, k=K, n_bits=8, extra_probes=4), 5 / 256
         ),
         "lsh_axis_4bit": (
             axis_lsh_cosine_topk(emb, queries, k=K, n_bits=4), 1 / 16
@@ -144,12 +149,45 @@ def main() -> None:
     emb_c = spark.read.parquet(os.path.join(d, "emb.parquet")).cache()
     clustered = measure(spark, emb_c, n_c)
 
+    # hyperplane-LSH frontier on the clustered corpus (VERDICT r04 ask
+    # #8): n_bits x multi-probe sweep so the default is a measured
+    # choice, not a guess
+    from quanta_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    sweep_queries = emb_c.filter(F.col("vec_id") % 10 == 0).limit(50)
+    truth_rows: dict[int, set[int]] = {}
+    for r in brute_force_cosine_topk(emb_c, sweep_queries, k=K).collect():
+        truth_rows.setdefault(r["query_id"], set()).add(r["vec_id"])
+    sweep: dict[str, dict] = {}
+    for n_bits in (6, 8, 10):
+        for probes in (0, 2, 4, 8):
+            got: dict[int, set[int]] = {}
+            df = lsh_cosine_topk(
+                emb_c, sweep_queries, k=K, n_bits=n_bits, extra_probes=probes
+            )
+            for r in df.collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            recalls = [
+                len(got.get(q, set()) & t) / len(t) for q, t in truth_rows.items() if t
+            ]
+            frac = (1 + min(probes, n_bits)) / (1 << n_bits)
+            rec = round(sum(recalls) / len(recalls), 4)
+            sweep[f"bits{n_bits}_mp{probes}"] = {
+                "recall_at_10": rec,
+                "approx_scan_fraction": round(frac, 5),
+                "lift_vs_random_subset": round(rec / frac, 1),
+            }
+
     ivf = clustered["ivf_auto_nprobe"]
     payload = {
         "metric": f"ANN recall@{K} vs exact brute force (cosine), {n}-vector corpus",
         "corpus": n,
         "unclustered_driver_testdata": unclustered,
         "clustered_mog": clustered,
+        "lsh_sweep_clustered": sweep,
         "ivf_clustered_bar": {
             "target": "recall_at_10 >= 0.8 at scan fraction <= 0.2",
             "met": bool(

@@ -260,6 +260,51 @@ def test_lsh_recall_vs_brute_force(spark, emb2):
     assert len(bf & ls) / len(bf) >= 0.2, f"LSH recall collapsed: {bf & ls}"
 
 
+def test_hyperplane_multiprobe_contract(spark, emb2):
+    """Multi-probe query signatures: extra_probes+1 DISTINCT buckets per
+    query, the exact (corpus-side) bucket always among them, and every
+    extra probe exactly one bit-flip away — so a (query, vec) candidate
+    pair still meets at most once and no downstream dedup is needed."""
+    from quanta_spark.operators.similarity import (
+        hyperplane_probes,
+        hyperplane_signature,
+    )
+
+    queries = emb2.filter(F.col("vec_id") % 100 == 0)
+    base = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_signature(queries, n_bits=8).collect()
+    }
+    probed: dict[int, list[int]] = {}
+    for r in hyperplane_probes(queries, n_bits=8, extra_probes=4).collect():
+        probed.setdefault(r["vec_id"], []).append(r["bucket"])
+    assert set(probed) == set(base)
+    for vid, buckets in probed.items():
+        assert len(buckets) == 5 and len(set(buckets)) == 5, (vid, buckets)
+        assert base[vid] in buckets, (vid, base[vid], buckets)
+        for b in buckets:
+            flipped = b ^ base[vid]
+            assert flipped == 0 or bin(flipped).count("1") == 1, (vid, b)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb2):
+    """Superset candidates + exact-cosine rerank => recall@k can only
+    rise with extra probes (the tuned-default justification)."""
+    queries = emb2.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 1000))
+    bf = {r["vec_id"] for r in brute_force_cosine_topk(emb2, queries, k=10).collect()}
+
+    def recall(probes: int) -> float:
+        got = {
+            r["vec_id"]
+            for r in lsh_cosine_topk(
+                emb2, queries, k=10, n_bits=8, extra_probes=probes
+            ).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    assert recall(4) >= recall(0)
+
+
 def test_hyperplane_signature_is_join_free(spark, emb2):
     """The gaussian-LSH signature pass must carry the embedding through
     the Arrow batch instead of re-attaching it with a vec_id self-join
