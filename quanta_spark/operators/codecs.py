@@ -207,16 +207,23 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """uint8 array (h, w, 3|4) -> PNG bytes. ``filter_type`` applies
-    one filter to every scanline (0..4) — exercising decode of each
-    filter family; real encoders choose per-row, which decode handles
-    identically."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (PNG
+# spec §8.2); pass k covers pixels (x0 + i*xs, y0 + j*ys).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_scanlines(pixels: np.ndarray, filter_type: int) -> np.ndarray:
+    """(h, w, c) uint8 -> (h, 1 + w*c) filtered scanlines (filter byte
+    + filtered samples), one filter applied to every row."""
     h, w, c = pixels.shape
-    assert pixels.dtype == np.uint8 and c in (3, 4)
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
-    color_type = 2 if c == 3 else 6
     raw = pixels.astype(np.int16)
     left = np.zeros_like(raw)
     left[:, 1:] = raw[:, :-1]
@@ -237,65 +244,15 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 6) -> byte
     scan = np.empty((h, 1 + w * c), dtype=np.uint8)
     scan[:, 0] = filter_type
     scan[:, 1:] = (filt & 0xFF).astype(np.uint8).reshape(h, w * c)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
-        + _png_chunk(b"IEND", b"")
-    )
+    return scan
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w, 3|4). Walks chunks with CRC
-    verification, inflates the concatenated IDAT stream, and reverses
-    all five scanline filters. Supports 8-bit color types 2 (RGB) and
-    6 (RGBA), non-interlaced — the shapes a training-data pipeline's
-    synthetic/screenshot corpora actually use; everything else raises
-    naming the unsupported feature."""
-    if data[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG file (bad signature)")
-    pos = len(_PNG_SIG)
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        if pos + 12 + length > len(data):
-            raise ValueError(f"PNG chunk {ctype!r} truncated (declared {length} bytes)")
-        body = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt_method != 0:
-        raise NotImplementedError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
-            f"(depth={depth}, color_type={color_type})"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    c = 3 if color_type == 2 else 4
-    stride = w * c
-    try:
-        inflated = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        # CRC is forgeable, so malformed-but-checksummed DEFLATE must
-        # still surface as the structured error dead-lettering keys on
-        raise ValueError(f"PNG IDAT DEFLATE stream invalid: {e}") from e
-    scan = np.frombuffer(inflated, dtype=np.uint8)
-    if scan.size != h * (1 + stride):
-        raise ValueError("PNG pixel data size mismatch")
-    scan = scan.reshape(h, 1 + stride)
+def _unfilter_scanlines(scan: np.ndarray, w: int, c: int) -> np.ndarray:
+    """(rows, 1 + w*c) raw scanlines -> (rows, w*c) reconstructed
+    samples, reversing all five PNG filters (each pass of an
+    interlaced image is unfiltered independently, exactly like a
+    stand-alone image of the pass's reduced dimensions)."""
+    h, stride = scan.shape[0], w * c
     out = np.zeros((h, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.int16)
     for y in range(h):
@@ -330,7 +287,118 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = (cur & 0xFF).astype(np.uint8)
-    return out.reshape(h, w, c)
+    return out
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 array (h, w, 3|4) -> PNG bytes. ``filter_type`` applies
+    one filter to every scanline (0..4) — exercising decode of each
+    filter family; real encoders choose per-row, which decode handles
+    identically. ``interlace=True`` emits Adam7: seven reduced passes,
+    each filtered independently, concatenated into one DEFLATE
+    stream."""
+    h, w, c = pixels.shape
+    assert pixels.dtype == np.uint8 and c in (3, 4)
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    color_type = 2 if c == 3 else 6
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = pixels[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:  # empty passes emit nothing
+                parts.append(_filter_scanlines(sub, filter_type).tobytes())
+        body = b"".join(parts)
+    else:
+        body = _filter_scanlines(pixels, filter_type).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w, 3|4). Walks chunks with CRC
+    verification, inflates the concatenated IDAT stream, and reverses
+    all five scanline filters. Supports 8-bit color types 2 (RGB) and
+    6 (RGBA), both non-interlaced and Adam7-interlaced (seven reduced
+    passes, each unfiltered independently then scattered onto the full
+    grid); everything else raises naming the unsupported feature."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"PNG chunk {ctype!r} truncated (declared {length} bytes)")
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt_method != 0:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color_type})"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    c = 3 if color_type == 2 else 4
+    stride = w * c
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # CRC is forgeable, so malformed-but-checksummed DEFLATE must
+        # still surface as the structured error dead-lettering keys on
+        raise ValueError(f"PNG IDAT DEFLATE stream invalid: {e}") from e
+    buf = np.frombuffer(inflated, dtype=np.uint8)
+    if interlace == 0:
+        if buf.size != h * (1 + stride):
+            raise ValueError("PNG pixel data size mismatch")
+        out = _unfilter_scanlines(buf.reshape(h, 1 + stride), w, c)
+        return out.reshape(h, w, c)
+    # Adam7: seven independent reduced images, concatenated in the one
+    # DEFLATE stream; empty passes (zero width or height) occupy no
+    # bytes. Unfilter each, then scatter onto the (y0+j*ys, x0+i*xs)
+    # grid.
+    img = np.zeros((h, w, c), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw == 0 or ph == 0:
+            continue
+        n = ph * (1 + pw * c)
+        if off + n > buf.size:
+            raise ValueError("PNG pixel data size mismatch (Adam7 pass truncated)")
+        pass_px = _unfilter_scanlines(
+            buf[off : off + n].reshape(ph, 1 + pw * c), pw, c
+        ).reshape(ph, pw, c)
+        img[y0::ys, x0::xs] = pass_px
+        off += n
+    if off != buf.size:
+        raise ValueError("PNG pixel data size mismatch (trailing Adam7 bytes)")
+    return img
 
 
 # ---------------------------------------------------------------------------
@@ -1151,12 +1219,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables not supported")
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG DQT precision field must be 0/1, got {pq}")
                 qt = np.zeros(64, dtype=np.int64)
-                qt[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                if pq:  # Pq=1: big-endian 16-bit entries (T.81 B.2.4.1)
+                    qt[_ZIGZAG] = np.frombuffer(body, ">u2", 64, off + 1)
+                else:
+                    qt[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
                 qtables[tq] = qt
-                off += 65
+                off += 65 + 64 * pq
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):

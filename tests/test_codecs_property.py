@@ -118,6 +118,100 @@ def test_png_compresses_and_verifies_crc():
         decode_png(bytes(corrupted))
 
 
+def test_png_adam7_roundtrip_all_filters_and_sizes():
+    """Adam7 interlace: seven independently-filtered reduced passes
+    must reconstruct bit-exactly, including dimensions where some
+    passes are empty (w or h < the pass grid) and non-multiple-of-8
+    edges."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    for h, w in ((1, 1), (2, 3), (7, 5), (8, 8), (37, 23), (16, 9)):
+        for c in (3, 4):
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            for ft in (0, 1, 4):
+                got = decode_png(encode_png(px, filter_type=ft, interlace=True))
+                assert (got == px).all(), (h, w, c, ft)
+    # interlaced and sequential encodes of the same image agree
+    px = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    assert (
+        decode_png(encode_png(px, interlace=True)) == decode_png(encode_png(px))
+    ).all()
+
+
+def test_png_adam7_truncated_pass_raises():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from quanta_spark.operators.codecs import decode_png, encode_png
+
+    px = np.full((16, 16, 3), 7, dtype=np.uint8)
+    data = bytearray(encode_png(px, interlace=True))
+    # rebuild with the last pass's bytes chopped from the DEFLATE payload
+    i = bytes(data).index(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", data, i)
+    raw = zlib.decompress(bytes(data[i + 8 : i + 8 + ln]))
+    short = zlib.compress(raw[:-10])
+    chunk = struct.pack(">I", len(short)) + b"IDAT" + short
+    chunk += struct.pack(">I", zlib.crc32(chunk[4:]) & 0xFFFFFFFF)
+    rebuilt = bytes(data[:i]) + chunk + bytes(data[i + 12 + ln :])
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(rebuilt)
+
+
+def _widen_dqt_to_16bit(blob: bytes) -> bytes:
+    """Rewrite every DQT segment of a JPEG stream to Pq=1 (big-endian
+    16-bit entries, same values) — the T.81 B.2.4.1 wide form."""
+    import struct
+
+    out = bytearray(blob[:2])  # SOI
+    pos = 2
+    while pos + 4 <= len(blob):
+        marker = blob[pos : pos + 2]
+        if marker == b"\xff\xda":  # SOS: copy the rest verbatim
+            out += blob[pos:]
+            return bytes(out)
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4 : pos + 2 + ln]
+        if marker == b"\xff\xdb":
+            new = bytearray()
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                assert pq == 0  # our encoder always writes 8-bit tables
+                new.append((1 << 4) | tq)
+                for v in body[off + 1 : off + 65]:
+                    new += struct.pack(">H", v)
+                off += 65
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new)) + new
+        else:
+            out += blob[pos : pos + 2 + ln]
+        pos += 2 + ln
+    raise AssertionError("no SOS marker found")
+
+
+def test_jpeg_16bit_quant_tables_decode_identical():
+    """A stream whose DQT is rewritten to the 16-bit form (same
+    values) must decode bit-identically to the 8-bit original."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    for name, px, kw in (
+        ("gray", _smooth(24, 17, 1)[:, :, 0], {}),
+        ("rgb420", _smooth(24, 17, 2), {"subsampling": "420"}),
+    ):
+        blob = encode_jpeg(px, quality=60, **kw)
+        wide = _widen_dqt_to_16bit(blob)
+        assert wide != blob
+        assert (decode_jpeg(wide) == decode_jpeg(blob)).all(), name
+
+
 def test_png_rejects_unsupported_shapes():
     import numpy as np
     import pytest
