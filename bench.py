@@ -83,6 +83,50 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+# Steal above this during a leg means the hypervisor neighbor took a
+# material bite out of it (measured: steal appears on this VM only
+# under OUR load — CPU overcommit — so the launch gate alone cannot
+# catch it; 2026-08-17 runs saw composite 14.4s at ~0 steal vs 39.8s
+# at 2.2 stolen cores).
+STEAL_RETRY_CORES = 0.3
+
+
+def timed_leg(fn) -> tuple[float, float, float]:
+    """Wall seconds + per-leg stolen/busy cores, so each leg in the
+    artifact carries its own contamination evidence instead of one
+    whole-run average."""
+    ncpu = os.cpu_count() or CPUS
+    j0, i0, s0 = _cpu_jiffies()
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    j1, i1, s1 = _cpu_jiffies()
+    dj = max(j1 - j0, 1)
+    steal = (s1 - s0) / dj * ncpu
+    busy = (dj - (i1 - i0) - (s1 - s0)) / dj * ncpu
+    return dt, steal, busy
+
+
+def run_leg(fn_for_attempt, retries: dict, name: str):
+    """Run a leg; if its steal exceeded STEAL_RETRY_CORES, run ONE more
+    attempt and keep the faster rep. Both attempts land in the JSON
+    (`retried_legs`) — the policy trades a bounded re-run for an
+    artifact that isn't poisoned by a single neighbor burst, and hides
+    nothing."""
+    dt, steal, busy = timed_leg(fn_for_attempt(0))
+    if steal > STEAL_RETRY_CORES:
+        retries[name] = {
+            "attempt0_sec": round(dt, 3),
+            "attempt0_steal_cores": round(steal, 2),
+        }
+        dt2, steal2, busy2 = timed_leg(fn_for_attempt(1))
+        if dt2 < dt:
+            dt, steal, busy = dt2, steal2, busy2
+        else:
+            retries[name]["kept"] = "attempt0"
+    return dt, steal, busy
+
+
 def _cpu_jiffies() -> tuple[int, int, int]:
     with open("/proc/stat") as f:
         vals = list(map(int, f.readline().split()[1:]))
@@ -199,14 +243,33 @@ def main() -> None:
         # north-star composite: join -> session windows, one query
         "stream_composite": lambda src: reply_session_stats(src, watermark="1 hour"),
     }
-    for name, op in streams.items():
-        dt, _ = timed(lambda: run_stream(spark, data_dir, op, os.path.join(work, name)))
-        times[name] = round(dt, 3)
-        tps[name] = round(n_turns / dt, 1)
+    leg_box: dict[str, dict] = {}
+    retries: dict[str, dict] = {}
 
-    dt, _ = timed(lambda: run_e2e_sink(spark, data_dir, os.path.join(work, "e2e")))
-    times["stream_e2e_sink"] = round(dt, 3)
-    tps["stream_e2e_sink"] = round(n_turns / dt, 1)
+    def record(name: str, dt: float, steal: float, busy: float, stream: bool) -> None:
+        times[name] = round(dt, 3)
+        if stream:
+            tps[name] = round(n_turns / dt, 1)
+        leg_box[name] = {"steal_cores": round(steal, 2), "busy_cores": round(busy, 1)}
+
+    for name, op in streams.items():
+        dt, steal, busy = run_leg(
+            lambda att, op=op, name=name: lambda: run_stream(
+                spark, data_dir, op, os.path.join(work, f"{name}_a{att}")
+            ),
+            retries,
+            name,
+        )
+        record(name, dt, steal, busy, stream=True)
+
+    dt, steal, busy = run_leg(
+        lambda att: lambda: run_e2e_sink(
+            spark, data_dir, os.path.join(work, f"e2e_a{att}")
+        ),
+        retries,
+        "stream_e2e_sink",
+    )
+    record("stream_e2e_sink", dt, steal, busy, stream=True)
 
     # representative batch operators on the driver's sf tables
     from quanta_spark import queries as q
@@ -227,8 +290,15 @@ def main() -> None:
         ("q28_minhash_md5_oracle", q.QUERY_FNS["q28_minhash_neardup"]),
     ]
     for name, fn in batch:
-        dt, _ = timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
-        times[name] = round(dt, 3)
+        dt, steal, busy = run_leg(
+            lambda att, fn=fn: lambda: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            retries,
+            name,
+        )
+        record(name, dt, steal, busy, stream=False)
 
     shutil.rmtree(work, ignore_errors=True)
     total = round(sum(times.values()), 3)
@@ -254,6 +324,8 @@ def main() -> None:
                     "stolen_cores_avg_during": round(
                         (s1 - s0) / (j1 - j0) * ncpu, 2
                     ),
+                    "per_leg": leg_box,
+                    "retried_legs": retries,
                 },
             }
         )
