@@ -34,11 +34,19 @@ def _duck(sql: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame, *, strict_tz: bool = False) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            if strict_tz and isinstance(s.dtype, pd.DatetimeTZDtype):
+                # mirror tests/test_oracle_parity.py: the driver gate is
+                # schema-strict, so an oracle emitting TIMESTAMPTZ must
+                # fail here too instead of being normalized away.
+                raise AssertionError(
+                    f"oracle column {c!r} is tz-aware ({s.dtype}); use "
+                    "CAST(... AS TIMESTAMP) or make_timestamp() in the oracle"
+                )
             df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):
             df[c] = np.round(s.astype("float64"), 9)
@@ -66,7 +74,7 @@ def main() -> int:
             if name not in oracles:
                 print(f"{name}: NO_ORACLE rows={len(got)} ({time.time()-t0:.1f}s)")
                 continue
-            want = _normalize(_duck(oracles[name]))
+            want = _normalize(_duck(oracles[name]), strict_tz=True)
             assert list(got.columns) == list(want.columns), (
                 f"columns {list(got.columns)} != {list(want.columns)}"
             )
