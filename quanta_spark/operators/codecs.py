@@ -402,12 +402,13 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JPEG — baseline sequential DCT (ITU-T T.81), grayscale and YCbCr
-# 4:4:4. A REAL transform codec with zero external libraries: 8x8
-# forward/inverse DCT in numpy, Annex K quantization tables with IJG
-# quality scaling, Annex K Huffman tables, byte-stuffed entropy
-# stream. Progressive (SOF2), arithmetic coding, subsampling and
-# restart markers raise naming the unsupported feature.
+# JPEG — DCT codec (ITU-T T.81), grayscale and YCbCr, with zero
+# external libraries: 8x8 forward/inverse DCT in numpy, Annex K
+# quantization tables with IJG quality scaling, Annex K Huffman
+# tables, byte-stuffed entropy stream. Covers baseline sequential
+# (SOF0) and progressive (SOF2), 4:4:4 / 4:2:0 / 4:2:2 chroma
+# subsampling in both, restart markers (baseline); arithmetic coding
+# and lossless/hierarchical SOFs raise naming the feature.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = np.array([
@@ -590,6 +591,30 @@ def _encode_block(
     return dc
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _chroma_downsample(
+    planes: list[np.ndarray], h: int, w: int, subsampling: str
+) -> list[tuple[int, int]]:
+    """Mean-downsample the chroma planes IN PLACE per ``subsampling``
+    ("444" / "420" / "422") and return per-component (H_i, V_i)
+    sampling factors. Shared by the baseline and progressive encoders
+    so both emit identical component geometry."""
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if len(planes) == 1 or subsampling == "444":
+        return [(1, 1)] * len(planes)
+    fy, fx = (2, 2) if subsampling == "420" else (1, 2)
+    for i in (1, 2):
+        p = np.pad(planes[i], ((0, h % fy), (0, w % fx)), mode="edge")
+        planes[i] = p.reshape(
+            p.shape[0] // fy, fy, p.shape[1] // fx, fx
+        ).mean(axis=(1, 3))
+    return [(fx, fy), (1, 1), (1, 1)]
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 75,
@@ -598,13 +623,12 @@ def encode_jpeg(
 ) -> bytes:
     """uint8 array (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF
     JPEG bytes (Annex K quant + Huffman tables, IJG quality scaling).
-    ``subsampling``: "444" (default) or "420" (2x2-mean chroma, luma
-    sampling factor 2x2 — the most common real-world variant).
+    ``subsampling``: "444" (default), "420" (2x2-mean chroma, luma
+    sampling factor 2x2 — the most common real-world variant) or
+    "422" (chroma halved horizontally).
     ``restart_interval``: MCUs between RSTn markers (0 = none) — the
     error-resilience feature most camera encoders emit. Lossy by
     design; decode_jpeg reverses it."""
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"restart_interval {restart_interval} out of range")
     gray = pixels.ndim == 2
@@ -628,18 +652,9 @@ def encode_jpeg(
         dc_tabs.append(_huff_canonical(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
         ac_tabs.append(_huff_canonical(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
 
-    # per-component sampling factors; 4:2:0 = luma 2x2, chroma 1x1 with
-    # the chroma planes 2x2-mean downsampled first
-    if not gray and subsampling == "420":
-        samp = [(2, 2), (1, 1), (1, 1)]
-        for i in (1, 2):
-            p = planes[i]
-            p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-            planes[i] = (
-                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
-            )
-    else:
-        samp = [(1, 1)] * len(planes)
+    # per-component sampling factors; 4:2:0 = luma 2x2 / 4:2:2 =
+    # luma 2x1, chroma 1x1 with the chroma planes mean-downsampled
+    samp = _chroma_downsample(planes, h, w, subsampling)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -779,78 +794,88 @@ def _encode_ac_refine_scan(
     blocks: np.ndarray, ac_tab: dict, bw: _BitWriter, al: int
 ) -> None:
     """Progressive AC refinement scan (Ah=al+1, Al=al) over all blocks
-    of one component (T.81 G.1.2.3, the jcphuff.c shape): newly-nonzero
-    coefficients appear as run-coded +-1 symbols; already-nonzero ones
-    contribute one buffered correction bit each, order-preserved across
-    symbol boundaries; EOB runs span blocks."""
+    of one component (T.81 G.1.2.3): newly-nonzero coefficients appear
+    as run-coded +-1 symbols; already-nonzero ones contribute one
+    correction bit each, emitted with the SYMBOL WHOSE RUN COVERS
+    THEIR POSITION — a ZRL covers exactly the span up to its 16th
+    zero-history coefficient, so corrections beyond that span ride the
+    NEXT symbol (the decoder's G.7 walk reads them there; flushing
+    them all at the first ZRL desyncs the stream — found by
+    round-trip fuzzing at odd block counts); EOB runs span blocks and
+    carry the run's trailing corrections."""
     eobrun = 0
-    buf: list[int] = []  # correction bits; first `be` belong to the EOB run
-    be = 0
+    buf: list[int] = []  # corrections riding the pending EOB run
 
     def flush_eob() -> None:
-        nonlocal eobrun, be
+        nonlocal eobrun
         if eobrun:
             r = eobrun.bit_length() - 1
             code, ln = ac_tab[r << 4]
             bw.write(code, ln)
             bw.write(eobrun - (1 << r), r)
             eobrun = 0
-        for b in buf[:be]:
-            bw.write(b, 1)
-        del buf[:be]
-        be = 0
-
-    def emit_rest() -> None:
-        nonlocal be
         for b in buf:
             bw.write(b, 1)
         buf.clear()
-        be = 0
 
     nb_y, nb_x = blocks.shape[:2]
     for yy in range(nb_y):
         for xx in range(nb_x):
             coef = blocks[yy, xx]
             absv = [abs(int(coef[k])) >> al for k in range(64)]
+            newly = [k for k in range(1, 64) if absv[k] == 1]
+            pend: list[int] = []  # corrections since the last covered span
             r = 0
-            for k in range(1, 64):
-                t = absv[k]
-                if t == 0:
-                    r += 1
-                    continue
-                if t > 1:  # already nonzero at coarser precision
-                    buf.append(t & 1)
-                    continue
-                # newly nonzero (+-1 at this bit position)
-                while r > 15:
-                    flush_eob()
-                    code, ln = ac_tab[0xF0]
-                    bw.write(code, ln)
-                    r -= 16
-                    emit_rest()
+            k = 1
+            for kn in newly:
+                while k < kn:
+                    if absv[k] == 0:
+                        r += 1
+                        if r == 16:
+                            # span complete at this 16th zero: EOB run
+                            # first, then ZRL + this span's corrections
+                            flush_eob()
+                            code, ln = ac_tab[0xF0]
+                            bw.write(code, ln)
+                            for b in pend:
+                                bw.write(b, 1)
+                            pend.clear()
+                            r = 0
+                    else:  # already nonzero at coarser precision
+                        pend.append(absv[k] & 1)
+                    k += 1
                 flush_eob()
                 code, ln = ac_tab[(r << 4) | 1]
                 bw.write(code, ln)
-                bw.write(1 if int(coef[k]) >= 0 else 0, 1)
-                emit_rest()
+                bw.write(1 if int(coef[kn]) >= 0 else 0, 1)
+                for b in pend:
+                    bw.write(b, 1)
+                pend.clear()
                 r = 0
-            if r > 0 or len(buf) > be:
+                k = kn + 1
+            if k <= 63:  # trailing band: corrections ride the EOB run
+                buf.extend(absv[j] & 1 for j in range(k, 64) if absv[j] > 1)
                 eobrun += 1
-                be = len(buf)
                 if eobrun == 0x7FFF:
                     flush_eob()
     flush_eob()
 
 
-def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
     """uint8 array (h, w) grayscale or (h, w, 3) RGB -> PROGRESSIVE
-    JFIF JPEG bytes (SOF2, 4:4:4). Scan script: interleaved DC first
-    scan at successive-approximation bit 1, DC refinement scan, then
-    one spectral-selection AC scan (Ss=1..Se=63) per component — it
-    exercises the Al>0 DC path, the refinement path and EOB-run
-    coding; decode_jpeg reverses it. Same Annex K tables and IJG
-    quality scaling as the baseline encoder, so quality contracts
-    carry over."""
+    JFIF JPEG bytes (SOF2; 4:4:4 / 4:2:0 / 4:2:2). Scan script:
+    interleaved DC first scan at successive-approximation bit 1, DC
+    refinement scan, then one spectral-selection AC scan
+    (Ss=1..Se=63) per component — it exercises the Al>0 DC path, the
+    refinement path and EOB-run coding; decode_jpeg reverses it. Same
+    Annex K tables, IJG quality scaling and chroma geometry as the
+    baseline encoder, so quality contracts carry over. DC scans are
+    MCU-interleaved over the padded H_i x V_i grids; AC scans are
+    non-interleaved over each component's OWN block grid
+    (ceil(ceil(dim * f_i / f_max) / 8), T.81 A.2.2), so interleaved
+    padding blocks carry DC only — exactly what libjpeg emits."""
     gray = pixels.ndim == 2
     assert pixels.dtype == np.uint8 and (gray or pixels.shape[2] == 3)
     h, w = pixels.shape[:2]
@@ -864,24 +889,38 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     nc = len(planes)
+    samp = _chroma_downsample(planes, h, w, subsampling)
     qts = [_jpeg_scaled_qt(_JPEG_QT_LUMA, quality)]
     dc_tabs = [_huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     if not gray:
         qts.append(_jpeg_scaled_qt(_JPEG_QT_CHROMA, quality))
         dc_tabs.append(_huff_canonical(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
-    by, bx = -(-h // 8), -(-w // 8)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component grids: interleaved (MCU-padded, for DC scans) and
+    # non-interleaved (the component's own data extent, for AC scans)
+    gby = [mcuy * v for _, v in samp]
+    gbx = [mcux * hh for hh, _ in samp]
+    nby = [_ceil_div(_ceil_div(h * v, vmax), 8) for _, v in samp]
+    nbx = [_ceil_div(_ceil_div(w * hh, hmax), 8) for hh, _ in samp]
     padded = [
-        np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") for p in planes
+        np.pad(
+            p,
+            ((0, gby[i] * 8 - p.shape[0]), (0, gbx[i] * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for i, p in enumerate(planes)
     ]
     # quantized zigzag coefficients per component/block
-    coefs = np.zeros((nc, by, bx, 64), dtype=np.int64)
+    coefs = [np.zeros((gby[ci], gbx[ci], 64), dtype=np.int64) for ci in range(nc)]
     for ci, plane in enumerate(padded):
         qi = min(ci, 1)
-        for yy in range(by):
-            for xx in range(bx):
+        for yy in range(gby[ci]):
+            for xx in range(gbx[ci]):
                 block = plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] - 128.0
                 coef = _DCT_M @ block @ _DCT_M.T
-                coefs[ci, yy, xx] = np.rint(
+                coefs[ci][yy, xx] = np.rint(
                     coef.reshape(64)[_ZIGZAG] / qts[qi][_ZIGZAG]
                 ).astype(np.int64)
 
@@ -907,7 +946,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
         out += seg(0xFFDB, b"\x01" + bytes(qts[1][_ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+        sof += bytes([ci + 1, samp[ci][0] << 4 | samp[ci][1], min(ci, 1)])
     out += seg(0xFFC2, sof)  # SOF2: progressive DCT
     out += seg(0xFFC4, dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
     out += seg(0xFFC4, dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS))
@@ -915,26 +954,33 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
         out += seg(0xFFC4, dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
     ac_prog = _huff_canonical(_AC_PROG_BITS, _AC_PROG_VALS)
 
+    def mcu_blocks():
+        """Yield (ci, yy, xx) in T.81 interleaved order: MCU raster,
+        components in scan order, V_i x H_i blocks row-major per MCU."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    hh, v = samp[ci]
+                    for iby in range(v):
+                        for ibx in range(hh):
+                            yield ci, my * v + iby, mx * hh + ibx
+
     # scan 1: DC first, successive approximation Al=1 (diffs of DC>>1)
     bw = _BitWriter()
     prev = [0] * nc
-    for yy in range(by):
-        for xx in range(bx):
-            for ci in range(nc):
-                dc = int(coefs[ci, yy, xx, 0]) >> 1  # arithmetic shift
-                size, bits = _jpeg_magnitude(dc - prev[ci])
-                code, ln = dc_tabs[min(ci, 1)][size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                prev[ci] = dc
+    for ci, yy, xx in mcu_blocks():
+        dc = int(coefs[ci][yy, xx, 0]) >> 1  # arithmetic shift
+        size, bits = _jpeg_magnitude(dc - prev[ci])
+        code, ln = dc_tabs[min(ci, 1)][size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        prev[ci] = dc
     out += sos(list(range(nc)), 0, 0, 0, 1) + bw.flush()
 
     # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block
     bw = _BitWriter()
-    for yy in range(by):
-        for xx in range(bx):
-            for ci in range(nc):
-                bw.write(int(coefs[ci, yy, xx, 0]) & 1, 1)
+    for ci, yy, xx in mcu_blocks():
+        bw.write(int(coefs[ci][yy, xx, 0]) & 1, 1)
     out += sos(list(range(nc)), 0, 0, 1, 0) + bw.flush()
 
     # scans 3..: per component, a full-band AC first scan at bit 1 then
@@ -944,14 +990,14 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
     for ci in range(nc):
         bw = _BitWriter()
         eobrun = 0
-        for yy in range(by):
-            for xx in range(bx):
-                eobrun = _encode_ac_prog(coefs[ci, yy, xx], ac_prog, bw, eobrun, al=1)
+        for yy in range(nby[ci]):
+            for xx in range(nbx[ci]):
+                eobrun = _encode_ac_prog(coefs[ci][yy, xx], ac_prog, bw, eobrun, al=1)
         _flush_eobrun(ac_prog, bw, eobrun)
         out += sos([ci], 1, 63, 0, 1) + bw.flush()
     for ci in range(nc):
         bw = _BitWriter()
-        _encode_ac_refine_scan(coefs[ci], ac_prog, bw, al=0)
+        _encode_ac_refine_scan(coefs[ci][: nby[ci], : nbx[ci]], ac_prog, bw, al=0)
         out += sos([ci], 1, 63, 1, 0) + bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1032,6 +1078,31 @@ def _next_marker(data: bytes, pos: int) -> int:
         else:
             pos += 1
     raise ValueError("JPEG stream ended without EOI")
+
+
+def _upsample_triangle(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Upsample a subsampled chroma plane to full resolution with the
+    triangle filter (libjpeg's "fancy upsampling": 3:1 taps, centers-
+    aligned — nearest-neighbor costs ~7 dB chroma PSNR on smooth
+    gradients). Constant planes are exact fixed points ((3c+c)/4 = c),
+    preserving the solid-gray oracle invariant."""
+    for axis, f in ((0, fy), (1, fx)):
+        if f == 1:
+            continue
+        n = p.shape[axis]
+        idx = np.arange(n)
+        pm = np.take(p, np.maximum(idx - 1, 0), axis=axis)
+        pp = np.take(p, np.minimum(idx + 1, n - 1), axis=axis)
+        sh = list(p.shape)
+        sh[axis] *= 2
+        out = np.empty(sh, dtype=p.dtype)
+        sl = [slice(None)] * p.ndim
+        sl[axis] = slice(0, None, 2)
+        out[tuple(sl)] = (3.0 * p + pm) / 4.0
+        sl[axis] = slice(1, None, 2)
+        out[tuple(sl)] = (3.0 * p + pp) / 4.0
+        p = out
+    return p
 
 
 def _prog_ac_first(br: "_BitReader", c: np.ndarray, ss: int, se: int, al: int,
@@ -1118,11 +1189,22 @@ def _decode_progressive(
     w: int,
 ) -> list[np.ndarray]:
     """Progressive (SOF2) coefficient accumulation over all scans, then
-    one dequantize+IDCT pass. 4:4:4 only (enforced at SOF parse), so
-    every component shares the full-image block grid."""
+    one dequantize+IDCT pass per component. Subsampled components
+    (H_i, V_i < max) live on their own block grids: DC scans with
+    Ns>1 walk the MCU-interleaved padded grid (T.81 A.2.3), AC scans
+    and Ns=1 DC scans walk the component's non-interleaved data
+    extent (A.2.2); chroma is triangle-upsampled after IDCT exactly
+    like the baseline path."""
     nc = len(comps)
-    by, bx = -(-h // 8), -(-w // 8)
-    coefs = np.zeros((nc, by, bx, 64), dtype=np.int64)
+    hs = [s >> 4 for _, s, _q in comps]
+    vs = [s & 0xF for _, s, _q in comps]
+    hmax, vmax = max(hs), max(vs)
+    mcux, mcuy = _ceil_div(w, 8 * hmax), _ceil_div(h, 8 * vmax)
+    gby = [mcuy * v for v in vs]  # interleaved (MCU-padded) grid
+    gbx = [mcux * hh for hh in hs]
+    nby = [_ceil_div(_ceil_div(h * v, vmax), 8) for v in vs]  # own extent
+    nbx = [_ceil_div(_ceil_div(w * hh, hmax), 8) for hh in hs]
+    coefs = [np.zeros((gby[ci], gbx[ci], 64), dtype=np.int64) for ci in range(nc)]
     for sel, ss, se, ah, al, start, dc_snap, ac_snap in scans:
         br = _BitReader(data, start)
         eobrun = 0
@@ -1136,19 +1218,35 @@ def _decode_progressive(
                         raise ValueError(
                             f"progressive scan references undefined DC table {td}"
                         )
-            for yy in range(by):
-                for xx in range(bx):
-                    for ci, td, _ta in sel:
-                        c = coefs[ci, yy, xx]
-                        if ah == 0:
-                            size = br.read_huff(dc_snap[td])
-                            if size > 15:
-                                raise ValueError(f"invalid JPEG DC category {size}")
-                            diff = _extend(br.read(size), size) if size else 0
-                            prev_dc[ci] += diff
-                            c[0] = prev_dc[ci] * (1 << al)
-                        elif br.read(1):
-                            c[0] |= 1 << al
+
+            def dc_block(ci: int, td: int, yy: int, xx: int) -> None:
+                c = coefs[ci][yy, xx]
+                if ah == 0:
+                    size = br.read_huff(dc_snap[td])
+                    if size > 15:
+                        raise ValueError(f"invalid JPEG DC category {size}")
+                    diff = _extend(br.read(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    c[0] = prev_dc[ci] * (1 << al)
+                elif br.read(1):
+                    c[0] |= 1 << al
+
+            if len(sel) == 1:  # Ns=1 => non-interleaved (T.81 A.2.2)
+                ci, td, _ta = sel[0]
+                for yy in range(nby[ci]):
+                    for xx in range(nbx[ci]):
+                        dc_block(ci, td, yy, xx)
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci, td, _ta in sel:
+                            for iby in range(vs[ci]):
+                                for ibx in range(hs[ci]):
+                                    dc_block(
+                                        ci, td,
+                                        my * vs[ci] + iby,
+                                        mx * hs[ci] + ibx,
+                                    )
         else:
             if len(sel) != 1:
                 raise ValueError("progressive AC scan must be non-interleaved")
@@ -1158,9 +1256,9 @@ def _decode_progressive(
                     f"progressive scan references undefined AC table {ta}"
                 )
             fn = _prog_ac_first if ah == 0 else _prog_ac_refine
-            for yy in range(by):
-                for xx in range(bx):
-                    eobrun = fn(br, coefs[ci, yy, xx], ss, se, al,
+            for yy in range(nby[ci]):
+                for xx in range(nbx[ci]):
+                    eobrun = fn(br, coefs[ci][yy, xx], ss, se, al,
                                 ac_snap[ta], eobrun)
     planes = []
     for ci in range(nc):
@@ -1169,12 +1267,16 @@ def _decode_progressive(
                 f"JPEG component references undefined quant table {comps[ci][2]}"
             )
         qt = qtables[comps[ci][2]]
+        by, bx = gby[ci], gbx[ci]
         deq = np.zeros((by, bx, 64), dtype=np.float64)
         deq[:, :, _ZIGZAG] = coefs[ci] * qt[_ZIGZAG]
         blocks = np.einsum(
             "ij,yxjk,kl->yxil", _DCT_M.T, deq.reshape(by, bx, 8, 8), _DCT_M
         ) + 128.0
-        planes.append(blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)[:h, :w])
+        plane = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        planes.append(
+            _upsample_triangle(plane, vmax // vs[ci], hmax // hs[ci])[:h, :w]
+        )
     return planes
 
 
@@ -1183,9 +1285,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (h, w, 3) RGB for 3-component YCbCr. Supports baseline sequential
     DCT (SOF0) with sampling factors 1-2 (4:4:4 / 4:2:0 / 4:2:2 /
     4:4:0, triangle chroma upsampling) and restart intervals
-    (DRI/RSTn), plus progressive DCT (SOF2, 4:4:4: successive
-    approximation + spectral selection + EOB runs); arithmetic coding
-    and lossless/hierarchical SOFs raise naming the feature."""
+    (DRI/RSTn), plus progressive DCT (SOF2: successive approximation
+    + spectral selection + EOB runs, same subsampling range);
+    arithmetic coding and lossless/hierarchical SOFs raise naming the
+    feature."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
@@ -1251,10 +1354,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]) for i in range(nc)
             ]
             progressive = marker == 0xFFC2
-            if progressive and any(s != 0x11 for _, s, _q in comps):
-                raise NotImplementedError(
-                    "progressive JPEG with chroma subsampling not supported"
-                )
             if any(
                 (s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
                 for _, s, _q in comps
@@ -1398,32 +1497,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         planes[ci][ry : ry + 8, rx : rx + 8] = decode_block(
                             dc_tab, ac_tab, qt, ci
                         )
-    # upsample subsampled planes to full resolution with the triangle
-    # filter (libjpeg's "fancy upsampling": 3:1 taps, centers-aligned —
-    # nearest-neighbor costs ~7 dB chroma PSNR on smooth gradients),
-    # then crop the MCU padding. Constant planes are exact fixed points
-    # ((3c+c)/4 = c), preserving the solid-gray oracle invariant.
-    def up(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
-        for axis, f in ((0, fy), (1, fx)):
-            if f == 1:
-                continue
-            n = p.shape[axis]
-            idx = np.arange(n)
-            pm = np.take(p, np.maximum(idx - 1, 0), axis=axis)
-            pp = np.take(p, np.minimum(idx + 1, n - 1), axis=axis)
-            sh = list(p.shape)
-            sh[axis] *= 2
-            out = np.empty(sh, dtype=p.dtype)
-            sl = [slice(None)] * p.ndim
-            sl[axis] = slice(0, None, 2)
-            out[tuple(sl)] = (3.0 * p + pm) / 4.0
-            sl[axis] = slice(1, None, 2)
-            out[tuple(sl)] = (3.0 * p + pp) / 4.0
-            p = out
-        return p
-
     planes = [
-        up(p, vmax // vs[i], hmax // hs[i])[:h, :w] for i, p in enumerate(planes)
+        _upsample_triangle(p, vmax // vs[i], hmax // hs[i])[:h, :w]
+        for i, p in enumerate(planes)
     ]
     if nc == 1:
         return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)

@@ -258,15 +258,19 @@ def solid_media_from_documents(docs: DataFrame) -> DataFrame:
                     if d % 8 == 0:
                         payload = encode_png(px, filter_type=(d // 4) % 5)
                     elif d % 8 == 4:
-                        # rotate 4:4:4 / 4:2:0 / progressive — solid
-                        # gray decodes EXACTLY under all three (constant
-                        # chroma is a fixed point of 2x2 mean + triangle
-                        # upsample; SA scans reassemble the exact DC),
-                        # so the same oracle covers every variant
+                        # rotate 4:4:4 / 4:2:0 / progressive-4:2:0 —
+                        # solid gray decodes EXACTLY under all three
+                        # (constant chroma is a fixed point of 2x2 mean
+                        # + triangle upsample; SA scans reassemble the
+                        # exact DC), so the same oracle covers every
+                        # variant, including the interleaved-DC MCU
+                        # geometry of subsampled progressive
                         if d % 16 == 12:
                             payload = encode_jpeg(px, quality=75, subsampling="420")
                         elif d % 32 == 20:
-                            payload = encode_jpeg_progressive(px, quality=75)
+                            payload = encode_jpeg_progressive(
+                                px, quality=75, subsampling="420"
+                            )
                         else:
                             payload = encode_jpeg(px, quality=75)
                     else:

@@ -623,14 +623,16 @@ def test_jpeg_420_is_smaller_than_444():
     h=st.integers(8, 40),
     w=st.integers(8, 40),
     q=st.sampled_from([20, 50, 75, 90]),
+    sub=st.sampled_from(["444", "420", "422"]),
     seed=st.integers(0, 30),
 )
-@settings(max_examples=15, deadline=None)
-def test_jpeg_progressive_matches_baseline_bit_exact(h, w, q, seed):
+@settings(max_examples=18, deadline=None)
+def test_jpeg_progressive_matches_baseline_bit_exact(h, w, q, sub, seed):
     """Progressive (SOF2: DC successive approximation + refinement, AC
     spectral selection at bit 1 + AC refinement, cross-block EOB runs)
     encodes the SAME quantized coefficients as baseline — so decode
-    must match the baseline decode bit-for-bit."""
+    must match the baseline decode bit-for-bit, at every supported
+    chroma subsampling (interleaved-DC MCU geometry included)."""
     from quanta_spark.operators.codecs import (
         decode_jpeg,
         encode_jpeg,
@@ -638,8 +640,8 @@ def test_jpeg_progressive_matches_baseline_bit_exact(h, w, q, seed):
     )
 
     img = _smooth(h, w, seed)
-    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
-    base = decode_jpeg(encode_jpeg(img, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, subsampling=sub))
+    base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
     assert (prog == base).all()
 
 
@@ -673,18 +675,54 @@ def test_jpeg_progressive_noise_gray_solid_and_structure():
     assert _jpeg_end(blob, 0) == len(blob)
 
 
-def test_jpeg_progressive_rejects_subsampling():
-    import struct
+def test_jpeg_progressive_subsampled_noise_and_solid():
+    """Progressive + chroma subsampling: noise content (dense AC
+    symbols and correction bits) at odd dimensions must stay
+    bit-identical to the baseline decode for 4:2:0 and 4:2:2, and
+    solid gray stays exact at q75 (the oracle invariant)."""
+    import numpy as np
 
-    import pytest
+    from quanta_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
-    from quanta_spark.operators.codecs import decode_jpeg, encode_jpeg_progressive
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(23, 37, 3), dtype=np.uint8)
+    for sub in ("420", "422"):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(noise, quality=70, subsampling=sub))
+            == decode_jpeg(encode_jpeg(noise, quality=70, subsampling=sub))
+        ).all()
+        solid = np.full((17, 29, 3), 128, dtype=np.uint8)
+        blob = encode_jpeg_progressive(solid, quality=75, subsampling=sub)
+        assert (decode_jpeg(blob) == 128).all()
 
-    blob = bytearray(encode_jpeg_progressive(_smooth(16, 16, 1), quality=75))
-    i = bytes(blob).index(b"\xff\xc2")
-    blob[i + 11] = 0x22  # luma sampling 2x2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(blob))
+
+def test_jpeg_ac_refine_zrl_correction_span_regression():
+    """Regression: the AC refinement encoder must group correction
+    bits by the span each symbol covers — a ZRL covers only up to its
+    16th zero-history coefficient, so corrections located beyond that
+    span belong to the NEXT symbol. The old encoder flushed the whole
+    correction buffer at the first ZRL, desyncing the decoder's G.7
+    walk (found by round-trip fuzzing: gray noise at 9x13 blocks with
+    >16-zero runs straddling already-nonzero coefficients)."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=80))
+        base = decode_jpeg(encode_jpeg(img, quality=80))
+        assert (prog == base).all(), (h, w, trial)
 
 
 @given(
