@@ -144,6 +144,11 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 8, dim: int = 64, seed: in
             "hyperplane_signature appends a 'bucket' column but the input "
             "already has one — rename or drop it first"
         )
+    if not 1 <= n_bits <= 62:
+        raise ValueError(
+            f"n_bits={n_bits} out of range 1..62 (bucket ids are int64; "
+            "63+ bit positions would silently overflow)"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     sc = df.sparkSession.sparkContext
@@ -185,6 +190,13 @@ def hyperplane_probes(
 
     if "bucket" in df.columns:
         raise ValueError("hyperplane_probes appends 'bucket'; drop the existing one")
+    if not 1 <= n_bits <= 62:
+        raise ValueError(
+            f"n_bits={n_bits} out of range 1..62 (bucket ids are int64; "
+            "63+ bit positions would silently overflow)"
+        )
+    if extra_probes < 0:
+        raise ValueError(f"extra_probes={extra_probes} must be >= 0")
     p = min(extra_probes, n_bits)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))

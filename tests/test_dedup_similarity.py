@@ -287,6 +287,26 @@ def test_hyperplane_multiprobe_contract(spark, emb2):
             assert flipped == 0 or bin(flipped).count("1") == 1, (vid, b)
 
 
+def test_hyperplane_param_guards(spark, emb2):
+    """n_bits beyond 62 would shift past int64 bucket ids and silently
+    alias buckets; both entry points must reject it loudly, as must a
+    negative probe count."""
+    import pytest
+
+    from quanta_spark.operators.similarity import (
+        hyperplane_probes,
+        hyperplane_signature,
+    )
+
+    for bad in (0, 63):
+        with pytest.raises(ValueError, match="n_bits"):
+            hyperplane_signature(emb2, n_bits=bad)
+        with pytest.raises(ValueError, match="n_bits"):
+            hyperplane_probes(emb2, n_bits=bad)
+    with pytest.raises(ValueError, match="extra_probes"):
+        hyperplane_probes(emb2, n_bits=8, extra_probes=-1)
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, emb2):
     """Superset candidates + exact-cosine rerank => recall@k can only
     rise with extra probes (the tuned-default justification)."""
