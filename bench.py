@@ -120,7 +120,10 @@ def run_leg(fn_for_attempt, retries: dict, name: str):
             "attempt0_steal_cores": round(steal, 2),
         }
         dt2, steal2, busy2 = timed_leg(fn_for_attempt(1))
+        retries[name]["attempt1_sec"] = round(dt2, 3)
+        retries[name]["attempt1_steal_cores"] = round(steal2, 2)
         if dt2 < dt:
+            retries[name]["kept"] = "attempt1"
             dt, steal, busy = dt2, steal2, busy2
         else:
             retries[name]["kept"] = "attempt0"

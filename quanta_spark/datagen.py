@@ -330,7 +330,10 @@ def generate_events(n: int, seed: int = 42, n_users: int | None = None) -> pd.Da
     is the SAME distribution — the scale-step bench input for the
     events-table operators (retention/funnel/interval join)."""
     rng = np.random.default_rng(seed)
-    n_users = n_users or max(10, n // 67)
+    if n_users is None:
+        n_users = max(10, n // 67)
+    if n_users <= 0:
+        raise ValueError(f"n_users={n_users} must be positive")
     types = np.array(["signup", "error", "click", "view", "purchase"])
     ts0 = pd.Timestamp("2024-01-01")
     return pd.DataFrame(

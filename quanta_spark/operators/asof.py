@@ -87,22 +87,26 @@ def interval_join(
     duration (typical fan-out ~2 buckets/interval), floored so the
     LONGEST interval explodes to at most MAX_INTERVAL_FANOUT rows —
     a degenerate mix (week-long tails under minute-scale medians)
-    cannot melt an executor. An explicit ``bucket`` is validated
-    against the same cap and rejected loudly instead of silently
-    exploding.
+    cannot melt an executor. Auto therefore needs a BATCH intervals
+    side (the derivation is an eager aggregate); with an explicit
+    ``bucket`` the plan stays fully lazy (streaming intervals work)
+    and the cap is enforced EXACTLY, per interval, inside the explode
+    expression — an interval spanning more than MAX_INTERVAL_FANOUT
+    buckets fails the job loudly instead of silently melting an
+    executor.
 
     Inclusive on both ends (ts BETWEEN start AND end). Returns
     points x matching-interval rows with all columns of both sides."""
-    dur_s = F.unix_timestamp(F.col(end_col).cast("timestamp")) - F.unix_timestamp(
-        F.col(start_col).cast("timestamp")
-    )
-    stats = intervals.agg(
-        F.percentile_approx(dur_s, 0.5).alias("med_s"),
-        F.max(dur_s).alias("max_s"),
-    ).collect()[0]
-    med_s = int(stats["med_s"] or 0)
-    max_s = int(stats["max_s"] or 0)
     if bucket == "auto":
+        dur_s = F.unix_timestamp(
+            F.col(end_col).cast("timestamp")
+        ) - F.unix_timestamp(F.col(start_col).cast("timestamp"))
+        stats = intervals.agg(
+            F.percentile_approx(dur_s, 0.5).alias("med_s"),
+            F.max(dur_s).alias("max_s"),
+        ).collect()[0]
+        med_s = int(stats["med_s"] or 0)
+        max_s = int(stats["max_s"] or 0)
         # median => typical interval spans ~2 buckets; floor so the
         # longest interval stays under the fan-out cap; never below 1s
         w = max(med_s, -(-max_s // (MAX_INTERVAL_FANOUT - 1)), 1)
@@ -115,22 +119,24 @@ def interval_join(
             "day": 86400, "days": 86400,
         }[unit]
         w = int(n) * mult
-        worst = max_s // w + 1
-        if worst > MAX_INTERVAL_FANOUT:
-            raise ValueError(
-                f"interval_join bucket={bucket!r} explodes the longest "
-                f"interval ({max_s}s) to {worst} rows > "
-                f"MAX_INTERVAL_FANOUT={MAX_INTERVAL_FANOUT}; pass a wider "
-                "bucket or bucket='auto'"
-            )
     p = points.withColumn(
         "_b", F.floor(F.unix_timestamp(F.col(point_ts).cast("timestamp")) / w)
     )
     s = F.floor(F.unix_timestamp(F.col(start_col).cast("timestamp")) / w)
     e = F.floor(F.unix_timestamp(F.col(end_col).cast("timestamp")) / w)
-    iv = intervals.withColumn(
-        "_b", F.explode(F.sequence(s, e))
-    )
+    span = e - s + F.lit(1)
+    buckets = F.when(
+        span > MAX_INTERVAL_FANOUT,
+        F.raise_error(
+            F.format_string(
+                "interval_join: interval spans %s buckets > "
+                f"MAX_INTERVAL_FANOUT={MAX_INTERVAL_FANOUT} at "
+                f"bucket width {w}s; pass a wider bucket",
+                span,
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(s, e))
+    iv = intervals.withColumn("_b", F.explode(buckets))
     joined = p.join(iv, "_b").filter(
         (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) <= F.col(end_col))

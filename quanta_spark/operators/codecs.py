@@ -15,7 +15,7 @@ directly:
   the stdlib zlib (no external codec library), full chunk walk, CRC
   verification, and all five scanline filters (None/Sub/Up/Average/
   Paeth) for 8-bit truecolor (RGB) and truecolor+alpha (RGBA),
-  non-interlaced.
+  both non-interlaced and Adam7-interlaced.
 - JPEG (ITU-T T.81 baseline sequential DCT): a REAL transform codec
   implemented from the spec in numpy — 8x8 forward/inverse DCT,
   Annex K quantization tables with IJG quality scaling, Annex K
@@ -358,7 +358,7 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     if depth != 8 or color_type not in (2, 6) or comp != 0 or filt_method != 0:
         raise NotImplementedError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"only 8-bit RGB/RGBA PNG supported "
             f"(depth={depth}, color_type={color_type})"
         )
     if interlace not in (0, 1):

@@ -249,8 +249,10 @@ def _cosine_bp(a: str, b: str):
 def _bucketed_topk(c_sig: DataFrame, q_sig: DataFrame, k: int) -> DataFrame:
     """Shared tail of every LSH path: bucket equi-join (the 10^12-row
     shape — candidates shrink by ~2^bits vs all-pairs), exact cosine
-    on candidates, per-query top-k."""
-    _enforce_query_budget(q_sig)
+    on candidates, per-query top-k. Callers enforce the query budget
+    on the RAW query set before any multi-probe expansion — counting
+    the expanded q_sig would shrink the documented ceiling by
+    (extra_probes + 1)x."""
     paired = c_sig.join(F.broadcast(q_sig), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -279,6 +281,7 @@ def lsh_cosine_topk(
     ``dim`` is the embedding dimensionality — carried explicitly
     (schema metadata, dataset contract) rather than sniffed from a
     driver-side first() action."""
+    _enforce_query_budget(queries)
     c_sig = hyperplane_signature(corpus, n_bits=n_bits, dim=dim).select(
         F.col("vec_id"), F.col("bucket"), F.col("embedding")
     )
@@ -740,6 +743,7 @@ def axis_lsh_cosine_topk(
     Same bucket-equi-join plan as lsh_cosine_topk — only the signature
     expression differs (pure Column math, whole-stage codegen, no
     Python)."""
+    _enforce_query_budget(queries)
     bucket = axis_bucket_expr(n_bits=n_bits, stride=stride)
     c_sig = corpus.select("vec_id", bucket.alias("bucket"), "embedding")
     q_sig = queries.select(

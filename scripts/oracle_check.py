@@ -15,8 +15,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-import duckdb
-import numpy as np
 import pandas as pd
 
 import __spark_entry__ as entrymod
@@ -25,38 +23,11 @@ from quanta_spark.session import get_spark
 SF_DIR = os.environ.get("QS_ORACLE_SF", "/root/testdata/sf0.01")
 
 
+from oracle_compare import duck_frame, normalize as _normalize
+
+
 def _duck(sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in entrymod.q.TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con.execute(sql).df()
-
-
-def _normalize(df: pd.DataFrame, *, strict_tz: bool = False) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            if strict_tz and isinstance(s.dtype, pd.DatetimeTZDtype):
-                # mirror tests/test_oracle_parity.py: the driver gate is
-                # schema-strict, so an oracle emitting TIMESTAMPTZ must
-                # fail here too instead of being normalized away.
-                raise AssertionError(
-                    f"oracle column {c!r} is tz-aware ({s.dtype}); use "
-                    "CAST(... AS TIMESTAMP) or make_timestamp() in the oracle"
-                )
-            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = np.round(s.astype("float64"), 9)
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-        elif pd.api.types.is_bool_dtype(s):
-            df[c] = s.astype(bool)
-        else:
-            df[c] = s.astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return duck_frame(sql, SF_DIR)
 
 
 def main() -> int:

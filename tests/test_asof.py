@@ -68,6 +68,49 @@ def test_interval_join_auto_bucket_caps_fanout(spark):
 
 
 def test_interval_join_rejects_degenerate_explicit_bucket(spark):
+    """The cap on explicit buckets is enforced INSIDE the plan (exact,
+    per interval) so the operator stays lazy — the failure surfaces at
+    execution, not at plan-construction time."""
     points, intervals = _mk(spark)
-    with pytest.raises(ValueError, match="MAX_INTERVAL_FANOUT"):
-        interval_join(points, intervals, bucket="1 minute")
+    joined = interval_join(points, intervals, bucket="1 minute")  # lazy: no error yet
+    with pytest.raises(Exception, match="MAX_INTERVAL_FANOUT"):
+        joined.collect()
+
+
+def test_interval_join_explicit_bucket_is_lazy_and_streaming_safe(spark, tmp_path):
+    """An explicit bucket must not trigger any eager aggregate: a
+    STREAMING intervals side (where .collect() would raise
+    AnalysisException) still builds a valid stream-static equi-join
+    plan. Only bucket='auto' needs the batch-side width derivation."""
+    points, intervals = _mk(spark)
+    d = str(tmp_path / "iv")
+    intervals.write.parquet(d)
+    stream_iv = spark.readStream.schema(
+        "iv_id string, start timestamp, end timestamp"
+    ).parquet(d)
+    joined = interval_join(points, stream_iv, bucket="1 hour")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("iv_join_lazy")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["pt_id"], r["iv_id"])
+        for r in spark.sql("select * from iv_join_lazy").collect()
+        if r["iv_id"] != "mega"  # mega spans 721 hourly buckets, under the cap
+    }
+    want = {
+        (r["pt_id"], r["iv_id"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+        if r["iv_id"] != "mega"
+    }
+    assert got == want and len(want) > 0

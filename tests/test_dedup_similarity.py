@@ -307,6 +307,22 @@ def test_hyperplane_param_guards(spark, emb2):
         hyperplane_probes(emb2, n_bits=8, extra_probes=-1)
 
 
+def test_query_budget_counts_raw_queries_not_probe_expansion(spark, emb2, monkeypatch):
+    """MAX_BROADCAST_QUERIES bounds the QUERY SET the caller supplies;
+    multi-probe expansion must not shrink the effective ceiling by
+    (extra_probes+1)x — a query set under the documented limit has to
+    work at any probe count, and one over it must fail on its own size."""
+    from quanta_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_QUERIES", 5)
+    under = emb2.filter(F.col("vec_id") < 4)  # 4 queries x 5 probe rows = 20 > 5
+    out = similarity.lsh_cosine_topk(emb2, under, k=2, extra_probes=4)
+    assert out.count() > 0
+    over = emb2.filter(F.col("vec_id") < 6)
+    with pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+        similarity.lsh_cosine_topk(emb2, over, k=2, extra_probes=0)
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, emb2):
     """Superset candidates + exact-cosine rerank => recall@k can only
     rise with extra probes (the tuned-default justification)."""

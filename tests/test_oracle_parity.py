@@ -9,8 +9,6 @@ from __future__ import annotations
 import os
 import sys
 
-import duckdb
-import numpy as np
 import pandas as pd
 import pytest
 
@@ -26,39 +24,11 @@ _ORACLES = entrymod.oracle_sql()
 _SLOW = {"q32_stream_sessionize", "q33_stream_turn_order", "q46_stream_dedup", "q47_sink_roundtrip"}
 
 
+from oracle_compare import duck_frame, normalize as _normalize
+
+
 def _duck(sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in entrymod.q.TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con.execute(sql).df()
-
-
-def _normalize(df: pd.DataFrame, *, strict_tz: bool = False) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            if strict_tz and isinstance(s.dtype, pd.DatetimeTZDtype):
-                # The driver's gate is schema-strict: a DuckDB oracle that
-                # emits TIMESTAMPTZ (e.g. bare to_timestamp()) fails its
-                # schema+hash compare against Spark's plain TimestampType.
-                # Fail here too so the replica predicts the driver.
-                raise AssertionError(
-                    f"oracle column {c!r} is tz-aware ({s.dtype}); use "
-                    "make_timestamp(us) or CAST(... AS TIMESTAMP) in the oracle"
-                )
-            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = np.round(s.astype("float64"), 9)
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-        elif pd.api.types.is_bool_dtype(s):
-            df[c] = s.astype(bool)
-        else:
-            df[c] = s.astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return duck_frame(sql, SF_DIR)
 
 
 @pytest.mark.parametrize("name", [n for n in _QUERIES if n not in _SLOW])
