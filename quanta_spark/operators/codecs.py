@@ -181,7 +181,7 @@ def decode_qvid_frame(data: bytes, frame_idx: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# PNG — 8-bit truecolor / truecolor+alpha, non-interlaced
+# PNG — 8-bit grayscale / gray+alpha / palette / truecolor / RGBA
 # (W3C PNG spec; DEFLATE from the stdlib zlib, so this is a REAL
 # compressed-format codec with zero external libraries)
 # ---------------------------------------------------------------------------
@@ -296,17 +296,20 @@ def encode_png(
     level: int = 6,
     interlace: bool = False,
 ) -> bytes:
-    """uint8 array (h, w, 3|4) -> PNG bytes. ``filter_type`` applies
-    one filter to every scanline (0..4) — exercising decode of each
-    filter family; real encoders choose per-row, which decode handles
-    identically. ``interlace=True`` emits Adam7: seven reduced passes,
-    each filtered independently, concatenated into one DEFLATE
-    stream."""
+    """uint8 array (h, w) grayscale, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB or (h, w, 4) RGBA -> PNG bytes (color types 0/4/2/6).
+    ``filter_type`` applies one filter to every scanline (0..4) —
+    exercising decode of each filter family; real encoders choose
+    per-row, which decode handles identically. ``interlace=True``
+    emits Adam7: seven reduced passes, each filtered independently,
+    concatenated into one DEFLATE stream."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    assert pixels.dtype == np.uint8 and c in (3, 4)
+    assert pixels.dtype == np.uint8 and c in (1, 2, 3, 4)
     if not 0 <= filter_type <= 4:
         raise ValueError(f"filter_type must be 0..4, got {filter_type}")
-    color_type = 2 if c == 3 else 6
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     if interlace:
         parts = []
         for x0, y0, xs, ys in _ADAM7:
@@ -325,18 +328,71 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Indexed-color PNG (color type 3): ``indices`` (h, w) uint8 into
+    ``palette`` (n<=256, 3) uint8 RGB; optional ``trns`` gives per-
+    palette-entry alpha (PNG tRNS chunk, may be shorter than the
+    palette — omitted tail entries are opaque)."""
+    assert indices.dtype == np.uint8 and indices.ndim == 2
+    palette = np.asarray(palette, dtype=np.uint8)
+    assert palette.ndim == 2 and palette.shape[1] == 3 and len(palette) <= 256
+    if indices.max(initial=0) >= len(palette):
+        raise ValueError(
+            f"palette index {int(indices.max())} out of range for "
+            f"{len(palette)}-entry palette"
+        )
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w = indices.shape
+    px = indices[:, :, None]
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_scanlines(sub, filter_type).tobytes())
+        body = b"".join(parts)
+    else:
+        body = _filter_scanlines(px, filter_type).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+    chunks = [_png_chunk(b"IHDR", ihdr), _png_chunk(b"PLTE", palette.tobytes())]
+    if trns is not None:
+        trns = np.asarray(trns, dtype=np.uint8)
+        assert trns.ndim == 1 and len(trns) <= len(palette)
+        chunks.append(_png_chunk(b"tRNS", trns.tobytes()))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(body, level)))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_SIG + b"".join(chunks)
+
+
+# samples per pixel for each supported PNG color type (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w, 3|4). Walks chunks with CRC
-    verification, inflates the concatenated IDAT stream, and reverses
-    all five scanline filters. Supports 8-bit color types 2 (RGB) and
-    6 (RGBA), both non-interlaced and Adam7-interlaced (seven reduced
-    passes, each unfiltered independently then scattered onto the full
-    grid); everything else raises naming the unsupported feature."""
+    """PNG bytes -> uint8 array. Walks chunks with CRC verification,
+    inflates the concatenated IDAT stream, and reverses all five
+    scanline filters. Supports every 8-bit color type — 0 grayscale
+    -> (h, w), 4 gray+alpha -> (h, w, 2), 2 RGB -> (h, w, 3),
+    6 RGBA -> (h, w, 4), and 3 palette -> (h, w, 3), or (h, w, 4)
+    when a tRNS chunk supplies per-entry alpha — both non-interlaced
+    and Adam7-interlaced (seven reduced passes, each unfiltered
+    independently then scattered onto the full grid); everything else
+    raises naming the unsupported feature."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG file (bad signature)")
     pos = len(_PNG_SIG)
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
@@ -348,6 +404,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -356,14 +416,14 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt_method != 0:
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 or filt_method != 0:
         raise NotImplementedError(
-            f"only 8-bit RGB/RGBA PNG supported "
+            f"only 8-bit PNG color types 0/2/3/4/6 supported "
             f"(depth={depth}, color_type={color_type})"
         )
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    c = 3 if color_type == 2 else 4
+    c = _PNG_CHANNELS[color_type]
     stride = w * c
     try:
         inflated = zlib.decompress(bytes(idat))
@@ -375,29 +435,51 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace == 0:
         if buf.size != h * (1 + stride):
             raise ValueError("PNG pixel data size mismatch")
-        out = _unfilter_scanlines(buf.reshape(h, 1 + stride), w, c)
-        return out.reshape(h, w, c)
-    # Adam7: seven independent reduced images, concatenated in the one
-    # DEFLATE stream; empty passes (zero width or height) occupy no
-    # bytes. Unfilter each, then scatter onto the (y0+j*ys, x0+i*xs)
-    # grid.
-    img = np.zeros((h, w, c), dtype=np.uint8)
-    off = 0
-    for x0, y0, xs, ys in _ADAM7:
-        pw = (w - x0 + xs - 1) // xs
-        ph = (h - y0 + ys - 1) // ys
-        if pw == 0 or ph == 0:
-            continue
-        n = ph * (1 + pw * c)
-        if off + n > buf.size:
-            raise ValueError("PNG pixel data size mismatch (Adam7 pass truncated)")
-        pass_px = _unfilter_scanlines(
-            buf[off : off + n].reshape(ph, 1 + pw * c), pw, c
-        ).reshape(ph, pw, c)
-        img[y0::ys, x0::xs] = pass_px
-        off += n
-    if off != buf.size:
-        raise ValueError("PNG pixel data size mismatch (trailing Adam7 bytes)")
+        img = _unfilter_scanlines(buf.reshape(h, 1 + stride), w, c).reshape(h, w, c)
+    else:
+        # Adam7: seven independent reduced images, concatenated in the
+        # one DEFLATE stream; empty passes (zero width or height)
+        # occupy no bytes. Unfilter each, then scatter onto the
+        # (y0+j*ys, x0+i*xs) grid.
+        img = np.zeros((h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            n = ph * (1 + pw * c)
+            if off + n > buf.size:
+                raise ValueError("PNG pixel data size mismatch (Adam7 pass truncated)")
+            pass_px = _unfilter_scanlines(
+                buf[off : off + n].reshape(ph, 1 + pw * c), pw, c
+            ).reshape(ph, pw, c)
+            img[y0::ys, x0::xs] = pass_px
+            off += n
+        if off != buf.size:
+            raise ValueError("PNG pixel data size mismatch (trailing Adam7 bytes)")
+    if color_type == 0:
+        return img.reshape(h, w)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if len(plte) == 0 or len(plte) % 3:
+            raise ValueError(f"PLTE length {len(plte)} not a positive multiple of 3")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img.reshape(h, w)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range for "
+                f"{len(pal)}-entry palette"
+            )
+        rgb = pal[idx]
+        if trns is None:
+            return rgb
+        if len(trns) > len(pal):
+            raise ValueError(f"tRNS has {len(trns)} entries > palette {len(pal)}")
+        alut = np.full(len(pal), 255, dtype=np.uint8)
+        alut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.dstack([rgb, alut[idx]])
     return img
 
 

@@ -557,7 +557,9 @@ def extract_media_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
                         luma = (
                             0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
                             if px.ndim == 3 and px.shape[-1] >= 3
-                            else px
+                            # gray+alpha (h, w, 2): luma is channel 0,
+                            # never the alpha plane
+                            else px[..., 0] if px.ndim == 3 else px
                         )
                         lmean = int(np.floor(luma.mean() / 255.0 * 1000 + 0.5))
                         lstd = int(np.floor(luma.std() / 255.0 * 1000 + 0.5))

@@ -212,6 +212,84 @@ def test_jpeg_16bit_quant_tables_decode_identical():
         assert (decode_jpeg(wide) == decode_jpeg(blob)).all(), name
 
 
+def test_png_gray_and_gray_alpha_roundtrip():
+    """Color types 0 and 4: bit-exact through every filter, sequential
+    and Adam7; grayscale decodes to (h, w), gray+alpha to (h, w, 2)."""
+    import numpy as np
+
+    from quanta_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, size=(19, 31), dtype=np.uint8)
+    ga = rng.integers(0, 256, size=(19, 31, 2), dtype=np.uint8)
+    for ft in range(5):
+        for interlace in (False, True):
+            g = decode_png(encode_png(gray, filter_type=ft, interlace=interlace))
+            assert g.shape == (19, 31) and (g == gray).all(), (ft, interlace)
+            a = decode_png(encode_png(ga, filter_type=ft, interlace=interlace))
+            assert a.shape == (19, 31, 2) and (a == ga).all(), (ft, interlace)
+
+
+def test_png_palette_roundtrip_and_trns():
+    """Color type 3: indices map through PLTE to RGB; a tRNS chunk
+    adds per-entry alpha (shorter than the palette => opaque tail);
+    an index past the palette end fails loudly."""
+    import numpy as np
+    import pytest
+
+    from quanta_spark.operators.codecs import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(19)
+    pal = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, size=(13, 27), dtype=np.uint8)
+    for ft in (0, 1, 4):
+        for interlace in (False, True):
+            got = decode_png(encode_png_palette(idx, pal, filter_type=ft, interlace=interlace))
+            assert got.shape == (13, 27, 3) and (got == pal[idx]).all(), (ft, interlace)
+    # tRNS shorter than the palette: entries 0/1 translucent, rest opaque
+    trns = np.array([0, 128], dtype=np.uint8)
+    got = decode_png(encode_png_palette(idx, pal, trns=trns))
+    assert got.shape == (13, 27, 4)
+    assert (got[..., :3] == pal[idx]).all()
+    alut = np.array([0, 128, 255, 255, 255, 255], dtype=np.uint8)
+    assert (got[..., 3] == alut[idx]).all()
+    # out-of-range index rejected at encode; a forged stream at decode
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_palette(np.full((4, 4), 6, dtype=np.uint8), pal)
+    forged = encode_png_palette(idx, pal)
+    # shrink the PLTE to 3 entries so existing indices exceed it
+    import struct
+    import zlib as _z
+
+    i = forged.index(b"PLTE") - 4
+    (ln,) = struct.unpack_from(">I", forged, i)
+    small = pal[:3].tobytes()
+    chunk = struct.pack(">I", len(small)) + b"PLTE" + small + struct.pack(
+        ">I", _z.crc32(b"PLTE" + small) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(forged[:i] + chunk + forged[i + 12 + ln :])
+
+
+def test_png_palette_missing_plte_raises():
+    import numpy as np
+    import pytest
+
+    from quanta_spark.operators.codecs import decode_png, encode_png_palette
+
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    data = encode_png_palette(np.zeros((4, 4), dtype=np.uint8), pal)
+    i = data.index(b"PLTE") - 4
+    import struct
+
+    (ln,) = struct.unpack_from(">I", data, i)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(data[:i] + data[i + 12 + ln :])
+
+
 def test_png_rejects_unsupported_shapes():
     import numpy as np
     import pytest
@@ -220,17 +298,17 @@ def test_png_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # hand-build a grayscale IHDR: decode must name the unsupported type
+    # hand-build a 16-bit-depth IHDR: decode must name the unsupported depth
     import struct
     import zlib
 
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr_body = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # color type 0
+    ihdr_body = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)  # depth 16
     ihdr = (
         struct.pack(">I", len(ihdr_body)) + b"IHDR" + ihdr_body
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="color_type"):
+    with pytest.raises(NotImplementedError, match="depth=16"):
         decode_png(sig + ihdr)
 
 
