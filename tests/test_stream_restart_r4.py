@@ -1,0 +1,185 @@
+"""Crash-replay coverage for the round-4 streaming operators: the
+near-dup ingestion gate and IVF streaming ingestion must survive a
+kill + restart on the same checkpoint with no duplicate and no lost
+output — the same exactly-once contract the reference pins for its
+commit path (internal/runner/runner_test.go: restart/redelivery
+cases), here carried by Spark's state store + file-source offset log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _write_doc_file(path, pdf):
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("text", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+
+
+def test_neardup_gate_restart_suppresses_pre_crash_arrivals(spark, tmp_workdir):
+    """Kill the gate between a document's FIRST arrival and its
+    duplicate re-arrival: the restarted query must still suppress the
+    re-arrival (dropDuplicatesWithinWatermark state survives the
+    checkpoint), and clones first seen after the restart must still
+    match. Union of both runs == batch gate over each doc once."""
+    from quanta_spark.operators.dedup import neardup_index, stream_neardup_gate
+
+    docs = _docs(spark).limit(200).cache()
+    idx = neardup_index(docs).cache()
+    idx.count()
+
+    base = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    ts = pd.Timestamp("2024-01-01")
+    wave1 = base[base.doc_id % 7 == 0][["doc_id", "text"]].copy()
+    wave1["doc_id"] += 10_000
+    wave1["ts"] = ts
+    wave2 = base[base.doc_id % 7 == 3][["doc_id", "text"]].copy()
+    wave2["doc_id"] += 20_000
+    wave2["ts"] = ts
+
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+    _write_doc_file(os.path.join(d, "p0000.parquet"), wave1)
+
+    rows: list = []
+
+    def build():
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_neardup_gate(src, idx, watermark="2 hours")
+
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    n_first = len(rows)
+    assert n_first > 0, "wave-1 clones must match before the crash"
+
+    # crash happened; wave 1 re-arrives (same ts -> inside the
+    # watermark) plus a brand-new wave, and a NEW query resumes
+    _write_doc_file(os.path.join(d, "p0001.parquet"), wave1)
+    _write_doc_file(os.path.join(d, "p0002.parquet"), wave2)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    run_to_completion(h2)
+    assert len(rows) > n_first, "post-restart wave produced nothing"
+
+    got = sorted((r["new_doc_id"], r["idx_doc_id"]) for r in rows)
+    once = pd.concat([wave1, wave2]).reset_index(drop=True)
+    want = sorted(
+        (r["new_doc_id"], r["idx_doc_id"])
+        for r in stream_neardup_gate(
+            spark.createDataFrame(once), idx, watermark="2 hours"
+        ).collect()
+    )
+    assert got == want  # no pair duplicated across the restart, none lost
+
+
+def test_ivf_ingest_restart_no_dup_no_loss_windows(spark, tmp_workdir):
+    """Kill streaming IVF ingestion mid-stream (some 6h windows
+    already finalized, one held open in state) and restart on the same
+    checkpoint: finalized windows must not re-emit, the held window's
+    partial counts must survive and absorb post-restart vectors, and
+    the final (window, cell) counts must equal the batch assignment."""
+    from quanta_spark.operators.similarity import _ivf_centroids, stream_ivf_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, cent_mat = _ivf_centroids(emb, 16)
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    # 500 vecs x 120s apart = ~16.7h of event time; the first half
+    # (~8.3h) pushes the watermark past the first 6h window boundary,
+    # so run 1 finalizes window [0,6h) before the crash
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        pdf["vec_id"] * 120, unit="s"
+    )
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    d = os.path.join(tmp_workdir, "vecs")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+    parts = np.array_split(np.arange(len(pdf)), 4)
+
+    def write_part(k, frame):
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=schema, preserve_index=False),
+            os.path.join(d, f"part-{k:05d}.parquet"),
+        )
+
+    for k in (0, 1):
+        write_part(k, pdf.iloc[parts[k]])
+
+    rows: list = []
+
+    def build():
+        src = (
+            spark.readStream.schema("vec_id long, embedding array<float>, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_ivf_ingest(src, cent_mat, window="6 hours", watermark="1 hour")
+
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    n_first = len(rows)
+    assert n_first > 0, "first 6h window must finalize before the crash"
+
+    for k in (2, 3):
+        write_part(k, pdf.iloc[parts[k]])
+    hb = pdf.iloc[[0]].copy()
+    hb["vec_id"] = -1
+    hb["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+    write_part(9999, hb)
+
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    run_to_completion(h2)
+
+    got = (
+        pd.DataFrame([r.asDict() for r in rows])
+        .query("window_start <= @pdf.ts.max()")  # drop the heartbeat's window
+        .sort_values(["window_start", "cell_id"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["window_start", "cell_id"]).any(), (
+        "a finalized window re-emitted after restart"
+    )
+
+    static = spark.createDataFrame(pdf[["vec_id", "embedding", "ts"]])
+    want = (
+        stream_ivf_ingest(static, cent_mat, window="6 hours", watermark="1 hour")
+        .toPandas()
+        .sort_values(["window_start", "cell_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["window_start", "cell_id", "n_vectors"]],
+        want[["window_start", "cell_id", "n_vectors"]],
+    )
