@@ -1,9 +1,12 @@
-"""Crash-replay coverage for the round-4 streaming operators: the
-near-dup ingestion gate and IVF streaming ingestion must survive a
-kill + restart on the same checkpoint with no duplicate and no lost
-output — the same exactly-once contract the reference pins for its
-commit path (internal/runner/runner_test.go: restart/redelivery
-cases), here carried by Spark's state store + file-source offset log.
+"""Crash-replay coverage for every stateful streaming operator that
+did not already have a restart test: the near-dup ingestion gate, IVF
+streaming ingestion, turn-order enforcement, and session windows.
+Each test kills the query mid-stream and restarts a NEW query on the
+same checkpoint; the union of both runs' outputs must equal the batch
+answer with no duplicate and no loss — the exactly-once contract the
+reference pins for its commit path (internal/runner/runner_test.go:
+restart/redelivery cases), here carried by Spark's state store +
+file-source offset log.
 """
 
 from __future__ import annotations
@@ -183,3 +186,134 @@ def test_ivf_ingest_restart_no_dup_no_loss_windows(spark, tmp_workdir):
         got[["window_start", "cell_id", "n_vectors"]],
         want[["window_start", "cell_id", "n_vectors"]],
     )
+
+
+def test_turn_order_restart_preserves_buffer_and_order(spark, tmp_workdir):
+    """Crash turn-order enforcement while out-of-order turns sit in
+    the reorder buffer: the restarted query must emit every buffered
+    turn exactly once and per-conversation emission must stay
+    contiguous in turn_idx ACROSS the restart boundary."""
+    import shutil as sh
+
+    from quanta_spark.datagen import (
+        HEARTBEAT_CONV,
+        GenSpec,
+        generate,
+        write_heartbeat_file,
+        write_transcripts,
+    )
+    from quanta_spark.operators.stateful import enforce_turn_order
+    from quanta_spark.sources.readers import stream_transcripts_files
+
+    spec = GenSpec(n_convs=40, mean_turns=10, seed=45, late_frac=0.0,
+                   shuffle_frac=0.25)
+    full_dir = os.path.join(tmp_workdir, "full")
+    data_dir = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    write_transcripts(full_dir, spec, n_files=8)
+    os.makedirs(data_dir)
+    files = sorted(os.listdir(full_dir))
+    for f in files[:4]:
+        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+
+    rows: list = []
+
+    def build():
+        src = stream_transcripts_files(
+            spark, data_dir, max_files_per_trigger=1, with_lineage=False
+        )
+        return enforce_turn_order(src, watermark="1 hour")
+
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    n_first = len(rows)
+    assert n_first > 0
+
+    for f in files[4:]:
+        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h2.process_all_available()
+    write_heartbeat_file(
+        data_dir, generate(spec)["ts"].max() + pd.Timedelta(days=30)
+    )
+    run_to_completion(h2)
+    assert len(rows) > n_first
+
+    emitted: dict[str, list[int]] = {}
+    for r in rows:  # rows appended in emission order across both runs
+        if r["conv_id"] != HEARTBEAT_CONV:
+            emitted.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    sizes = generate(spec).groupby("conv_id").size()
+    assert set(emitted) == set(sizes.index.astype(str))
+    for conv, idxs in emitted.items():
+        assert idxs == list(range(len(idxs))), (
+            f"{conv}: emission broke order across restart: {idxs[:10]}"
+        )
+        assert len(idxs) == sizes[conv]
+
+
+def test_session_windows_restart_merges_across_crash(spark, tmp_workdir):
+    """Crash session-window aggregation with sessions still OPEN in
+    the state store; post-restart turns must extend those sessions
+    (not start new ones), and the final output must equal the batch
+    gaps-and-islands oracle with no window duplicated or lost."""
+    import shutil as sh
+
+    from test_windows import _pandas_sessions
+
+    from quanta_spark.datagen import (
+        HEARTBEAT_CONV,
+        GenSpec,
+        generate,
+        write_heartbeat_file,
+        write_transcripts,
+    )
+    from quanta_spark.operators.windows import sessionize
+    from quanta_spark.sources.readers import stream_transcripts_files
+
+    spec = GenSpec(n_convs=40, mean_turns=8, seed=47, late_frac=0.0,
+                   shuffle_frac=0.1)
+    full_dir = os.path.join(tmp_workdir, "full")
+    data_dir = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    write_transcripts(full_dir, spec, n_files=6)
+    os.makedirs(data_dir)
+    files = sorted(os.listdir(full_dir))
+    for f in files[:3]:
+        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+
+    rows: list = []
+
+    def build():
+        src = stream_transcripts_files(
+            spark, data_dir, max_files_per_trigger=2, with_lineage=False
+        )
+        return sessionize(src, gap="30 minutes", watermark="1 hour")
+
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+
+    for f in files[3:]:
+        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+    pdf_all = generate(spec)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h2.process_all_available()
+    write_heartbeat_file(data_dir, pdf_all["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h2)
+
+    got = (
+        pd.DataFrame([r.asDict() for r in rows])
+        .query("conv_id != @HEARTBEAT_CONV")
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["conv_id", "session_start"]).any()
+    want = _pandas_sessions(pdf_all.drop(columns=["arrival_ts"]))
+    assert len(got) == len(want)
+    assert (got["conv_id"].to_numpy() == want["conv_id"].to_numpy()).all()
+    assert (got["n_turns"].to_numpy() == want["n_turns"].to_numpy()).all()
+    assert (
+        got["session_start"].to_numpy() == want["session_start"].to_numpy()
+    ).all()
