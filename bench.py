@@ -6,9 +6,12 @@ vectorized transform -> session windows / stateful join / turn-order
 enforcement -> exactly-once sink) as sustained turns/sec, plus a
 representative batch-operator suite on the driver's sf tables.
 
-Prints ONE JSON line:
+Prints a verbose {"box_detail": ...} JSON line first, then the compact
+metric line LAST and alone (the driver captures only the stdout tail,
+so the parseable line must be final and short — VERDICT r05 #2):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec": {...}}
+The full dict (compact + box) is also written to BENCH/last_run_full.json.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
@@ -62,7 +65,7 @@ def bench_input(sf: float, n_files: int = 128) -> tuple[str, int]:
     spec = GenSpec(
         n_convs=n_convs, mean_turns=16, seed=42, mega_frac=0.02, late_frac=0.005
     )
-    cache = f"/tmp/qs_bench_input_v3_{sf}_{n_convs}"
+    cache = f"/tmp/qs_bench_input_v4_{sf}_{n_convs}"
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)
@@ -107,27 +110,50 @@ def timed_leg(fn) -> tuple[float, float, float]:
     return dt, steal, busy
 
 
-def run_leg(fn_for_attempt, retries: dict, name: str):
-    """Run a leg; if its steal exceeded STEAL_RETRY_CORES, run ONE more
-    attempt and keep the faster rep. Both attempts land in the JSON
-    (`retried_legs`) — the policy trades a bounded re-run for an
-    artifact that isn't poisoned by a single neighbor burst, and hides
-    nothing."""
+def run_leg(fn_for_attempt, retries: dict, name: str, contaminated: set):
+    """Run a leg; steal-contaminated attempts are retried, bounded.
+
+    Policy (VERDICT r05 asks #4 + ADVICE):
+    - attempt 0 clean (steal <= STEAL_RETRY_CORES) -> keep it.
+    - else attempt 1; keep it ONLY if attempt 1 is itself clean (the
+      r05 min-of-two rule biased walls downward when both attempts
+      were dirty).
+    - else a SUSTAINED burst (r05 driver: composite 2.21/2.74 stolen
+      cores on both attempts): one bounded cooldown (wait for the box
+      to go quiet, <=120s) then ONE final attempt; if clean, keep it.
+    - still dirty -> keep the LEAST-STOLEN attempt, mark the leg
+      ``contaminated`` so the headline is reported both with and
+      without it. Every attempt lands in ``retried_legs`` — nothing
+      is hidden.
+    """
     dt, steal, busy = timed_leg(fn_for_attempt(0))
-    if steal > STEAL_RETRY_CORES:
-        retries[name] = {
-            "attempt0_sec": round(dt, 3),
-            "attempt0_steal_cores": round(steal, 2),
-        }
-        dt2, steal2, busy2 = timed_leg(fn_for_attempt(1))
-        retries[name]["attempt1_sec"] = round(dt2, 3)
-        retries[name]["attempt1_steal_cores"] = round(steal2, 2)
-        if dt2 < dt:
-            retries[name]["kept"] = "attempt1"
-            dt, steal, busy = dt2, steal2, busy2
-        else:
-            retries[name]["kept"] = "attempt0"
-    return dt, steal, busy
+    if steal <= STEAL_RETRY_CORES:
+        return dt, steal, busy
+    rec = retries[name] = {
+        "attempt0_sec": round(dt, 3),
+        "attempt0_steal_cores": round(steal, 2),
+    }
+    attempts = [(dt, steal, busy)]
+    dt1, steal1, busy1 = timed_leg(fn_for_attempt(1))
+    rec["attempt1_sec"] = round(dt1, 3)
+    rec["attempt1_steal_cores"] = round(steal1, 2)
+    if steal1 <= STEAL_RETRY_CORES:
+        rec["kept"] = "attempt1"
+        return dt1, steal1, busy1
+    attempts.append((dt1, steal1, busy1))
+    rec["cooldown"] = _wait_for_quiet_box(max_wait_sec=120.0)
+    dt2, steal2, busy2 = timed_leg(fn_for_attempt(2))
+    rec["attempt2_sec"] = round(dt2, 3)
+    rec["attempt2_steal_cores"] = round(steal2, 2)
+    if steal2 <= STEAL_RETRY_CORES:
+        rec["kept"] = "attempt2_post_cooldown"
+        return dt2, steal2, busy2
+    attempts.append((dt2, steal2, busy2))
+    best = min(range(len(attempts)), key=lambda i: attempts[i][1])
+    rec["kept"] = f"attempt{best}_least_steal"
+    rec["contaminated"] = True
+    contaminated.add(name)
+    return attempts[best]
 
 
 def _cpu_jiffies() -> tuple[int, int, int]:
@@ -226,7 +252,7 @@ def main() -> None:
     # 13.5/14.3 warm on an idle box — without this, one-time init lands
     # in whichever leg runs first (BENCH/BASELINE.md round-4 note)
     warm_spec = GenSpec(n_convs=60, mean_turns=8, seed=11)
-    warm_dir = "/tmp/qs_bench_warmup_v1"
+    warm_dir = "/tmp/qs_bench_warmup_v2"
     if not os.path.exists(os.path.join(warm_dir, "_DONE")):
         shutil.rmtree(warm_dir, ignore_errors=True)
         write_transcripts(warm_dir, warm_spec, n_files=2)
@@ -248,6 +274,7 @@ def main() -> None:
     }
     leg_box: dict[str, dict] = {}
     retries: dict[str, dict] = {}
+    contaminated: set[str] = set()
 
     def record(name: str, dt: float, steal: float, busy: float, stream: bool) -> None:
         times[name] = round(dt, 3)
@@ -262,6 +289,7 @@ def main() -> None:
             ),
             retries,
             name,
+            contaminated,
         )
         record(name, dt, steal, busy, stream=True)
 
@@ -271,6 +299,7 @@ def main() -> None:
         ),
         retries,
         "stream_e2e_sink",
+        contaminated,
     )
     record("stream_e2e_sink", dt, steal, busy, stream=True)
 
@@ -300,6 +329,7 @@ def main() -> None:
             .save(),
             retries,
             name,
+            contaminated,
         )
         record(name, dt, steal, busy, stream=False)
 
@@ -307,32 +337,47 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     j1, i1, s1 = _cpu_jiffies()
     ncpu = os.cpu_count() or CPUS
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec (streaming session/turn-order/join/e2e-sink + batch ops)",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cores": CPUS,
-                "stream_turns": n_turns,
-                "turns_per_sec": tps,
-                "box": {
-                    "launch_gate": gate,
-                    "loadavg_before": [round(v, 2) for v in load_before],
-                    "busy_cores_avg_during": round(
-                        (1 - (i1 - i0) / (j1 - j0)) * ncpu, 1
-                    ),
-                    "stolen_cores_avg_during": round(
-                        (s1 - s0) / (j1 - j0) * ncpu, 2
-                    ),
-                    "per_leg": leg_box,
-                    "retried_legs": retries,
-                },
-            }
+    box = {
+        "launch_gate": gate,
+        "loadavg_before": [round(v, 2) for v in load_before],
+        "busy_cores_avg_during": round((1 - (i1 - i0) / (j1 - j0)) * ncpu, 1),
+        "stolen_cores_avg_during": round((s1 - s0) / (j1 - j0) * ncpu, 2),
+        "per_leg": leg_box,
+        "retried_legs": retries,
+    }
+    compact = {
+        "metric": "headline_suite_wall_sec (streaming session/turn-order/join/e2e-sink + batch ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": CPUS,
+        "stream_turns": n_turns,
+        "turns_per_sec": tps,
+    }
+    if contaminated:
+        # sustained neighbor-steal survived retry+cooldown on these
+        # legs; report the headline both ways so a 32s stolen
+        # composite cannot masquerade as a 2.3x engine regression
+        compact["contaminated_legs"] = sorted(contaminated)
+        compact["value_excl_contaminated"] = round(
+            sum(v for k, v in times.items() if k not in contaminated), 3
         )
-    )
+    # Truncation-proofing (VERDICT r05 "What's wrong #2": the driver
+    # artifact captures only the TAIL of stdout, and box/retry detail
+    # once grew the single line until metric/value/queries fell off).
+    # Verbose detail goes on its own EARLIER line + a BENCH/ file; the
+    # compact metric line is printed LAST with nothing after it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "last_run_full.json"), "w") as f:
+            json.dump({**compact, "box": box}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({"box_detail": box}))
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

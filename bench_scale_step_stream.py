@@ -48,7 +48,7 @@ def _input_dir(target_turns: int, n_files: int = 128) -> tuple[str, int]:
     spec = GenSpec(
         n_convs=n_convs, mean_turns=16, seed=42, mega_frac=0.02, late_frac=0.005
     )
-    cache = f"/tmp/qs_stream_step_{n_convs}"
+    cache = f"/tmp/qs_stream_step_v2_{n_convs}"
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)
@@ -101,7 +101,7 @@ def _doc_stream_dir(n_docs: int, n_files: int = 32) -> str:
 
     from quanta_spark.datagen import generate_documents
 
-    cache = f"/tmp/qs_docstream_step_{n_docs}"
+    cache = f"/tmp/qs_docstream_step_v2_{n_docs}"
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)

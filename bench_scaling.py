@@ -64,7 +64,7 @@ def prepare_input(n_turns: int) -> tuple[str, int]:
 
     n_convs = max(200, n_turns // 16)
     spec = GenSpec(n_convs=n_convs, mean_turns=16, seed=42, mega_frac=0.02, late_frac=0.005)
-    cache = f"/tmp/qs_scaling_input_{n_convs}"
+    cache = f"/tmp/qs_scaling_input_v2_{n_convs}"
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         pdf = generate(spec)

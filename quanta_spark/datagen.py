@@ -27,7 +27,9 @@ Knobs (FIXTURES.md §1):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -152,6 +154,64 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+#: spacing between stamped modification times. Spark's FileStreamSource
+#: sorts candidate files by mtime at MILLISECOND granularity and does
+#: NOT break ties by path (FileStreamSource.fetchAllFiles), so any two
+#: stream files written or copied within the same millisecond replay in
+#: arbitrary order — a late-timeline chunk running first jumps the
+#: watermark and silently late-drops every earlier chunk (root cause of
+#: the round-5 test_turn_order_restart failure). 2 s is comfortably
+#: above both ms granularity and coarse (1 s) filesystem timestamps.
+MTIME_STEP_S = 2.0
+
+
+def stamp_arrival_order(paths: Sequence[str], step: float = MTIME_STEP_S) -> None:
+    """Force strictly increasing modification times on ``paths`` in the
+    given (arrival) order, strictly AFTER every other file already
+    present in the same directories.
+
+    Every fixture that writes or copies more than one file into a
+    streaming source directory — and every single-file append that must
+    sort after existing data, e.g. the watermark heartbeat — must call
+    this; see :data:`MTIME_STEP_S` for why. This is the file-source
+    analog of the reference's per-partition ordered delivery
+    (source/kafka/driver_sarama.go:114-214): arrival order is a
+    CONTRACT, not a hope.
+    """
+    if not paths:
+        return
+    abs_paths = [os.path.abspath(p) for p in paths]
+    targets = set(abs_paths)
+    floor = 0.0
+    for d in {os.path.dirname(p) for p in abs_paths}:
+        for name in os.listdir(d):
+            f = os.path.join(d, name)
+            if f not in targets and os.path.isfile(f):
+                floor = max(floor, os.path.getmtime(f))
+    base = max(time.time(), floor + step)
+    for k, p in enumerate(abs_paths):
+        t = base + k * step
+        os.utime(p, (t, t))
+
+
+def copy_arrival_ordered(src_dir: str, dst_dir: str, names: Sequence[str]) -> list[str]:
+    """Copy ``names`` from ``src_dir`` into ``dst_dir`` and stamp them
+    with strictly increasing mtimes (after anything already in
+    ``dst_dir``), preserving list order as arrival order. The restart
+    tests use this instead of bare ``shutil.copy`` loops, which collide
+    on ms-granularity mtimes (see :func:`stamp_arrival_order`)."""
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    out = []
+    for name in names:
+        dst = os.path.join(dst_dir, name)
+        shutil.copy(os.path.join(src_dir, name), dst)
+        out.append(dst)
+    stamp_arrival_order(out)
+    return out
+
+
 def write_transcripts(
     out_dir: str,
     spec: GenSpec = GenSpec(),
@@ -175,11 +235,15 @@ def write_transcripts(
     else:
         df = df.drop(columns=["arrival_ts"])
     chunks = np.array_split(np.arange(len(df)), n_files)
+    paths = []
     for k, idx in enumerate(chunks):
         table = pa.Table.from_pandas(
             df.iloc[idx], schema=schema, preserve_index=False
         )
-        pq.write_table(table, os.path.join(out_dir, f"part-{k:05d}.parquet"))
+        path = os.path.join(out_dir, f"part-{k:05d}.parquet")
+        pq.write_table(table, path)
+        paths.append(path)
+    stamp_arrival_order(paths)
     return out_dir
 
 
@@ -213,6 +277,11 @@ def write_heartbeat_file(out_dir: str, ts: pd.Timestamp, name: str = "zz-heartbe
     pq.write_table(
         pa.Table.from_pandas(row, schema=_ARROW_SCHEMA, preserve_index=False), path
     )
+    # Must sort strictly AFTER every data file: FileStreamSource orders
+    # by mtime with no path tiebreak, so the historical 'zz-' name
+    # prefix guarantees nothing. stamp_arrival_order floors the new
+    # mtime above the directory's current max.
+    stamp_arrival_order([path])
     return path
 
 

@@ -98,6 +98,17 @@ def interval_join(
     Inclusive on both ends (ts BETWEEN start AND end). Returns
     points x matching-interval rows with all columns of both sides."""
     if bucket == "auto":
+        if intervals.isStreaming:
+            raise ValueError(
+                "interval_join: bucket='auto' derives the width with an "
+                "eager aggregate, which requires a BATCH intervals side; "
+                "pass an explicit bucket (e.g. '1 hour') for a streaming "
+                "intervals DataFrame"
+            )
+        # persist: the width aggregate below would otherwise recompute
+        # the full intervals plan a second time when the join runs
+        # (ADVICE r05 — in q98 that re-ran sessionization twice)
+        intervals = intervals.persist()
         dur_s = F.unix_timestamp(
             F.col(end_col).cast("timestamp")
         ) - F.unix_timestamp(F.col(start_col).cast("timestamp"))
@@ -117,8 +128,13 @@ def interval_join(
             "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600,
             "day": 86400, "days": 86400,
-        }[unit]
-        w = int(n) * mult
+        }
+        if unit not in mult:
+            raise ValueError(
+                f"interval_join: unsupported bucket unit {unit!r}; "
+                "use seconds/minutes/hours/days"
+            )
+        w = int(n) * mult[unit]
     p = points.withColumn(
         "_b", F.floor(F.unix_timestamp(F.col(point_ts).cast("timestamp")) / w)
     )

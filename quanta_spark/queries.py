@@ -30,6 +30,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quanta_spark.datagen import stamp_arrival_order
+
 TABLES = [
     "region",
     "nation",
@@ -924,11 +926,18 @@ def _write_transcript_stream(spark: SparkSession, jitter: bool) -> str:
         ]
     )
     idx = np.array_split(np.arange(len(pdf)), 8)
+    paths = []
     for k, ix in enumerate(idx):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
         pq.write_table(
             pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
-            os.path.join(d, f"part-{k:05d}.parquet"),
+            path,
         )
+        paths.append(path)
+    # 8 parts written within one tick WOULD collide on ms mtimes and
+    # replay in arbitrary order (FileStreamSource has no path tiebreak)
+    # — the round-5 latent flake. Stamp arrival order explicitly.
+    stamp_arrival_order(paths)
     return d
 
 
@@ -2827,11 +2836,15 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             pa.field("ts", pa.timestamp("us")),
         ]
     )
+    paths = []
     for k, ix in enumerate(np.array_split(np.arange(len(clones_pdf)), 4)):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
         pq.write_table(
             pa.Table.from_pandas(clones_pdf.iloc[ix], schema=schema, preserve_index=False),
-            os.path.join(d, f"part-{k:05d}.parquet"),
+            path,
         )
+        paths.append(path)
+    stamp_arrival_order(paths)  # no ms-mtime ties in replay order
 
     src = (
         spark.readStream.schema(
@@ -3121,11 +3134,15 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
             pa.field("ts", pa.timestamp("us")),
         ]
     )
+    paths = []
     for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
         pq.write_table(
             pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
-            os.path.join(d, f"part-{k:05d}.parquet"),
+            path,
         )
+        paths.append(path)
+    stamp_arrival_order(paths)  # no ms-mtime ties in replay order
     src = (
         spark.readStream.schema("vec_id long, embedding array<float>, ts timestamp")
         .option("maxFilesPerTrigger", 2)
@@ -3145,10 +3162,12 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = pdf.iloc[[0]].copy()
     hb["vec_id"] = -1
     hb["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+    hb_path = os.path.join(d, "part-heartbeat.parquet")
     pq.write_table(
         pa.Table.from_pandas(hb, schema=schema, preserve_index=False),
-        os.path.join(d, "part-heartbeat.parquet"),
+        hb_path,
     )
+    stamp_arrival_order([hb_path])  # heartbeat must sort AFTER all data
     run_to_completion(h)
     import pandas as _pd
 

@@ -114,3 +114,24 @@ def test_interval_join_explicit_bucket_is_lazy_and_streaming_safe(spark, tmp_pat
         if r["iv_id"] != "mega"
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_auto_rejects_streaming_intervals(spark, tmp_path):
+    """bucket='auto' needs an eager width aggregate, impossible on a
+    streaming intervals side — the guard must say so clearly instead
+    of surfacing an opaque AnalysisException from .collect()
+    (ADVICE r05)."""
+    points, intervals = _mk(spark)
+    d = str(tmp_path / "iv_auto")
+    intervals.write.parquet(d)
+    stream_iv = spark.readStream.schema(
+        "iv_id string, start timestamp, end timestamp"
+    ).parquet(d)
+    with pytest.raises(ValueError, match="BATCH intervals side"):
+        interval_join(points, stream_iv, bucket="auto")
+
+
+def test_interval_join_rejects_unknown_bucket_unit(spark):
+    points, intervals = _mk(spark)
+    with pytest.raises(ValueError, match="unsupported bucket unit"):
+        interval_join(points, intervals, bucket="1 week")

@@ -12,6 +12,7 @@ import pandas as pd
 from quanta_spark.datagen import (
     HEARTBEAT_CONV,
     GenSpec,
+    copy_arrival_ordered,
     generate,
     write_heartbeat_file,
     write_transcripts,
@@ -258,12 +259,9 @@ def test_stream_join_resumes_from_checkpoint_exactly_once(spark, tmp_workdir):
         return join_user_replies(src, watermark="1 hour", max_reply_delay="30 minutes")
 
     # run 1: only half the files exist yet -> stop mid-stream
-    import shutil as sh
-
     os.makedirs(data_dir + "_half")
     files = sorted(os.listdir(data_dir))
-    for f in files[:4]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(data_dir + "_half", f))
+    copy_arrival_ordered(data_dir, data_dir + "_half", files[:4])
     src = stream_transcripts_files(
         spark, data_dir + "_half", max_files_per_trigger=2, with_lineage=False
     )
@@ -274,8 +272,7 @@ def test_stream_join_resumes_from_checkpoint_exactly_once(spark, tmp_workdir):
     assert n_first > 0
 
     # run 2: remaining files appear; new query, SAME checkpoint
-    for f in files[4:]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(data_dir + "_half", f))
+    copy_arrival_ordered(data_dir, data_dir + "_half", files[4:])
     src2 = stream_transcripts_files(
         spark, data_dir + "_half", max_files_per_trigger=2, with_lineage=False
     )
@@ -408,12 +405,9 @@ def test_stream_full_outer_join_resumes_from_checkpoint(spark, tmp_workdir):
             src, watermark="2 hours", max_reply_delay="30 minutes"
         )
 
-    import shutil as sh
-
     os.makedirs(live)
     files = sorted(os.listdir(data_dir))
-    for f in files[:4]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    copy_arrival_ordered(data_dir, live, files[:4])
     h1 = start_pipeline(
         build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
         collect, ckpt,
@@ -422,8 +416,7 @@ def test_stream_full_outer_join_resumes_from_checkpoint(spark, tmp_workdir):
     h1.stop()
     n_first = len(rows)
 
-    for f in files[4:]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    copy_arrival_ordered(data_dir, live, files[4:])
     h2 = start_pipeline(
         build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
         collect, ckpt,
@@ -718,8 +711,6 @@ def test_cep_stream_matches_batch_under_shuffle(spark, tmp_workdir):
 def test_cep_stream_restart_exactly_once(spark, tmp_workdir):
     """Restart mid-stream on the same checkpoint: the union of both
     runs' matches equals the batch matcher output with no duplicates."""
-    import shutil as sh
-
     from quanta_spark.operators.stateful import match_sequence, match_sequence_stream
 
     data_dir = os.path.join(tmp_workdir, "in_cep")
@@ -735,8 +726,7 @@ def test_cep_stream_restart_exactly_once(spark, tmp_workdir):
 
     os.makedirs(live)
     files = sorted(os.listdir(data_dir))
-    for f in files[:4]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    copy_arrival_ordered(data_dir, live, files[:4])
     h1 = start_pipeline(
         build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
         lambda b, i: rows.extend(b.collect()), ckpt,
@@ -744,8 +734,7 @@ def test_cep_stream_restart_exactly_once(spark, tmp_workdir):
     h1.process_all_available()
     h1.stop()
 
-    for f in files[4:]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    copy_arrival_ordered(data_dir, live, files[4:])
     h2 = start_pipeline(
         build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
         lambda b, i: rows.extend(b.collect()), ckpt,
@@ -782,8 +771,6 @@ def test_cep_stream_kleene_restart_matches_batch_greedy(spark, tmp_workdir):
     the same within bound) — the decided-starts pointer must survive
     the checkpoint, or a restart would re-judge (duplicate) or skip
     starts at the boundary."""
-    import shutil as sh
-
     from pyspark.sql import functions as F
 
     from quanta_spark.operators.stateful import (
@@ -811,8 +798,7 @@ def test_cep_stream_kleene_restart_matches_batch_greedy(spark, tmp_workdir):
 
     os.makedirs(live)
     files = sorted(os.listdir(data_dir))
-    for f in files[:4]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    copy_arrival_ordered(data_dir, live, files[:4])
     h1 = start_pipeline(
         build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
         lambda b, i: rows.extend(b.collect()), ckpt,
@@ -820,8 +806,7 @@ def test_cep_stream_kleene_restart_matches_batch_greedy(spark, tmp_workdir):
     h1.process_all_available()
     h1.stop()
 
-    for f in files[4:]:
-        sh.copy(os.path.join(data_dir, f), os.path.join(live, f))
+    copy_arrival_ordered(data_dir, live, files[4:])
     h2 = start_pipeline(
         build(stream_transcripts_files(spark, live, max_files_per_trigger=2, with_lineage=False)),
         lambda b, i: rows.extend(b.collect()), ckpt,

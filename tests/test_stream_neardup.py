@@ -22,9 +22,15 @@ def _docs(spark):
 def _stream_rows(spark, pdf, op, files=3):
     import numpy as np
 
+    from quanta_spark.datagen import stamp_arrival_order
+
     d = tempfile.mkdtemp(prefix="qs_sng_")
+    paths = []
     for k, ix in enumerate(np.array_split(np.arange(len(pdf)), files)):
-        pdf.iloc[ix].to_parquet(os.path.join(d, f"p{k:04d}.parquet"), index=False)
+        path = os.path.join(d, f"p{k:04d}.parquet")
+        pdf.iloc[ix].to_parquet(path, index=False)
+        paths.append(path)
+    stamp_arrival_order(paths)  # no ms-mtime ties in replay order
     src = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
         .option("maxFilesPerTrigger", 1)

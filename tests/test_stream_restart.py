@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
+from quanta_spark.datagen import copy_arrival_ordered, stamp_arrival_order
 from quanta_spark.streaming.engine import run_to_completion, start_pipeline
 
 
@@ -37,6 +38,7 @@ def _write_doc_file(path, pdf):
     pq.write_table(
         pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
     )
+    stamp_arrival_order([path])  # mtime-ordered arrival (no ms-tie replays)
 
 
 def test_neardup_gate_restart_suppresses_pre_crash_arrivals(spark, tmp_workdir):
@@ -131,10 +133,12 @@ def test_ivf_ingest_restart_no_dup_no_loss_windows(spark, tmp_workdir):
     parts = np.array_split(np.arange(len(pdf)), 4)
 
     def write_part(k, frame):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
         pq.write_table(
             pa.Table.from_pandas(frame, schema=schema, preserve_index=False),
-            os.path.join(d, f"part-{k:05d}.parquet"),
+            path,
         )
+        stamp_arrival_order([path])
 
     for k in (0, 1):
         write_part(k, pdf.iloc[parts[k]])
@@ -193,7 +197,6 @@ def test_turn_order_restart_preserves_buffer_and_order(spark, tmp_workdir):
     the reorder buffer: the restarted query must emit every buffered
     turn exactly once and per-conversation emission must stay
     contiguous in turn_idx ACROSS the restart boundary."""
-    import shutil as sh
 
     from quanta_spark.datagen import (
         HEARTBEAT_CONV,
@@ -213,8 +216,7 @@ def test_turn_order_restart_preserves_buffer_and_order(spark, tmp_workdir):
     write_transcripts(full_dir, spec, n_files=8)
     os.makedirs(data_dir)
     files = sorted(os.listdir(full_dir))
-    for f in files[:4]:
-        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+    copy_arrival_ordered(full_dir, data_dir, files[:4])
 
     rows: list = []
 
@@ -230,8 +232,7 @@ def test_turn_order_restart_preserves_buffer_and_order(spark, tmp_workdir):
     n_first = len(rows)
     assert n_first > 0
 
-    for f in files[4:]:
-        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+    copy_arrival_ordered(full_dir, data_dir, files[4:])
     h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
     h2.process_all_available()
     write_heartbeat_file(
@@ -258,7 +259,6 @@ def test_session_windows_restart_merges_across_crash(spark, tmp_workdir):
     the state store; post-restart turns must extend those sessions
     (not start new ones), and the final output must equal the batch
     gaps-and-islands oracle with no window duplicated or lost."""
-    import shutil as sh
 
     from test_windows import _pandas_sessions
 
@@ -280,8 +280,7 @@ def test_session_windows_restart_merges_across_crash(spark, tmp_workdir):
     write_transcripts(full_dir, spec, n_files=6)
     os.makedirs(data_dir)
     files = sorted(os.listdir(full_dir))
-    for f in files[:3]:
-        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+    copy_arrival_ordered(full_dir, data_dir, files[:3])
 
     rows: list = []
 
@@ -295,8 +294,7 @@ def test_session_windows_restart_merges_across_crash(spark, tmp_workdir):
     h1.process_all_available()
     h1.stop()
 
-    for f in files[3:]:
-        sh.copy(os.path.join(full_dir, f), os.path.join(data_dir, f))
+    copy_arrival_ordered(full_dir, data_dir, files[3:])
     pdf_all = generate(spec)
     h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
     h2.process_all_available()
