@@ -3720,3 +3720,66 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumnRenamed("bin_upper", "bin_upper_cents").crossJoin(
         F.broadcast(merge_ok)
     )
+
+
+@query(
+    "q101_media_decode_dlq",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN 'ERROR' ELSE 'OK' END AS status,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS decoded_kind,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(16 + doc_id % 48 AS INT) END AS width,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(16 + (doc_id * 3) % 48 AS INT) END AS height,
+       CASE WHEN doc_id % 13 IN (5, 9) OR doc_id % 2 = 0 THEN CAST(NULL AS INT)
+            ELSE CAST(2 + doc_id % 7 AS INT) END AS n_frames,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CASE WHEN doc_id % 13 IN (5, 9) THEN NULL
+            ELSE CAST(floor((doc_id % 256) / 255.0 * 1000 + 0.5) AS BIGINT)
+       END AS feature_milli
+FROM documents
+""",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-blob DLQ decode (VERDICT r05 ask #3): real container
+    payloads with two deterministic corruption families planted among
+    them — truncation to 6 bytes (valid magic, unreadable body; every
+    decoder must raise, pinned by tests) and magic overwrite (unknown
+    container). decode_media(strict=False) must decode every healthy
+    blob to exactly the q44 predictions AND convert every corrupt blob
+    into one status=ERROR row with NULL features — per-row isolation,
+    the same row-granular drop-to-DLQ semantics as the stage runner
+    (stages.py ≙ reference runner.go:147-156), never a failed batch."""
+    from quanta_spark.operators.multimodal import (
+        decode_media,
+        solid_media_from_documents,
+    )
+
+    media = solid_media_from_documents(spark.table("documents"))
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") % 13 == 5, F.substring("payload", 1, 6))
+        .when(
+            F.col("media_id") % 13 == 9,
+            F.concat(
+                F.lit(b"\x00\x01\x02\x03"),
+                F.substring("payload", 5, 1 << 30),
+            ),
+        )
+        .otherwise(F.col("payload")),
+    )
+    out = decode_media(corrupted, strict=False)
+    return out.select(
+        "media_id",
+        F.col("_status").alias("status"),
+        "decoded_kind",
+        "width",
+        "height",
+        "n_frames",
+        "sample_rate",
+        "n_samples",
+        "feature_milli",
+    )

@@ -289,3 +289,67 @@ def test_extract_media_features_real_signal_level(spark):
     assert got[3]["kind"] == "image"
     assert got[3]["luma_mean_milli"] == pytest.approx(502, abs=2)  # 128/255
     assert got[3]["luma_std_milli"] == 0
+
+
+def test_decode_media_nonstrict_one_poison_in_10k(spark):
+    """100 TB posture (VERDICT r05 ask #3): one corrupt blob among
+    10,000 must cost exactly one DLQ row, never the batch. Uses the
+    stage runner's _status/_error convention so split_ok_dlq and the
+    IdempotentSink DLQ split work unchanged."""
+    from quanta_spark.operators.multimodal import solid_media_from_documents
+    from quanta_spark.operators.stages import split_ok_dlq
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    media = solid_media_from_documents(docs)
+    poisoned = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 4242, F.substring("payload", 1, 6))
+        .otherwise(F.col("payload")),
+    )
+    decoded = decode_media(poisoned, strict=False)
+    ok, dlq = split_ok_dlq(decoded)
+    dlq_rows = dlq.collect()
+    assert ok.count() == 9_999
+    assert len(dlq_rows) == 1
+    r = dlq_rows[0]
+    assert r["media_id"] == 4242
+    assert r["_status"] == "ERROR"
+    assert r["_error"].startswith("decode_media:")
+    assert r["feature_milli"] is None and r["decoded_kind"] is None
+
+
+def test_decode_media_strict_default_still_raises(spark):
+    """strict=True (the default) keeps the fixture stance: a corrupt
+    blob fails the batch loudly."""
+    df = spark.createDataFrame(
+        [(0, bytearray(b"BM\x01\x02\x03\x04"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        decode_media(df).collect()
+
+
+def test_resize_and_features_nonstrict_isolate_corrupt_blob(spark):
+    """resize_images/extract_media_features carry the same per-row
+    DLQ contract as decode_media(strict=False)."""
+    from quanta_spark.operators.multimodal import extract_media_features
+
+    gray = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rows = [
+        (0, "image", bytearray(encode_bmp(gray))),
+        (1, "image", bytearray(b"BM\x00\x01")),  # truncated header
+        (2, "image", bytearray(b"\x00\x01\x02\x03junk")),  # unknown magic
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+    rz = {r["media_id"]: r for r in resize_images(df, target=8, strict=False).collect()}
+    assert rz[0]["_status"] == "OK" and rz[0]["payload"] is not None
+    assert rz[1]["_status"] == "ERROR" and rz[1]["payload"] is None
+    assert rz[2]["_status"] == "ERROR" and rz[2]["_error"].startswith("resize_images:")
+
+    ft = {
+        r["media_id"]: r
+        for r in extract_media_features(df, strict=False).collect()
+    }
+    assert ft[0]["_status"] == "OK" and ft[0]["luma_mean_milli"] is not None
+    assert ft[1]["_status"] == "ERROR" and ft[1]["kind"] is None
+    assert ft[2]["_error"].startswith("extract_media_features:")
