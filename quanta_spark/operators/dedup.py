@@ -691,3 +691,77 @@ def accept_and_append_index(
             rows_per_band=rows_per_band,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — embedding-level semantic dedup (VERDICT r05 ask #5)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame, n_cells: int = 16, tau_bp: int = 9900
+) -> DataFrame:
+    """Candidate pairs for embedding-level semantic dedup — the
+    SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus with a coarse quantizer, then compare ONLY within-cluster
+    pairs against a cosine threshold. The quadratic step is bounded by
+    the largest cell, never the corpus: with ~sqrt(n) cells the
+    expected within-cell work is ~n^1.5/n_cells, and the join is a
+    cell_id equi-join (partition-prunable at 10^12 rows) — no
+    all-pairs comparison exists anywhere in the plan (plan-asserted by
+    tests: no Cartesian/BroadcastNestedLoop).
+
+    Reuses the IVF coarse quantizer (similarity._ivf_centroids /
+    _ivf_cells: deterministic md5-least centroids, broadcast
+    assignment pass) so the index built for ANN serving IS the dedup
+    clustering. Returns (doc_a, doc_b) with doc_a < doc_b and
+    within-cell cosine >= tau_bp basis points.
+    """
+    from quanta_spark.operators.similarity import _cosine_bp, _ivf_cells, _ivf_centroids
+
+    _, cent_mat = _ivf_centroids(corpus, n_cells)
+    assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
+    a = assigned.select(
+        "cell_id", F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_emb_a")
+    )
+    b = assigned.select(
+        "cell_id", F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_emb_b")
+    )
+    return (
+        a.join(b, "cell_id")  # equi-join: bounded by the largest cell
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .filter(_cosine_bp("_emb_a", "_emb_b") >= F.lit(int(tau_bp)))
+        .select("doc_a", "doc_b")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame, n_cells: int = 16, tau_bp: int = 9900
+) -> DataFrame:
+    """Full SemDeDup composite: IVF cell assignment -> within-cell
+    cosine>=tau candidate pairs -> large/small-star connected
+    components -> survivor anti-join (keep each component's min
+    vec_id). Proves the ANN family and the dedup family COMPOSE —
+    the embedding analog of the text pipeline q63.
+
+    Returns the SURVIVING corpus as (vec_id, group_size) where
+    group_size counts the corpus vectors this survivor absorbed
+    (1 = no semantic duplicate found)."""
+    pairs = semantic_dedup_pairs(corpus, n_cells=n_cells, tau_bp=tau_bp)
+    comps = dedup_components(pairs)
+    removed = comps.filter(F.col("doc_id") != F.col("component_id"))
+    sizes = (
+        removed.groupBy("component_id")
+        .agg((F.count(F.lit(1)) + F.lit(1)).alias("group_size"))
+    )
+    return (
+        corpus.join(
+            removed.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        .join(
+            sizes.select(F.col("component_id").alias("vec_id"), "group_size"),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", F.coalesce("group_size", F.lit(1)).alias("group_size"))
+    )

@@ -3783,3 +3783,88 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "feature_milli",
     )
+
+
+_Q102_CORPUS = """corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+_Q102_ORACLE = f"""
+WITH RECURSIVE {_Q102_CORPUS},
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_Q56_CENT_ORDER}) - 1 AS BIGINT) AS cell_id,
+         embedding AS c_emb
+  FROM corpus
+  ORDER BY {_Q56_CENT_ORDER}
+  LIMIT 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(c.c_emb AS DOUBLE[])) * 10000) AS BIGINT) AS sim_bp
+  FROM corpus e, cents c
+),
+cell AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_bp DESC, cell_id ASC) AS rk
+    FROM asg
+  ) t WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM cell a JOIN cell b ON b.cell_id = a.cell_id AND b.vec_id > a.vec_id
+  WHERE CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 9900
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
+removed AS (SELECT doc_id, component_id FROM comp WHERE doc_id <> component_id),
+sizes AS (
+  SELECT component_id, count(*) + 1 AS group_size FROM removed GROUP BY component_id
+)
+SELECT c.vec_id, CAST(COALESCE(s.group_size, 1) AS BIGINT) AS group_size
+FROM corpus c
+LEFT JOIN removed rm ON rm.doc_id = c.vec_id
+LEFT JOIN sizes s ON s.component_id = c.vec_id
+WHERE rm.doc_id IS NULL
+"""
+
+
+@query("q102_semantic_dedup", _Q102_ORACLE)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composite (VERDICT r05 ask #5): IVF cell assignment ->
+    within-cell cosine>=0.99 candidate pairs -> large/small-star
+    connected components -> survivor anti-join. The corpus plants
+    deterministic semantic duplicates (exact embedding clones at
+    vec_id+100000 for every 5th vector, a second clone at +200000 for
+    every 10th, forming 3-node components that exercise the star
+    contraction beyond trivial pairs) among the real vectors, whose
+    max pairwise cosine (~0.51) sits far below tau — the oracle
+    re-derives the ENTIRE chain: q56's md5-least centroid/assignment
+    SQL + within-cell pair join + q45's recursive-CTE components.
+    Proves the ANN clustering and the dedup-components families
+    compose (embedding analog of the text pipeline q63)."""
+    from quanta_spark.operators.dedup import semantic_dedup
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    clones1 = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    clones2 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones1).unionByName(clones2)
+    return semantic_dedup(corpus, n_cells=16, tau_bp=9900)

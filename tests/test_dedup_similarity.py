@@ -750,3 +750,28 @@ def test_hard_negatives_excludes_same_label(spark, emb2):
         want_ids = [vid for _s, vid in sims]
         got_ids = [r["vec_id"] for r in sorted((x for x in got if x["query_id"] == qid), key=lambda r: r["rank"])]
         assert got_ids == want_ids, (qid, got_ids, want_ids)
+
+
+def test_semantic_dedup_collapses_exact_clone_groups(spark):
+    """Planted 2- and 3-member clone groups collapse to their min
+    vec_id with the right group_size; unique vectors survive with
+    group_size 1."""
+    from quanta_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    c1 = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    c2 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(c1).unionByName(c2)
+    n = emb.count()
+    got = {r["vec_id"]: r["group_size"] for r in semantic_dedup(corpus).collect()}
+    # every original survives (it is its clone group's min), no clone does
+    assert set(got) == set(range(n))
+    for v in range(n):
+        want = 3 if v % 10 == 0 else 2 if v % 5 == 0 else 1
+        assert got[v] == want, (v, got[v], want)

@@ -341,3 +341,22 @@ def test_q98_interval_join_is_equi_not_nested_loop(spark):
     plan = _plan(spark, "q98_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q102_semantic_dedup_no_all_pairs(spark):
+    """SemDeDup's quadratic step must be bounded by the largest IVF
+    cell: the candidate join is a cell_id equi-join, never an
+    all-pairs Cartesian/BroadcastNestedLoop (VERDICT r05 ask #5)."""
+    from quanta_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    plan = (
+        semantic_dedup_pairs(emb, n_cells=16, tau_bp=9900)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
