@@ -431,16 +431,13 @@ def simhash(df: DataFrame, text_col: str = "text", hasher: str = "xxhash64") -> 
     return bit_sums.select("doc_id", *[chunk(c).alias(f"c{c}") for c in range(4)])
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, max_hamming: int = 3, hasher: str = "xxhash64"
-) -> DataFrame:
-    """SimHash near-dup pairs: block on the 4 x 16-bit chunks (any
-    pair within Hamming distance <=3 shares at least one chunk —
-    pigeonhole — so candidate recall is 1.0 DETERMINISTICALLY and the
-    blocked output equals the all-pairs answer, which is what the
-    DuckDB oracle computes), verify Hamming JVM-side via
-    bit_count(xor) per chunk."""
-    sh = simhash(df, hasher=hasher)
+def chunked_hamming_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole-blocked Hamming pairs over a 64-bit signature stored
+    as 4 x 16-bit chunk columns (doc_id, c0..c3): any pair within
+    Hamming distance <=3 shares at least one intact chunk, so blocking
+    on (chunk_id, chunk) has candidate recall 1.0 DETERMINISTICALLY
+    and the blocked output equals the all-pairs answer. Shared by text
+    SimHash and image pHash — the signature layout is the contract."""
     sig_cols = [f"c{c}" for c in range(4)]
     chunks = sh.select(
         "doc_id",
@@ -473,6 +470,29 @@ def simhash_near_dup_pairs(
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the 4 x 16-bit chunks (see
+    chunked_hamming_pairs for the pigeonhole argument), verify
+    Hamming JVM-side via bit_count(xor) per chunk."""
+    return chunked_hamming_pairs(simhash(df, hasher=hasher), max_hamming)
+
+
+def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual IMAGE near-dup pairs — the multimodal member of the
+    dedup family: 64-bit DCT pHash per blob (multimodal.phash_images,
+    one Arrow decode pass) band-bucketed exactly like text SimHash.
+    Re-encodes of the same pixels (PNG <-> BMP <-> JPEG-q75) land
+    within ``max_hamming`` bits and collide; distinct images do not —
+    pinned by the q103 gate with planted cross-container clones.
+    Input: (media_id, payload); output (doc_a, doc_b, hamming)."""
+    from quanta_spark.operators.multimodal import phash_images
+
+    sig = phash_images(media).withColumnRenamed("media_id", "doc_id")
+    return chunked_hamming_pairs(sig, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -742,3 +742,162 @@ def repartition_by_size(
     return bucketed.repartitionByRange(n_buckets, "_bucket").drop(
         "_sz", "_key", "_rid", "_start", "_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (pHash) — multimodal member of the dedup
+# family (VERDICT r05 ask #6)
+# ---------------------------------------------------------------------------
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the JPEG/pHash transform)."""
+    k = np.arange(n)
+    M = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    M[0] *= 1 / np.sqrt(2)
+    return M * np.sqrt(2.0 / n)
+
+
+def _phash_one(g: np.ndarray, dct32: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash of a grayscale image:
+    area-average to 32x32, 2D DCT, keep the low-frequency 8x8 block,
+    threshold each coefficient against the median of the 63 AC
+    coefficients. Container- and quality-robust: PNG/BMP re-encodes
+    hash identically, JPEG-q75 re-encodes land within a few bits
+    (measured 0 on the gate's pattern family, tests pin <=3)."""
+    h, w = g.shape
+    if (h, w) != (32, 32):
+        ye = np.linspace(0, h, 33).astype(np.int64)
+        xe = np.linspace(0, w, 33).astype(np.int64)
+        out = np.empty((32, 32))
+        for i in range(32):
+            y0, y1 = ye[i], max(ye[i + 1], ye[i] + 1)
+            for j in range(32):
+                x0, x1 = xe[j], max(xe[j + 1], xe[j] + 1)
+                out[i, j] = g[y0:y1, x0:x1].mean()
+        g = out
+    coef = dct32 @ g.astype(np.float64) @ dct32.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = (block > med).astype(np.uint8)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def phash_images(df: DataFrame, strict: bool = True) -> DataFrame:
+    """64-bit DCT pHash per image blob (BMP/PNG/JPEG containers), one
+    Arrow decode pass. Output carries the signature as 4 x 16-bit
+    chunk columns (c0..c3) — the SAME layout as text SimHash
+    (dedup.simhash), so dedup's pigeonhole chunk-blocking join is
+    reused verbatim for image near-dup pairing: any two hashes within
+    Hamming distance <=3 share at least one intact 16-bit chunk.
+
+    ``strict=False``: corrupt blobs emit _status=ERROR rows instead
+    of failing the batch (same contract as decode_media)."""
+    from quanta_spark.operators import codecs
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dct32 = _dct_mat(32)
+
+        def one(b: bytes) -> int:
+            if b[:8] == codecs._PNG_SIG:
+                px = codecs.decode_png(b)
+            elif b[:2] == b"\xff\xd8":
+                px = codecs.decode_jpeg(b)
+            elif b[:2] == b"BM":
+                px = codecs.decode_bmp(b)
+            else:
+                raise NotImplementedError(
+                    f"phash_images: unsupported container magic {b[:4]!r} "
+                    "(BMP/PNG/JPEG decode here)"
+                )
+            px = px.astype(np.float64)
+            g = (
+                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                if px.ndim == 3 and px.shape[-1] >= 3
+                else px[..., 0] if px.ndim == 3 else px
+            )
+            return _phash_one(g, dct32)
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "c0": [], "c1": [], "c2": [], "c3": []}
+            if not strict:
+                out["_status"] = []
+                out["_error"] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if strict:
+                    hv = one(b)
+                    st = err = None
+                else:
+                    try:
+                        hv, st, err = one(b), "OK", None
+                    except Exception as e:
+                        hv, st = None, "ERROR"
+                        err = f"phash_images: {type(e).__name__}: {e}"
+                out["media_id"].append(mid)
+                for c in range(4):
+                    out[f"c{c}"].append(
+                        None if hv is None else (hv >> (c * 16)) & 0xFFFF
+                    )
+                if not strict:
+                    out["_status"].append(st)
+                    out["_error"].append(err)
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, c0 int, c1 int, c2 int, c3 int"
+    if not strict:
+        schema += ", _status string, _error string"
+    return df.select("media_id", "payload").mapInPandas(fn, schema=schema)
+
+
+def textured_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic TEXTURED image table for the pHash gate (q103):
+    per doc_id, a 32x32 gray pattern built in DCT space — 31 low-
+    frequency coefficients at +A, 31 at -A, one near zero (random
+    placement seeded by doc_id). The bimodal coefficient layout keeps
+    every pHash bit far from the median threshold, so re-encoding the
+    SAME pixels through a lossy container moves the hash by ~0 bits
+    (measured 0 over 500 docs at JPEG q75) while DISTINCT doc patterns
+    differ by >=14 bits — the deterministic margin that makes a pairs
+    oracle possible for a perceptual hash.
+
+    Containers: PNG original per doc; JPEG-q75 clone at media_id
+    +500000 for every 5th doc; BMP clone at +600000 for every 10th
+    (3-container clone groups)."""
+    from quanta_spark.operators import codecs
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dct32 = _dct_mat(32)
+
+        def pattern(d: int) -> np.ndarray:
+            rng = np.random.default_rng(d * 9973 + 17)
+            vals = np.array([0.0] + [6.0] * 31 + [-6.0] * 31)
+            rng.shuffle(vals)
+            C = np.zeros((32, 32))
+            C[:8, :8].flat[1:] = vals
+            img = dct32.T @ C @ dct32  # inverse orthonormal DCT
+            g = np.clip(128 + img * 12.0, 0, 255).astype(np.uint8)
+            return np.stack([g] * 3, axis=-1)
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = pattern(d)
+                ids.append(d)
+                payloads.append(codecs.encode_png(px))
+                if d % 5 == 0:
+                    ids.append(d + 500000)
+                    payloads.append(codecs.encode_jpeg(px, quality=75))
+                if d % 10 == 0:
+                    ids.append(d + 600000)
+                    payloads.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )

@@ -3868,3 +3868,35 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(clones1).unionByName(clones2)
     return semantic_dedup(corpus, n_cells=16, tau_bp=9900)
+
+
+@query(
+    "q103_phash_image_neardup",
+    """
+SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id AS doc_a, doc_id + 600000 AS doc_b
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 500000 AS doc_a, doc_id + 600000 AS doc_b
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (VERDICT r05 ask #6): REAL container
+    bytes — a textured PNG per doc, the SAME pixels re-encoded through
+    JPEG-q75 for every 5th doc and BMP for every 10th — hashed with a
+    64-bit DCT pHash in one Arrow decode pass, then band-bucketed with
+    the text-SimHash pigeonhole blocking (dedup.chunked_hamming_pairs,
+    lossless for Hamming <=3). The oracle predicts the EXACT pair set
+    from doc_id arithmetic alone: cross-container clone pairs (incl.
+    the 3-node PNG/JPEG/BMP groups) must all collide and no distinct-
+    image pair may appear — a false positive or a missed clone both
+    hash-mismatch. Pattern family margin: clone Hamming 0, distinct
+    >=14 (multimodal.textured_media_from_documents)."""
+    from quanta_spark.operators.dedup import phash_near_dup_pairs
+    from quanta_spark.operators.multimodal import textured_media_from_documents
+
+    media = textured_media_from_documents(spark.table("documents"))
+    return phash_near_dup_pairs(media, max_hamming=3).select("doc_a", "doc_b")

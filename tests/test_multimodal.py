@@ -353,3 +353,43 @@ def test_resize_and_features_nonstrict_isolate_corrupt_blob(spark):
     assert ft[0]["_status"] == "OK" and ft[0]["luma_mean_milli"] is not None
     assert ft[1]["_status"] == "ERROR" and ft[1]["kind"] is None
     assert ft[2]["_error"].startswith("extract_media_features:")
+
+
+def test_phash_clone_recall_and_separation(spark):
+    """pHash near-dup: every cross-container re-encode of the same
+    pixels (PNG<->JPEG-q75<->BMP) must collide at hamming<=3 and no
+    distinct-image pair may appear — recall 1.0 AND precision 1.0 on
+    the planted clone groups."""
+    from quanta_spark.operators.dedup import phash_near_dup_pairs
+    from quanta_spark.operators.multimodal import textured_media_from_documents
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    media = textured_media_from_documents(docs)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in phash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    want = set()
+    for d in range(60):
+        if d % 5 == 0:
+            want.add((d, d + 500000))
+        if d % 10 == 0:
+            want.add((d, d + 600000))
+            want.add((d + 500000, d + 600000))
+    assert got == want
+
+
+def test_phash_images_nonstrict_corrupt_blob(spark):
+    from quanta_spark.operators.multimodal import phash_images
+
+    gray = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_bmp(gray))),
+        (1, bytearray(b"\x00\x01\x02\x03junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in phash_images(df, strict=False).collect()}
+    assert got[0]["_status"] == "OK" and got[0]["c0"] is not None
+    assert got[1]["_status"] == "ERROR" and got[1]["c0"] is None
+    with pytest.raises(Exception):
+        phash_images(df).collect()  # strict default raises
