@@ -114,6 +114,35 @@ def _ops():
             "doc_id", "lang", ws_token_count(F.col("text")).alias("n_tokens")
         )
 
+    from quanta_spark.operators.dedup import semantic_dedup as _sem_dedup
+    from quanta_spark.plans.bucketing import (
+        cocluster_join as _cojoin,
+        write_bucketed as _wbucket,
+    )
+
+    def _bucketed_cocluster(docs):
+        # layout-write + exchange-free co-located join&agg, timed
+        # TOGETHER: the write is the once-per-layout shuffle this
+        # design pays so every later conv_id join/groupBy pays none
+        spark = _SCALE_CTX["spark"]
+        tag = _SCALE_CTX["tag"]
+        turns = docs.select(
+            (F.col("doc_id") / 10).cast("long").alias("conv_id"),
+            (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+            "text",
+        )
+        convs = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+        lt, rt = f"qs_ss_turns_{tag.replace('.', '_')}", f"qs_ss_convs_{tag.replace('.', '_')}"
+        base = f"/tmp/qs_ss_bucketed_{tag}"
+        for name, df_, sub in ((lt, turns, "turns"), (rt, convs, "convs")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            _wbucket(df_, name, n_buckets=32, key="conv_id", path=os.path.join(base, sub))
+        return (
+            _cojoin(spark, lt, rt, "conv_id")
+            .groupBy("conv_id", "n_turns")
+            .agg(F.max("turn_idx").alias("max_idx"))
+        )
+
     return {
         "exact_dedup": lambda docs, emb: exact_dedup_groups(docs),
         "quality_features": lambda docs, emb: quality_features(docs),
@@ -237,6 +266,11 @@ def _ops():
             chunk_tokens=24,
             overlap=6,
         ),
+        # fixed expected cell size -> within-cell pair work linear in
+        # the corpus (dedup.DEDUP_CELL_TARGET); zero dup pairs in the
+        # synthetic vectors, so this times assignment + scoring
+        "semantic_dedup": lambda docs, emb: _sem_dedup(emb, n_cells=None),
+        "bucketed_cocluster": lambda docs, emb: _bucketed_cocluster(docs),
     }
 
 
@@ -259,6 +293,7 @@ def main() -> None:
     for tag, (n_docs, n_vecs, n_events) in SCALES.items():
         _SCALE_CTX["cms_threshold"] = max(50, n_docs // 100)
         _SCALE_CTX["spark"] = spark
+        _SCALE_CTX["tag"] = tag
         d = _input_dir(tag, n_docs, n_vecs)
         ed = f"/tmp/qs_scale_events_{tag}_{n_events}"
         if not os.path.exists(os.path.join(ed, "_DONE")):

@@ -718,8 +718,18 @@ def accept_and_append_index(
 # ---------------------------------------------------------------------------
 
 
+#: target vectors per IVF cell when semantic dedup sizes its own
+#: clustering: within-cell pair work is then ~n * DEDUP_CELL_TARGET/2
+#: — LINEAR in the corpus (SemDeDup's k-means plays the same role:
+#: fixed expected cluster size keeps the quadratic step bounded).
+#: Above MAX_IVF_CELLS * DEDUP_CELL_TARGET vectors the broadcast-
+#: centroid cap binds and cells grow; the cluster-scale answer is a
+#: hierarchical (two-level) quantizer, same equi-join shape per level.
+DEDUP_CELL_TARGET = 256
+
+
 def semantic_dedup_pairs(
-    corpus: DataFrame, n_cells: int = 16, tau_bp: int = 9900
+    corpus: DataFrame, n_cells: int | None = 16, tau_bp: int = 9900
 ) -> DataFrame:
     """Candidate pairs for embedding-level semantic dedup — the
     SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -737,8 +747,19 @@ def semantic_dedup_pairs(
     clustering. Returns (doc_a, doc_b) with doc_a < doc_b and
     within-cell cosine >= tau_bp basis points.
     """
-    from quanta_spark.operators.similarity import _cosine_bp, _ivf_cells, _ivf_centroids
+    from quanta_spark.operators.similarity import (
+        MAX_IVF_CELLS,
+        _cosine_bp,
+        _ivf_cells,
+        _ivf_centroids,
+    )
 
+    if n_cells is None:
+        # fixed expected cell SIZE, not sqrt(n): keeps within-cell
+        # pair work linear in the corpus (one O(1)-result action)
+        n_cells = max(
+            1, min(MAX_IVF_CELLS, corpus.count() // DEDUP_CELL_TARGET)
+        )
     _, cent_mat = _ivf_centroids(corpus, n_cells)
     assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
     a = assigned.select(
@@ -756,7 +777,7 @@ def semantic_dedup_pairs(
 
 
 def semantic_dedup(
-    corpus: DataFrame, n_cells: int = 16, tau_bp: int = 9900
+    corpus: DataFrame, n_cells: int | None = 16, tau_bp: int = 9900
 ) -> DataFrame:
     """Full SemDeDup composite: IVF cell assignment -> within-cell
     cosine>=tau candidate pairs -> large/small-star connected

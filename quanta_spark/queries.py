@@ -3900,3 +3900,54 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = textured_media_from_documents(spark.table("documents"))
     return phash_near_dup_pairs(media, max_hamming=3).select("doc_a", "doc_b")
+
+
+@query(
+    "q104_bucketed_cocluster",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+convs AS (
+  SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts
+  FROM transcripts GROUP BY conv_id
+)
+SELECT t.conv_id, c.n_turns, c.first_ts,
+       count(*) AS n_user_turns,
+       CAST(max(t.turn_idx) AS INT) AS max_user_turn_idx
+FROM transcripts t JOIN convs c ON c.conv_id = t.conv_id
+WHERE t.role = 'user'
+GROUP BY t.conv_id, c.n_turns, c.first_ts
+""",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-located join + aggregation (VERDICT r05 ask
+    #8): the turns table and the per-conversation dim are PERSISTED
+    hash-bucketed by conv_id with the same bucket count
+    (plans/bucketing.write_bucketed ≙ Iceberg bucket(N, conv_id)
+    partition transforms, SURVEY.md §4.2), then joined and aggregated
+    ON the bucket key — the layout that moves the conv_id exchange to
+    write time, once, so every subsequent join/groupBy on the key runs
+    exchange-free (zero Exchange nodes, plan-asserted by
+    tests/test_bucketing.py with broadcast disabled). The oracle
+    checks the VALUES of the co-located join+agg against plain SQL."""
+    from quanta_spark.plans.bucketing import cocluster_join, write_bucketed
+
+    t = transcripts_df(spark)
+    convs = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), F.min("ts").alias("first_ts")
+    )
+    base = tempfile.mkdtemp(prefix="qs_g104_")
+    for name in ("qs_g104_turns", "qs_g104_convs"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(t, "qs_g104_turns", n_buckets=8, path=os.path.join(base, "turns"))
+    write_bucketed(
+        convs, "qs_g104_convs", n_buckets=8, path=os.path.join(base, "convs")
+    )
+    j = cocluster_join(spark, "qs_g104_turns", "qs_g104_convs", "conv_id")
+    return (
+        j.filter(F.col("role") == "user")
+        .groupBy("conv_id", "n_turns", "first_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_turns"),
+            F.max("turn_idx").cast("int").alias("max_user_turn_idx"),
+        )
+    )

@@ -131,3 +131,25 @@ def test_zorder_localizes_both_dimensions(spark):
     # z-order: BOTH dimensions localized well below full range
     assert mean_span(z, "x") < 0.5 * (n - 1), mean_span(z, "x")
     assert mean_span(z, "y") < 0.5 * (n - 1), mean_span(z, "y")
+
+
+def test_q104_gate_join_and_agg_are_exchange_free(spark):
+    """The q104 driver gate's co-located join+agg, planned the way a
+    10^12-turn table must be (broadcast disabled): the only Exchange
+    allowed in the WHOLE plan is none — both the conv_id join and the
+    groupBy ride the bucketed scan distribution."""
+    from quanta_spark import queries as q
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.QUERY_FNS["q104_bucketed_cocluster"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("qs_g104_turns", "qs_g104_convs"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -44,3 +44,23 @@ def test_doc_gate_claims_match_driver_rows():
                 if m.group(1) not in green:
                     bad.append(f"{doc}:{i}: claims {m.group(0)!r} with no green driver row")
     assert bad == [], "\n".join(bad)
+
+
+def test_doc_pending_claims_are_actually_pending():
+    """Reverse direction (VERDICT r05 ask #7): a "qNN driver-pending"
+    note whose query already HAS a green driver row is stale — docs
+    must upgrade it to "qNN ✓ rNN"."""
+    green = _ever_green_prefixes()
+    bad: list[str] = []
+    for doc in ("COVERAGE.md", "README.md"):
+        p = os.path.join(HERE, doc)
+        if not os.path.exists(p):
+            continue
+        for i, line in enumerate(open(p), 1):
+            for m in re.finditer(r"\b(q\d+)\w*\s+driver-pending", line):
+                if m.group(1) in green:
+                    bad.append(
+                        f"{doc}:{i}: {m.group(0)!r} is stale — the query has a "
+                        "green driver row"
+                    )
+    assert bad == [], "\n".join(bad)
