@@ -123,11 +123,17 @@ def _doc_stream_dir(n_docs: int, n_files: int = 32) -> str:
                 pa.field("ts", pa.timestamp("us")),
             ]
         )
+        from quanta_spark.datagen import stamp_arrival_order
+
+        paths = []
         for k, ix in enumerate(np.array_split(np.arange(len(pdf)), n_files)):
+            path = os.path.join(cache, f"part-{k:05d}.parquet")
             pq.write_table(
                 pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
-                os.path.join(cache, f"part-{k:05d}.parquet"),
+                path,
             )
+            paths.append(path)
+        stamp_arrival_order(paths)  # no ms-mtime ties in replay order
         open(marker, "w").close()
     return cache
 

@@ -806,3 +806,72 @@ def semantic_dedup(
         )
         .select("vec_id", F.coalesce("group_size", F.lit(1)).alias("group_size"))
     )
+
+
+def phash_index(media: DataFrame) -> DataFrame:
+    """Static historical pHash index for the streaming image gate:
+    one row per (chunk_id, chunk) per image, full signature carried
+    for the verify step. Build once per ingestion epoch; the stream
+    probes it with a (chunk_id, chunk) equi-join."""
+    from quanta_spark.operators.multimodal import phash_images
+
+    sig = phash_images(media)
+    return sig.select(
+        F.col("media_id").alias("idx_media_id"),
+        *[F.col(f"c{c}").alias(f"i{c}") for c in range(4)],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk"))
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select("idx_media_id", "i0", "i1", "i2", "i3", "cc.chunk_id", "cc.chunk")
+
+
+def stream_phash_gate(
+    stream_media: DataFrame,
+    index: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming IMAGE ingestion near-dup gate — the multimodal analog
+    of stream_neardup_gate: every arriving image blob is pHashed in a
+    stateless Arrow pass (append-mode safe; the watermark is applied
+    AFTER the pass since mapInPandas emits fresh attributes), probed
+    against the historical pHash index via a stream-static
+    (chunk_id, chunk) equi-join — O(new data + matched buckets) per
+    day, never O(corpus) — then watermark-bounded pair dedup (a clone
+    sharing several intact chunks must report once) and the exact
+    Hamming verify as a codegen filter. Emits matches eagerly; the
+    watermark only evicts dedup state."""
+    from quanta_spark.operators.multimodal import phash_images
+
+    sig = phash_images(stream_media, keep=((ts_col, "timestamp"),))
+    if sig.isStreaming:
+        sig = sig.withWatermark(ts_col, watermark)
+    chunks = sig.select(
+        F.col("media_id").alias("new_media_id"),
+        *[f"c{c}" for c in range(4)],
+        ts_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk"))
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select(
+        "new_media_id", "c0", "c1", "c2", "c3", ts_col, "cc.chunk_id", "cc.chunk"
+    )
+    joined = chunks.join(index, ["chunk_id", "chunk"])
+    if joined.isStreaming:
+        pairs = joined.dropDuplicatesWithinWatermark(["new_media_id", "idx_media_id"])
+    else:
+        pairs = joined.dropDuplicates(["new_media_id", "idx_media_id"])
+    hamming = sum(
+        F.bit_count(F.col(f"c{c}").bitwiseXOR(F.col(f"i{c}")).cast("long"))
+        for c in range(4)
+    ).cast("int")
+    return pairs.select(
+        "new_media_id", "idx_media_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -783,7 +783,11 @@ def _phash_one(g: np.ndarray, dct32: np.ndarray) -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
-def phash_images(df: DataFrame, strict: bool = True) -> DataFrame:
+def phash_images(
+    df: DataFrame,
+    strict: bool = True,
+    keep: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
     """64-bit DCT pHash per image blob (BMP/PNG/JPEG containers), one
     Arrow decode pass. Output carries the signature as 4 x 16-bit
     chunk columns (c0..c3) — the SAME layout as text SimHash
@@ -792,7 +796,12 @@ def phash_images(df: DataFrame, strict: bool = True) -> DataFrame:
     Hamming distance <=3 share at least one intact 16-bit chunk.
 
     ``strict=False``: corrupt blobs emit _status=ERROR rows instead
-    of failing the batch (same contract as decode_media)."""
+    of failing the batch (same contract as decode_media).
+
+    ``keep``: (name, ddl_type) pairs carried through the pass
+    untouched (e.g. an event-time column on a stream — mapInPandas
+    emits fresh attributes, so the watermark is applied AFTER this
+    pass, same shape as similarity._ivf_cells)."""
     from quanta_spark.operators import codecs
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -844,12 +853,36 @@ def phash_images(df: DataFrame, strict: bool = True) -> DataFrame:
                 if not strict:
                     out["_status"].append(st)
                     out["_error"].append(err)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for name, _t in keep:
+                res[name] = pdf[name].reset_index(drop=True)
+            yield res
 
     schema = "media_id long, c0 int, c1 int, c2 int, c3 int"
     if not strict:
         schema += ", _status string, _error string"
-    return df.select("media_id", "payload").mapInPandas(fn, schema=schema)
+    for name, t in keep:
+        schema += f", {name} {t}"
+    return df.select("media_id", "payload", *[n for n, _t in keep]).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def textured_pattern(d: int) -> np.ndarray:
+    """Deterministic 32x32 RGB pattern for seed ``d``, built in DCT
+    space: 31 low-frequency coefficients at +A, 31 at -A, one near
+    zero. Bimodal coefficients keep every pHash bit far from the
+    median threshold — measured margins: same pixels re-encoded
+    through JPEG-q75 move 0 bits; distinct seeds differ by >=14."""
+    dct32 = _dct_mat(32)
+    rng = np.random.default_rng(d * 9973 + 17)
+    vals = np.array([0.0] + [6.0] * 31 + [-6.0] * 31)
+    rng.shuffle(vals)
+    C = np.zeros((32, 32))
+    C[:8, :8].flat[1:] = vals
+    img = dct32.T @ C @ dct32  # inverse orthonormal DCT
+    g = np.clip(128 + img * 12.0, 0, 255).astype(np.uint8)
+    return np.stack([g] * 3, axis=-1)
 
 
 def textured_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -869,17 +902,7 @@ def textured_media_from_documents(docs: DataFrame) -> DataFrame:
     from quanta_spark.operators import codecs
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dct32 = _dct_mat(32)
-
-        def pattern(d: int) -> np.ndarray:
-            rng = np.random.default_rng(d * 9973 + 17)
-            vals = np.array([0.0] + [6.0] * 31 + [-6.0] * 31)
-            rng.shuffle(vals)
-            C = np.zeros((32, 32))
-            C[:8, :8].flat[1:] = vals
-            img = dct32.T @ C @ dct32  # inverse orthonormal DCT
-            g = np.clip(128 + img * 12.0, 0, 255).astype(np.uint8)
-            return np.stack([g] * 3, axis=-1)
+        pattern = textured_pattern
 
         for pdf in it:
             if not len(pdf):

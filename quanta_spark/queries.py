@@ -3951,3 +3951,92 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("turn_idx").cast("int").alias("max_user_turn_idx"),
         )
     )
+
+
+@query(
+    "q105_stream_phash_gate",
+    """
+SELECT doc_id + 300000 AS new_media_id, doc_id AS idx_media_id
+FROM documents WHERE doc_id % 5 = 0
+""",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image ingestion near-dup gate
+    (dedup.stream_phash_gate): arriving image blobs — JPEG-q75
+    re-encodes of every 5th historical image (+300000) interleaved
+    with genuinely NEW images (fresh pattern seeds, +400000, every 7th
+    doc) — are pHashed in a stateless Arrow pass and probed against a
+    static pHash index of the PNG originals via the stream-static
+    (chunk_id, chunk) equi-join; repeated chunk hits dedup within the
+    watermark, exact Hamming verify as a codegen filter. The oracle
+    predicts the exact match set from doc_id arithmetic (pattern-
+    family margins measured: cross-container clone Hamming 0, distinct
+    >=14): every clone matches ONLY its original, every fresh image
+    matches nothing. Multimodal analog of q83."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators import codecs
+    from quanta_spark.operators.dedup import phash_index, stream_phash_gate
+    from quanta_spark.operators.multimodal import (
+        textured_media_from_documents,
+        textured_pattern,
+    )
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    docs = spark.table("documents").select("doc_id")
+    originals = textured_media_from_documents(docs).filter(
+        F.col("media_id") < 500000  # PNG originals only
+    )
+    index = phash_index(originals).cache()
+    index.count()
+
+    doc_ids = sorted(r["doc_id"] for r in docs.collect())
+    _guard_gate_rows(len(doc_ids), "image stream input")
+    rows = []
+    for d in doc_ids:
+        if d % 5 == 0:  # lossy re-encode of a known image
+            rows.append((d + 300000, codecs.encode_jpeg(textured_pattern(d), quality=75)))
+        if d % 7 == 0:  # genuinely new image, fresh pattern seed
+            rows.append((d + 400000, codecs.encode_png(textured_pattern(d + 1_000_000))))
+    pdf = pd.DataFrame({"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]})
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(len(pdf)), unit="s")
+    d_dir = tempfile.mkdtemp(prefix="qs_imgstream_")
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("payload", pa.binary()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        path = os.path.join(d_dir, f"part-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            path,
+        )
+        paths.append(path)
+    stamp_arrival_order(paths)  # no ms-mtime ties in replay order
+
+    src = (
+        spark.readStream.schema("media_id long, payload binary, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d_dir)
+    )
+    out_stream = stream_phash_gate(src, index)
+    rows_out: list = []
+
+    def _sink(b, i):
+        rows_out.extend(b.collect())
+        _guard_gate_rows(len(rows_out), "collected output")
+
+    h = start_pipeline(out_stream, _sink, tempfile.mkdtemp(prefix="qs_imgstream_ckpt_"))
+    run_to_completion(h)
+    out_pdf = pd.DataFrame([r.asDict() for r in rows_out])
+    return spark.createDataFrame(
+        out_pdf[["new_media_id", "idx_media_id"]] if len(out_pdf) else out_pdf,
+        schema="new_media_id long, idx_media_id long",
+    )

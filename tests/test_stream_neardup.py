@@ -134,3 +134,72 @@ def test_loop_with_nondefault_signature_config(spark):
     )
     m3 = stream_neardup_gate(day3, idx2, **cfg).collect()
     assert any(r["idx_doc_id"] == 2045 and r["jaccard"] == 1.0 for r in m3)
+
+
+def test_stream_phash_gate_streaming_matches_only_clones(spark):
+    """Image ingestion gate: JPEG-q75 clones of indexed images match
+    exactly their original; fresh images match nothing. Runs the
+    STREAMING path (file stream, dropDuplicatesWithinWatermark)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.datagen import stamp_arrival_order
+    from quanta_spark.operators import codecs
+    from quanta_spark.operators.dedup import phash_index, stream_phash_gate
+    from quanta_spark.operators.multimodal import textured_pattern
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    hist = spark.createDataFrame(
+        [(d, bytearray(codecs.encode_png(textured_pattern(d)))) for d in range(30)],
+        "media_id long, payload binary",
+    )
+    index = phash_index(hist).cache()
+    index.count()
+
+    rows = [
+        (d + 300000, bytearray(codecs.encode_jpeg(textured_pattern(d), quality=75)))
+        for d in range(0, 30, 5)
+    ] + [
+        (d + 400000, bytearray(codecs.encode_png(textured_pattern(d + 77000))))
+        for d in range(0, 30, 7)
+    ]
+    pdf = pd.DataFrame(
+        {"media_id": [r[0] for r in rows], "payload": [bytes(r[1]) for r in rows]}
+    )
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.arange(len(pdf)), unit="s"
+    )
+    d_dir = tempfile.mkdtemp(prefix="qs_phash_gate_")
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("payload", pa.binary()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 2)):
+        p = os.path.join(d_dir, f"p{k:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False), p
+        )
+        paths.append(p)
+    stamp_arrival_order(paths)
+
+    src = (
+        spark.readStream.schema("media_id long, payload binary, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d_dir)
+    )
+    out: list = []
+    h = start_pipeline(
+        stream_phash_gate(src, index),
+        lambda b, i: out.extend(b.collect()),
+        tempfile.mkdtemp(prefix="qs_phash_gate_ckpt_"),
+    )
+    run_to_completion(h)
+    got = {(r["new_media_id"], r["idx_media_id"]) for r in out}
+    assert got == {(d + 300000, d) for d in range(0, 30, 5)}
+    assert all(r["hamming"] <= 3 for r in out)
