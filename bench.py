@@ -110,6 +110,14 @@ def timed_leg(fn) -> tuple[float, float, float]:
     return dt, steal, busy
 
 
+# Global per-run retry budget: a steal-bursty box could otherwise
+# triple every leg (+120s cooldown each) and blow the driver's wall
+# budget — the round-6 first re-run did exactly that and got killed at
+# 590s. At most this many extra attempts / cooldown waits per run;
+# once exhausted, dirty legs keep attempt 0 and are flagged.
+_RETRY_BUDGET = {"retries": 4, "cooldowns": 1}
+
+
 def run_leg(fn_for_attempt, retries: dict, name: str, contaminated: set):
     """Run a leg; steal-contaminated attempts are retried, bounded.
 
@@ -133,6 +141,12 @@ def run_leg(fn_for_attempt, retries: dict, name: str, contaminated: set):
         "attempt0_sec": round(dt, 3),
         "attempt0_steal_cores": round(steal, 2),
     }
+    if _RETRY_BUDGET["retries"] <= 0:
+        rec["kept"] = "attempt0_retry_budget_exhausted"
+        rec["contaminated"] = True
+        contaminated.add(name)
+        return dt, steal, busy
+    _RETRY_BUDGET["retries"] -= 1
     attempts = [(dt, steal, busy)]
     dt1, steal1, busy1 = timed_leg(fn_for_attempt(1))
     rec["attempt1_sec"] = round(dt1, 3)
@@ -141,14 +155,17 @@ def run_leg(fn_for_attempt, retries: dict, name: str, contaminated: set):
         rec["kept"] = "attempt1"
         return dt1, steal1, busy1
     attempts.append((dt1, steal1, busy1))
-    rec["cooldown"] = _wait_for_quiet_box(max_wait_sec=120.0)
-    dt2, steal2, busy2 = timed_leg(fn_for_attempt(2))
-    rec["attempt2_sec"] = round(dt2, 3)
-    rec["attempt2_steal_cores"] = round(steal2, 2)
-    if steal2 <= STEAL_RETRY_CORES:
-        rec["kept"] = "attempt2_post_cooldown"
-        return dt2, steal2, busy2
-    attempts.append((dt2, steal2, busy2))
+    if _RETRY_BUDGET["cooldowns"] > 0 and _RETRY_BUDGET["retries"] > 0:
+        _RETRY_BUDGET["cooldowns"] -= 1
+        _RETRY_BUDGET["retries"] -= 1
+        rec["cooldown"] = _wait_for_quiet_box(max_wait_sec=120.0)
+        dt2, steal2, busy2 = timed_leg(fn_for_attempt(2))
+        rec["attempt2_sec"] = round(dt2, 3)
+        rec["attempt2_steal_cores"] = round(steal2, 2)
+        if steal2 <= STEAL_RETRY_CORES:
+            rec["kept"] = "attempt2_post_cooldown"
+            return dt2, steal2, busy2
+        attempts.append((dt2, steal2, busy2))
     best = min(range(len(attempts)), key=lambda i: attempts[i][1])
     rec["kept"] = f"attempt{best}_least_steal"
     rec["contaminated"] = True
