@@ -127,8 +127,16 @@ def worker(cores: int, data_dir: str, n_turns: int, pipeline: str = "composite")
     wall, rows, listener = run(data_dir, collect_metrics=True)
     j1, i1 = _cpu_jiffies()
     time.sleep(1)
-    data_batches = [p for p in listener.progress if p["numInputRows"] > 0]
-    flush_batches = [p for p in listener.progress if p["numInputRows"] == 0]
+    # A batch is "flush" if it carries no real data: zero input rows,
+    # OR only the 2-row watermark heartbeat. Before the round-6 mtime
+    # stamping, the heartbeat file landed inside the last data batch
+    # via an mtime tie and the drain ran as a separate 0-row batch;
+    # with strictly-increasing mtimes the heartbeat gets its OWN 2-row
+    # batch that does all the eviction work — counting it as data
+    # would silently fold the former flush_sec into the sustained
+    # denominator and break cross-round comparability of the metric.
+    data_batches = [p for p in listener.progress if p["numInputRows"] > 2]
+    flush_batches = [p for p in listener.progress if p["numInputRows"] <= 2]
     data_sec = sum(p["durationMs"].get("triggerExecution", 0) for p in data_batches) / 1000
     flush_sec = sum(p["durationMs"].get("triggerExecution", 0) for p in flush_batches) / 1000
     ncpu = os.cpu_count() or 32
