@@ -99,6 +99,11 @@ def _ops():
         histogram_quantiles as _hist_q,
     )
     from quanta_spark.operators.text import bigram_lm_scores as _bigram_lm
+    from quanta_spark.operators.sampling import dsir_weights as _dsir
+    from quanta_spark.operators.text import (
+        duplicate_spans as _dup_spans,
+        gopher_quality_filters as _gopher,
+    )
 
     def bench_set(docs):
         from quanta_spark.operators.dedup import normalized
@@ -271,6 +276,13 @@ def _ops():
         # synthetic vectors, so this times assignment + scoring
         "semantic_dedup": lambda docs, emb: _sem_dedup(emb, n_cells=None),
         "bucketed_cocluster": lambda docs, emb: _bucketed_cocluster(docs),
+        "duplicate_spans": lambda docs, emb: _dup_spans(docs, k=8),
+        "gopher_quality": lambda docs, emb: _gopher(
+            docs, stopwords=["the", "a", "fast", "slow", "join", "query", "scan", "merge"]
+        ),
+        "dsir_weights": lambda docs, emb: _dsir(
+            docs, target=F.col("text").contains("spark")
+        ),
     }
 
 

@@ -280,3 +280,85 @@ def systematic_weighted_sample(
         F.col("_cum").alias("cum_weight"),
         F.col("_picks").alias("pick_count"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex: int = 3,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-bigram features are
+    under a TARGET distribution (rows where ``target`` is true, e.g. a
+    trusted high-quality slice) than under the raw corpus
+    distribution. The canonical "make 100 TB of web text look like
+    the target domain" selection operator.
+
+    Features are word bigrams hashed into 16**bucket_hex buckets via
+    the first ``bucket_hex`` hex chars of md5 — engine-portable (the
+    SQL oracle computes the identical bucket) and collision-folding
+    exactly as DSIR prescribes. Per-document log-importance:
+
+        w(d) = sum_f [ ln(ct[b(f)]+1) - ln(cr[b(f)]+1) ] + n_f * C,
+        C = ln(Tr + B) - ln(Tt + B)   (add-one smoothing)
+
+    Plan shape at 100 TB: ONE explode (a bigram per token), a groupBy
+    on the bucket key whose distinct-count is FIXED (16**bucket_hex =
+    4096 by default) so partial aggregation crushes it map-side and
+    the bucket table broadcasts; then one per-document aggregation —
+    the only real shuffle. No Python anywhere.
+
+    Returns (id_col, n_features, score_e4, selected): score_e4 is the
+    weight in 1e-4 units via floor(x*1e4 + 0.5) (portable rounding),
+    selected = score > 0 (more target-like than raw) — a pure filter,
+    no global sort."""
+    b = 16 ** bucket_hex
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    feats = (
+        df.select(id_col, target.alias("_is_t"), toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            id_col,
+            "_is_t",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    f"i -> substring(md5(concat(element_at(_t, i), ' ', "
+                    f"element_at(_t, i + 1))), 1, {bucket_hex}))"
+                )
+            ).alias("bucket"),
+        )
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("ct") + 1)
+            - F.log(F.col("cr") + 1)
+            + F.log(F.col("tr") + b)
+            - F.log(F.col("tt") + b)
+        ).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_features"),
+            F.floor(F.sum("w") * 10000 + 0.5).cast("long").alias("score_e4"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            "score_e4",
+            (F.col("score_e4") > 0).alias("selected"),
+        )
+    )

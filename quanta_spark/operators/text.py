@@ -496,3 +496,144 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text") -> DataFrame:
         "removed_chars",
         (F.length(F.col(text_col)) - F.length("clean_text")).cast("int"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-substring spans — the suffix-array dedup of
+    Lee et al. (2022, "Deduplicating Training Data Makes Language
+    Models Better") re-expressed as relational algebra: instead of a
+    global suffix array, every k-token gram is fingerprinted and the
+    grams that occur in >=2 DISTINCT documents are merged back into
+    maximal per-document spans (gaps-and-islands over gram start
+    positions). The reference engine has no relational layer at all
+    (stage chain only, /root/reference/engine/runner.go); this is the
+    training-data operator its pipelines would feed.
+
+    Plan shape at 100 TB: ONE explode (a gram per token, like the
+    suffix array's suffix-per-token), ONE shuffle on the 16-byte gram
+    fingerprint (the relational analog of the suffix sort — inherent
+    to global duplicate detection), a self-semi-join on the same key
+    (AQE reuses the exchange), then a per-document window. Nothing is
+    quadratic; the gram->docs fan-in is bounded by true duplication.
+
+    Returns (id_col, span_start, span_end, n_grams, n_tokens) with
+    1-based inclusive TOKEN indexes; a span covers every position
+    whose k-gram is duplicated somewhere else in the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    g = (
+        df.select(id_col, toks.alias("_t"))
+        .where(F.size("_t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_t) - {k - 1}), "
+                    f"i -> struct(i AS pos, "
+                    f"md5(array_join(slice(_t, i, {k}), ' ')) AS gram_id))"
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.pos", "g.gram_id")
+    )
+    dup = (
+        g.groupBy("gram_id")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("gram_id")
+    )
+    hits = g.join(dup, "gram_id")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = (F.col("pos") - F.row_number().over(w)).alias("_island")
+    return (
+        hits.select(id_col, "pos", island)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            "n_grams",
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+# Gopher (Rae et al. 2021) / C4 (Raffel et al. 2020) rule thresholds —
+# shared with the q-gate oracle; the EN stopword set is the C4 one.
+# Mean-word-length and dup-ratio bounds are kept as exact rationals so
+# every rule evaluates in INTEGER arithmetic (charlen >= 3*words, not
+# charlen/words >= 3.0) — engine-portable with no float boundary risk.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # chars per word, inclusive
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_DUP_WORD_PCT = 85  # (words - distinct) * 100 <= 85 * words
+GOPHER_MIN_STOPWORD_HITS = 2
+_C4_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filters(
+    df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
+) -> DataFrame:
+    """Rule-based quality filtering in the C4 / Gopher style — the
+    standard pre-dedup gate of a web-scale training corpus. Every rule
+    is a pure Column expression (scan-speed, zero shuffle, zero
+    Python):
+
+    - word-count bounds and mean-word-length bounds (Gopher repetition
+      & gibberish rules);
+    - duplicate-word ratio (1 - distinct/total tokens) as the
+      line-free analog of Gopher's duplicate-line fraction;
+    - >=2 distinct C4 stopwords present (C4's "real prose" test);
+    - C4 blocklist flags: '{' (code), 'lorem ipsum' (placeholder).
+
+    keep = conjunction of all rules, every comparison in INTEGER
+    arithmetic (no float thresholds anywhere). Emits every
+    intermediate signal so downstream tuning can re-threshold without
+    a rescan; the two ratio signals ship as e4 fixed-point longs
+    (floor(x*1e4 + 0.5)) for engine-portable hashing. ``stopwords``
+    defaults to the C4 English set; pass a corpus-appropriate list for
+    non-English or synthetic corpora."""
+    if stopwords is None:
+        stopwords = _C4_STOPWORDS
+    c = F.col(text_col)
+    t = F.split(F.trim(c), r"\s+")
+    n_words = F.size(t)
+    n_chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    n_distinct = F.size(F.array_distinct(t))
+    wsafe = F.greatest(n_words, F.lit(1))
+    mean_wl_e4 = F.floor((n_chars * 10000) / wsafe + 0.5).cast("long")
+    dup_e4 = F.floor(((n_words - n_distinct) * 10000) / wsafe + 0.5).cast("long")
+    stop_hits = sum(
+        F.when(F.array_contains(t, s), 1).otherwise(0) for s in stopwords
+    ).cast("int")
+    has_brace = c.contains("{")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (n_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_words)
+        & (n_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words)
+        & ((n_words - n_distinct) * 100 <= GOPHER_MAX_DUP_WORD_PCT * n_words)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+        & ~has_brace
+        & ~has_lorem
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_wl_e4.alias("mean_word_len_e4"),
+        dup_e4.alias("dup_word_ratio_e4"),
+        stop_hits.alias("stopword_hits"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"),
+    )

@@ -4040,3 +4040,165 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_pdf[["new_media_id", "idx_media_id"]] if len(out_pdf) else out_pdf,
         schema="new_media_id long, idx_media_id long",
     )
+
+
+_Q106_K = 8
+
+_Q106_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{_Q106_K - 1}], ' ')) AS gram_id
+  FROM toks, UNNEST(generate_series(1, len(t) - {_Q106_K - 1})) AS u(i)
+  WHERE len(t) >= {_Q106_K}
+),
+dup AS (
+  SELECT gram_id FROM grams GROUP BY gram_id
+  HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+  FROM grams g JOIN dup USING (gram_id)
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_Q106_K - 1} AS INT) AS span_end,
+       CAST(count(*) AS INT) AS n_grams,
+       CAST(max(pos) + {_Q106_K - 1} - min(pos) + 1 AS INT) AS n_tokens
+FROM hits GROUP BY doc_id, island
+"""
+
+
+@query("q106_duplicate_spans", _Q106_ORACLE)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (text.duplicate_spans) — the
+    Lee et al. 2022 suffix-array dedup re-expressed relationally:
+    every 8-token gram is md5-fingerprinted, grams seen in >=2
+    distinct documents are merged back into maximal per-document
+    spans via gaps-and-islands. One explode, one shuffle on the gram
+    fingerprint (the relational analog of the suffix sort), a
+    self-semi-join that AQE serves from the same exchange, one
+    per-document window. The oracle replays the identical md5 gram
+    pipeline in DuckDB (lists are 1-based in both engines)."""
+    from quanta_spark.operators.text import duplicate_spans
+
+    return duplicate_spans(spark.table("documents"), k=_Q106_K)
+
+
+# Corpus-appropriate stopword list for the synthetic fixture (the C4
+# EN set barely intersects its SQL-flavored vocabulary); shared
+# verbatim with the oracle below.
+_Q107_STOPWORDS = ["the", "a", "fast", "slow", "join", "query", "scan", "merge"]
+
+# Planted rows exercise the rules the natural corpus never trips:
+# heavy repetition (dup-ratio), one giant word (mean-word-length),
+# code brace and lorem-ipsum blocklists. Same literals on both sides.
+_Q107_PLANTS = [
+    (-1, "spam " * 79 + "spam"),  # 80 words, 1 distinct -> dup rule
+    (-2, " ".join("x" * 40 for _ in range(60))),  # mean word len 40
+    (-3, "if (x) { return } " * 20 + "the a end"),  # brace blocklist
+    (-4, ("lorem ipsum dolor sit amet the a " * 10).strip()),  # lorem
+    (-5, "the a short doc"),  # under the word-count floor
+]
+
+_Q107_PLANT_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+    for i, t in _Q107_PLANTS
+)
+
+_Q107_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL {_Q107_PLANT_SQL}
+),
+sig AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars,
+         text
+  FROM docs
+),
+sig2 AS (
+  SELECT doc_id, len(t) AS n_words, n_chars,
+         len(list_distinct(t)) AS n_distinct,
+         ({" + ".join(f"CASE WHEN list_contains(t, '{s}') THEN 1 ELSE 0 END" for s in _Q107_STOPWORDS)}) AS stop_hits,
+         contains(text, '{{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM sig
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(floor((n_chars * 10000) / greatest(n_words, 1) + 0.5) AS BIGINT) AS mean_word_len_e4,
+       CAST(floor(((n_words - n_distinct) * 10000) / greatest(n_words, 1) + 0.5) AS BIGINT) AS dup_word_ratio_e4,
+       CAST(stop_hits AS INT) AS stopword_hits,
+       has_brace, has_lorem,
+       (n_words BETWEEN 50 AND 100000
+        AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+        AND (n_words - n_distinct) * 100 <= 85 * n_words
+        AND stop_hits >= 2 AND NOT has_brace AND NOT has_lorem) AS keep
+FROM sig2
+"""
+
+
+@query("q107_gopher_quality", _Q107_ORACLE)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher rule-based quality filtering
+    (text.gopher_quality_filters): word-count bounds, mean-word-length
+    bounds, duplicate-word ratio, stopword-presence, and blocklist
+    flags — every rule a pure Column expression in INTEGER arithmetic
+    (scan-speed, zero shuffle, zero float thresholds). Planted rows
+    exercise each rule the natural fixture never trips; keep splits
+    277/505 at sf0.01. The standard pre-dedup gate of a web-scale
+    training corpus (Raffel et al. 2020; Rae et al. 2021)."""
+    from quanta_spark.operators.text import gopher_quality_filters
+
+    plants = spark.createDataFrame(_Q107_PLANTS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(plants)
+    return gopher_quality_filters(docs, stopwords=_Q107_STOPWORDS)
+
+
+_Q108_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, contains(text, 'spark') AS is_t,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_t, substring(md5(t[i] || ' ' || t[i+1]), 1, 3) AS bucket
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+counts AS (
+  SELECT bucket, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+  FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+w AS (
+  SELECT bucket, ln(ct + 1) - ln(cr + 1) + ln(tr + 4096) - ln(tt + 4096) AS w
+  FROM counts CROSS JOIN tot
+)
+SELECT f.doc_id, CAST(count(*) AS INT) AS n_features,
+       CAST(floor(sum(w.w) * 10000 + 0.5) AS BIGINT) AS score_e4,
+       CAST(floor(sum(w.w) * 10000 + 0.5) AS BIGINT) > 0 AS selected
+FROM feats f JOIN w USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@query("q108_dsir_weights", _Q108_ORACLE)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_weights; Xie et al.
+    2023): hashed-bigram log-likelihood ratio of a TARGET slice (docs
+    mentioning 'spark' — a content-based target so the fixture scores
+    carry real signal; selected = score>0 picks ~11% at sf0.001 AND
+    sf0.01, scale-stable) vs the raw corpus. The bucket table is
+    FIXED-size (4096), so partial aggregation crushes the feature
+    count map-side and the weights broadcast; the only real shuffle
+    is the per-document aggregation. md5-bucket hashing makes the
+    DuckDB oracle replay bit-identically."""
+    from quanta_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(
+        spark.table("documents"), target=F.col("text").contains("spark")
+    )

@@ -36,6 +36,7 @@ _RELATIONAL = [
     "q38_scalar_subquery", "q39_pivot_roles", "q40_window_funcs",
     "q41_asof_join", "q42_approx_stats", "q53_unanswered_turns",
     "q54_redact_pii", "q55_pooled_embeddings",
+    "q106_duplicate_spans", "q107_gopher_quality",
 ]
 
 
@@ -360,3 +361,44 @@ def test_q102_semantic_dedup_no_all_pairs(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q106_duplicate_spans_plan(spark):
+    """Duplicate-span detection: the gram stream shuffles on the gram
+    fingerprint for the distinct-doc count, the span merge windows on
+    doc_id, and nothing plans a cartesian product or Python eval —
+    the shape whose only O(corpus) costs are the explode scans and
+    one gram-keyed exchange."""
+    plan = _plan(spark, "q106_duplicate_spans")
+    assert "Exchange hashpartitioning(gram_id" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan)
+
+
+def test_q107_gopher_quality_no_shuffle(spark):
+    """Every C4/Gopher rule is a pure Column expression: zero
+    exchange, zero Python — quality-filtering 10^12 docs costs one
+    scan."""
+    plan = _plan(spark, "q107_gopher_quality")
+    final = plan.split("Initial Plan")[0]
+    assert "Exchange" not in final, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in final, (bad, plan)
+
+
+def test_q108_dsir_weights_plan(spark):
+    """DSIR: the bucket count table (fixed 4096 rows) must
+    partial-aggregate map-side and BROADCAST into the per-doc scoring
+    join; the only corpus-sized exchange keys on doc_id. One 1-row
+    scalar crossJoin is allowed (the smoothing totals), same as
+    q69."""
+    plan = _plan(spark, "q108_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan)

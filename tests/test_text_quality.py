@@ -1,0 +1,137 @@
+"""Unit tests for the corpus-quality operator family: exact
+duplicated-span detection (suffix-array-style dedup), C4/Gopher
+rule-based quality filters, and DSIR importance weights."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quanta_spark.operators.sampling import dsir_weights
+from quanta_spark.operators.text import (
+    duplicate_spans,
+    gopher_quality_filters,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_duplicate_spans_exact_positions(spark):
+    """Two docs share one 10-token run; the span must cover exactly the
+    shared positions (1-based inclusive token indexes) in each doc."""
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    rows = [
+        (1, "a b c " + shared + " x y z"),  # shared at tokens 4..13
+        (2, shared + " p q r s t u v w"),  # shared at tokens 1..10
+        (3, "entirely unique words never repeated anywhere else here ok"),
+    ]
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"], r["n_tokens"])
+        for r in duplicate_spans(_docs(spark, rows), k=8).collect()
+    }
+    # k=8 over a 10-token shared run -> 3 grams, span width 10
+    assert got[1] == (4, 13, 3, 10)
+    assert got[2] == (1, 10, 3, 10)
+    assert 3 not in got  # no duplicated gram -> no span
+
+
+def test_duplicate_spans_merges_overlapping_and_splits_gaps(spark):
+    """Adjacent duplicated gram positions merge into ONE maximal span;
+    a gap in duplicated positions yields separate spans."""
+    blk_a = " ".join(f"a{i}" for i in range(8))
+    blk_b = " ".join(f"b{i}" for i in range(8))
+    gap = "gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9"
+    rows = [
+        (1, blk_a + " " + gap + " " + blk_b),
+        (2, blk_a + " zz1 zz2 zz3 zz4 zz5 zz6 zz7"),
+        (3, blk_b + " yy1 yy2 yy3 yy4 yy5 yy6 yy7"),
+    ]
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(_docs(spark, rows), k=8)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert spans == [(1, 8), (18, 25)]  # two islands, not one merged span
+
+
+def test_duplicate_spans_requires_distinct_docs(spark):
+    """A gram repeated WITHIN one doc only is not corpus duplication."""
+    blk = " ".join(f"t{i}" for i in range(8))
+    rows = [(1, blk + " mid1 mid2 " + blk), (2, "other words " * 8)]
+    got = duplicate_spans(_docs(spark, rows), k=8).collect()
+    assert got == []
+
+
+# -------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_each_trip_independently(spark):
+    stop = ["the", "a", "of", "to"]
+    good = "the a " + " ".join(f"word{i:03d}" for i in range(60))
+    rows = [
+        (1, good),  # passes everything
+        (2, "the a short doc"),  # word-count floor
+        (3, "spam " * 79 + "spam the a"),  # dup-word ratio
+        (4, " ".join("x" * 40 for _ in range(58)) + " the a"),  # word len
+        (5, good + " {"),  # brace blocklist
+        (6, good + " lorem ipsum"),  # lorem blocklist
+        (7, " ".join(f"word{i:03d}" for i in range(62))),  # no stopwords
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_filters(_docs(spark, rows), stopwords=stop).collect()
+    }
+    assert got[1]["keep"] is True
+    for bad in (2, 3, 4, 5, 6, 7):
+        assert got[bad]["keep"] is False, bad
+    assert got[5]["has_brace"] and got[6]["has_lorem"]
+    assert got[2]["n_words"] == 4
+    assert got[7]["stopword_hits"] == 0 and got[1]["stopword_hits"] == 2
+
+
+def test_gopher_signals_integer_fixed_point(spark):
+    """mean_word_len_e4 / dup_word_ratio_e4 are exact e4 longs."""
+    rows = [(1, "aa bbb cccc the a")]  # 5 words, 13 chars
+    r = gopher_quality_filters(
+        _docs(spark, rows), stopwords=["the", "a"]
+    ).collect()[0]
+    assert r["mean_word_len_e4"] == 26000  # 13/5 = 2.6
+    assert r["dup_word_ratio_e4"] == 0  # all distinct
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Docs built from the target slice's vocabulary must outscore docs
+    from the disjoint raw-only vocabulary."""
+    t_vocab = "alpha beta gamma delta epsilon zeta"
+    r_vocab = "uno dos tres cuatro cinco seis"
+    rows = (
+        [(i, t_vocab) for i in range(10)]  # target slice
+        + [(100 + i, t_vocab) for i in range(5)]  # target-like, unlabeled
+        + [(200 + i, r_vocab) for i in range(25)]  # raw-only
+    )
+    got = {
+        r["doc_id"]: r["score_e4"]
+        for r in dsir_weights(
+            _docs(spark, rows), target=F.col("doc_id") < 100
+        ).collect()
+    }
+    assert min(got[i] for i in range(100, 105)) > max(
+        got[200 + i] for i in range(25)
+    )
+    assert all(got[100 + i] == got[100] for i in range(5))  # deterministic
+
+
+def test_dsir_feature_count_and_short_doc_drop(spark):
+    rows = [(1, "a b c"), (2, "single")]
+    got = dsir_weights(_docs(spark, rows), target=F.lit(True)).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["n_features"] == 2  # bigrams of a 3-token doc
+    assert 2 not in by_id  # <2 tokens -> no bigram features
