@@ -495,6 +495,23 @@ def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     return chunked_hamming_pairs(sig, max_hamming)
 
 
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs — completes the multimodal
+    dedup family (text SimHash / image pHash / audio fingerprint):
+    64-bit spectral band-energy fingerprint per blob
+    (multimodal.audio_fingerprint, one Arrow decode pass over
+    PCM16/IMA-ADPCM WAV) band-bucketed exactly like text SimHash.
+    Lossy ADPCM re-encodes and trailing-silence pads of the same
+    samples land within ``max_hamming`` bits and collide; distinct
+    clips do not — pinned by the q109 gate with planted
+    cross-codec clone groups. Input: (media_id, payload); output
+    (doc_a, doc_b, hamming)."""
+    from quanta_spark.operators.multimodal import audio_fingerprint
+
+    sig = audio_fingerprint(media).withColumnRenamed("media_id", "doc_id")
+    return chunked_hamming_pairs(sig, max_hamming)
+
+
 # ---------------------------------------------------------------------------
 # streaming near-dup gate: new documents vs a static historical LSH index
 # ---------------------------------------------------------------------------

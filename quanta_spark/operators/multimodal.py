@@ -924,3 +924,148 @@ def textured_media_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         build, schema="media_id long, payload binary"
     )
+
+
+_AFP_N = 4096  # analysis window: first 0.256 s at 16 kHz
+
+
+def _afp_one(x: np.ndarray) -> int:
+    """64-bit spectral band-energy fingerprint of a mono float signal:
+    rFFT of the first _AFP_N samples (zero-padded if shorter), energy
+    in 64 equal 32-bin bands (DC excluded), each band thresholded
+    against the median band energy — the audio analog of pHash's
+    median-thresholded DCT block (Haitsma & Kalker 2002's band-energy
+    features, one window). Codec-robust: IMA-ADPCM's ~20 dB
+    quantization noise spreads across all 2048 bins while a band
+    concentrates 32, so hot/cold band contrast survives re-encoding
+    (measured: PCM16<->ADPCM clone Hamming 0 over 60 fixture seeds;
+    distinct seeds >=18)."""
+    x = x.astype(np.float64)
+    if len(x) < _AFP_N:
+        x = np.pad(x, (0, _AFP_N - len(x)))
+    spec = np.abs(np.fft.rfft(x[:_AFP_N])) ** 2
+    bands = spec[1 : 64 * 32 + 1].reshape(64, 32).sum(axis=1)
+    med = np.median(bands)
+    bits = (bands > med).astype(np.uint8)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    strict: bool = True,
+    keep: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """64-bit spectral fingerprint per audio blob (RIFF/WAVE PCM16 or
+    mono IMA-ADPCM), one Arrow decode pass — the audio member of the
+    multimodal dedup family. Output carries the signature as
+    4 x 16-bit chunk columns (c0..c3), the SAME layout as text SimHash
+    and image pHash, so dedup's pigeonhole chunk-blocking join
+    (chunked_hamming_pairs) is shared verbatim.
+
+    ``strict=False``: corrupt blobs emit _status=ERROR rows instead of
+    failing the batch (same contract as decode_media/phash_images).
+
+    ``keep``: (name, ddl_type) pairs carried through untouched (e.g.
+    an event-time column on a stream; the watermark is applied AFTER
+    this stateless pass)."""
+    from quanta_spark.operators import codecs
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> int:
+            samples, _sr = codecs.decode_wav(b)
+            return _afp_one(samples.mean(axis=1) * 32768.0)
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "c0": [], "c1": [], "c2": [], "c3": []}
+            if not strict:
+                out["_status"] = []
+                out["_error"] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if strict:
+                    hv = one(b)
+                    st = err = None
+                else:
+                    try:
+                        hv, st, err = one(b), "OK", None
+                    except Exception as e:
+                        hv, st = None, "ERROR"
+                        err = f"audio_fingerprint: {type(e).__name__}: {e}"
+                out["media_id"].append(mid)
+                for c in range(4):
+                    out[f"c{c}"].append(
+                        None if hv is None else (hv >> (c * 16)) & 0xFFFF
+                    )
+                if not strict:
+                    out["_status"].append(st)
+                    out["_error"].append(err)
+            res = pd.DataFrame(out)
+            for name, _t in keep:
+                res[name] = pdf[name].reset_index(drop=True)
+            yield res
+
+    schema = "media_id long, c0 int, c1 int, c2 int, c3 int"
+    if not strict:
+        schema += ", _status string, _error string"
+    for name, t in keep:
+        schema += f", {name} {t}"
+    return df.select("media_id", "payload", *[n for n, _t in keep]).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def tonal_pattern(d: int) -> np.ndarray:
+    """Deterministic int16 mono clip for seed ``d``: one sinusoid at
+    the center bin of each of 32 randomly chosen (of 64) spectral
+    bands, random phases, peak-normalized to 20000. Bimodal band
+    energies keep every fingerprint bit far from the median threshold
+    — measured margins: the SAME clip re-encoded through IMA-ADPCM
+    moves 0 bits; distinct seeds differ by >=18."""
+    rng = np.random.default_rng(d * 7919 + 29)
+    hot = rng.permutation(64)[:32]
+    t = np.arange(_AFP_N)
+    x = np.zeros(_AFP_N)
+    for b in hot:
+        k = 1 + 32 * int(b) + 16  # band-center rFFT bin
+        x += np.sin(2 * np.pi * k * t / _AFP_N + rng.uniform(0, 2 * np.pi))
+    x = x / np.abs(x).max() * 20000.0
+    return x.astype(np.int16)
+
+
+def tonal_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic audio table for the fingerprint gate (q109): per
+    doc_id a WAV-PCM16 original (tonal_pattern); a lossy IMA-ADPCM
+    re-encode of the SAME samples at media_id +500000 for every 5th
+    doc; a PCM16 copy with 1024 samples of trailing silence appended
+    at +600000 for every 10th (the padding near-dup case — the
+    fingerprint window covers the first _AFP_N samples, so trailing
+    pad collides exactly). Same clone-group arithmetic as the image
+    gate's textured_media_from_documents."""
+    from quanta_spark.operators import codecs
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                x = tonal_pattern(d)
+                ids.append(d)
+                payloads.append(codecs.encode_wav(x))
+                if d % 5 == 0:
+                    ids.append(d + 500000)
+                    payloads.append(codecs.encode_adpcm_wav(x))
+                if d % 10 == 0:
+                    padded = np.concatenate(
+                        [x, np.zeros(1024, dtype=np.int16)]
+                    )
+                    ids.append(d + 600000)
+                    payloads.append(codecs.encode_wav(padded))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )

@@ -4202,3 +4202,36 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(
         spark.table("documents"), target=F.col("text").contains("spark")
     )
+
+
+@query(
+    "q109_audio_fingerprint_neardup",
+    """
+SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id AS doc_a, doc_id + 600000 AS doc_b
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 500000 AS doc_a, doc_id + 600000 AS doc_b
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup — completes the multimodal dedup
+    family (text SimHash q29 / image pHash q103 / audio q109): REAL
+    container bytes — a tonal WAV-PCM16 clip per doc, the SAME samples
+    re-encoded through lossy IMA-ADPCM for every 5th doc and padded
+    with trailing silence for every 10th — fingerprinted with a 64-bit
+    spectral band-energy hash in one Arrow decode pass, then
+    band-bucketed with the SHARED SimHash pigeonhole blocking
+    (dedup.chunked_hamming_pairs, lossless for Hamming <=3). The
+    oracle predicts the EXACT pair set from doc_id arithmetic alone: a
+    false positive or a missed clone both hash-mismatch. Fixture
+    margins measured: clone Hamming 0, distinct >=18
+    (multimodal.tonal_media_from_documents)."""
+    from quanta_spark.operators.dedup import audio_near_dup_pairs
+    from quanta_spark.operators.multimodal import tonal_media_from_documents
+
+    media = tonal_media_from_documents(spark.table("documents"))
+    return audio_near_dup_pairs(media, max_hamming=3).select("doc_a", "doc_b")

@@ -393,3 +393,44 @@ def test_phash_images_nonstrict_corrupt_blob(spark):
     assert got[1]["_status"] == "ERROR" and got[1]["c0"] is None
     with pytest.raises(Exception):
         phash_images(df).collect()  # strict default raises
+
+
+def test_audio_fingerprint_clone_recall_and_separation(spark):
+    """Audio near-dup: every codec re-encode / pad of the same samples
+    (PCM16<->ADPCM<->trailing-silence) must collide at hamming<=3 and
+    no distinct-clip pair may appear — recall 1.0 AND precision 1.0 on
+    the planted clone groups."""
+    from quanta_spark.operators.dedup import audio_near_dup_pairs
+    from quanta_spark.operators.multimodal import tonal_media_from_documents
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    media = tonal_media_from_documents(docs)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in audio_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    want = set()
+    for d in range(60):
+        if d % 5 == 0:
+            want.add((d, d + 500000))
+        if d % 10 == 0:
+            want.add((d, d + 600000))
+            want.add((d + 500000, d + 600000))
+    assert got == want
+
+
+def test_audio_fingerprint_nonstrict_corrupt_blob(spark):
+    from quanta_spark.operators.codecs import encode_wav
+    from quanta_spark.operators.multimodal import audio_fingerprint, tonal_pattern
+
+    rows = [
+        (0, bytearray(encode_wav(tonal_pattern(1)))),
+        (1, bytearray(b"RIFFjunkWAVEgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_fingerprint(df, strict=False).collect()}
+    assert got[0]["_status"] == "OK" and got[0]["c0"] is not None
+    assert got[1]["_status"] == "ERROR" and got[1]["c0"] is None
+    assert got[1]["_error"].startswith("audio_fingerprint:")
+    with pytest.raises(Exception):
+        audio_fingerprint(df).collect()  # strict default raises
