@@ -825,14 +825,18 @@ def semantic_dedup(
     )
 
 
-def phash_index(media: DataFrame) -> DataFrame:
-    """Static historical pHash index for the streaming image gate:
-    one row per (chunk_id, chunk) per image, full signature carried
-    for the verify step. Build once per ingestion epoch; the stream
-    probes it with a (chunk_id, chunk) equi-join."""
-    from quanta_spark.operators.multimodal import phash_images
+def phash_index(media: DataFrame, signer=None) -> DataFrame:
+    """Static historical fingerprint index for the streaming media
+    gates: one row per (chunk_id, chunk) per blob, full signature
+    carried for the verify step. Build once per ingestion epoch; the
+    stream probes it with a (chunk_id, chunk) equi-join. ``signer``
+    maps (media_id, payload) -> (media_id, c0..c3) and defaults to the
+    image pHash; pass multimodal.audio_fingerprint for the audio gate
+    — the shared 4 x 16-bit chunk layout is the contract."""
+    if signer is None:
+        from quanta_spark.operators.multimodal import phash_images as signer
 
-    sig = phash_images(media)
+    sig = signer(media)
     return sig.select(
         F.col("media_id").alias("idx_media_id"),
         *[F.col(f"c{c}").alias(f"i{c}") for c in range(4)],
@@ -851,20 +855,24 @@ def stream_phash_gate(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     max_hamming: int = 3,
+    signer=None,
 ) -> DataFrame:
-    """Streaming IMAGE ingestion near-dup gate — the multimodal analog
-    of stream_neardup_gate: every arriving image blob is pHashed in a
+    """Streaming MEDIA ingestion near-dup gate — the multimodal analog
+    of stream_neardup_gate: every arriving blob is fingerprinted in a
     stateless Arrow pass (append-mode safe; the watermark is applied
     AFTER the pass since mapInPandas emits fresh attributes), probed
-    against the historical pHash index via a stream-static
+    against the historical fingerprint index via a stream-static
     (chunk_id, chunk) equi-join — O(new data + matched buckets) per
     day, never O(corpus) — then watermark-bounded pair dedup (a clone
     sharing several intact chunks must report once) and the exact
     Hamming verify as a codegen filter. Emits matches eagerly; the
-    watermark only evicts dedup state."""
-    from quanta_spark.operators.multimodal import phash_images
+    watermark only evicts dedup state. ``signer`` defaults to the
+    image pHash; pass multimodal.audio_fingerprint (with the SAME
+    signer used to build the index) for the audio gate."""
+    if signer is None:
+        from quanta_spark.operators.multimodal import phash_images as signer
 
-    sig = phash_images(stream_media, keep=((ts_col, "timestamp"),))
+    sig = signer(stream_media, keep=((ts_col, "timestamp"),))
     if sig.isStreaming:
         sig = sig.withWatermark(ts_col, watermark)
     chunks = sig.select(

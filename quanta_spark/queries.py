@@ -4235,3 +4235,94 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = tonal_media_from_documents(spark.table("documents"))
     return audio_near_dup_pairs(media, max_hamming=3).select("doc_a", "doc_b")
+
+
+@query(
+    "q110_stream_audio_gate",
+    """
+SELECT doc_id + 300000 AS new_media_id, doc_id AS idx_media_id
+FROM documents WHERE doc_id % 5 = 0
+""",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING audio ingestion near-dup gate — the audio analog of
+    the image gate q105, proving the generalized fingerprint gate
+    (dedup.stream_phash_gate with signer=audio_fingerprint): arriving
+    audio blobs — lossy IMA-ADPCM re-encodes of every 5th historical
+    clip (+300000) interleaved with genuinely NEW clips (fresh tonal
+    seeds, +400000, every 7th doc) — are fingerprinted in a stateless
+    Arrow pass and probed against a static index of the PCM16
+    originals via the stream-static (chunk_id, chunk) equi-join;
+    repeated chunk hits dedup within the watermark, exact Hamming
+    verify as a codegen filter. The oracle predicts the exact match
+    set from doc_id arithmetic (tonal-family margins measured:
+    cross-codec clone Hamming 0, distinct >=18): every clone matches
+    ONLY its original, every fresh clip matches nothing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators import codecs
+    from quanta_spark.operators.dedup import phash_index, stream_phash_gate
+    from quanta_spark.operators.multimodal import (
+        audio_fingerprint,
+        tonal_media_from_documents,
+        tonal_pattern,
+    )
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    docs = spark.table("documents").select("doc_id")
+    originals = tonal_media_from_documents(docs).filter(
+        F.col("media_id") < 500000  # PCM16 originals only
+    )
+    index = phash_index(originals, signer=audio_fingerprint).cache()
+    index.count()
+
+    doc_ids = sorted(r["doc_id"] for r in docs.collect())
+    _guard_gate_rows(len(doc_ids), "audio stream input")
+    rows = []
+    for d in doc_ids:
+        if d % 5 == 0:  # lossy re-encode of a known clip
+            rows.append((d + 300000, codecs.encode_adpcm_wav(tonal_pattern(d))))
+        if d % 7 == 0:  # genuinely new clip, fresh tonal seed
+            rows.append((d + 400000, codecs.encode_wav(tonal_pattern(d + 1_000_000))))
+    pdf = pd.DataFrame({"media_id": [r[0] for r in rows], "payload": [r[1] for r in rows]})
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(len(pdf)), unit="s")
+    d_dir = tempfile.mkdtemp(prefix="qs_audstream_")
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("payload", pa.binary()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        path = os.path.join(d_dir, f"part-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            path,
+        )
+        paths.append(path)
+    stamp_arrival_order(paths)  # no ms-mtime ties in replay order
+
+    src = (
+        spark.readStream.schema("media_id long, payload binary, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d_dir)
+    )
+    out_stream = stream_phash_gate(src, index, signer=audio_fingerprint)
+    rows_out: list = []
+
+    def _sink(b, i):
+        rows_out.extend(b.collect())
+        _guard_gate_rows(len(rows_out), "collected output")
+
+    h = start_pipeline(out_stream, _sink, tempfile.mkdtemp(prefix="qs_audstream_ckpt_"))
+    run_to_completion(h)
+    out_pdf = pd.DataFrame([r.asDict() for r in rows_out])
+    return spark.createDataFrame(
+        out_pdf[["new_media_id", "idx_media_id"]] if len(out_pdf) else out_pdf,
+        schema="new_media_id long, idx_media_id long",
+    )
