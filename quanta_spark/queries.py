@@ -4326,3 +4326,39 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_pdf[["new_media_id", "idx_media_id"]] if len(out_pdf) else out_pdf,
         schema="new_media_id long, idx_media_id long",
     )
+
+
+@query(
+    "q111_video_fingerprint_neardup",
+    """
+SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id AS doc_a, doc_id + 600000 AS doc_b
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 500000 AS doc_a, doc_id + 600000 AS doc_b
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup — the FOURTH member of the multimodal
+    dedup family (text SimHash q29 / image pHash q103 / audio q109 /
+    video q111): REAL container bytes — a 12-frame QVID clip per doc,
+    the SAME frames re-encoded through lossy MJPEG-q75 for every 5th
+    doc and temporally resampled (every frame doubled, fps doubled)
+    for every 10th — fingerprinted with an evenly-sampled-frame
+    pHash majority vote in one Arrow pass (only the sampled frame
+    spans are entropy-decoded, never the whole blob), then
+    band-bucketed with the SHARED SimHash pigeonhole blocking
+    (dedup.chunked_hamming_pairs, lossless for Hamming <=3). The
+    oracle predicts the EXACT pair set from doc_id arithmetic alone: a
+    false positive or a missed clone both hash-mismatch. Fixture
+    margins measured over 600 seeds: clone Hamming <=1 (both clone
+    kinds), distinct >=14, per-frame drift up to 4 bits — the vote is
+    genuinely exercised (multimodal.moving_media_from_documents)."""
+    from quanta_spark.operators.dedup import video_near_dup_pairs
+    from quanta_spark.operators.multimodal import moving_media_from_documents
+
+    media = moving_media_from_documents(spark.table("documents"))
+    return video_near_dup_pairs(media, max_hamming=3).select("doc_a", "doc_b")

@@ -434,3 +434,67 @@ def test_audio_fingerprint_nonstrict_corrupt_blob(spark):
     assert got[1]["_error"].startswith("audio_fingerprint:")
     with pytest.raises(Exception):
         audio_fingerprint(df).collect()  # strict default raises
+
+
+def test_video_fingerprint_clone_recall_and_separation(spark):
+    """Video near-dup: every MJPEG-q75 re-encode and frame-doubled
+    temporal resample of the same frames must collide at hamming<=3
+    and no distinct-video pair may appear — recall 1.0 AND precision
+    1.0 on the planted clone groups."""
+    from quanta_spark.operators.dedup import video_near_dup_pairs
+    from quanta_spark.operators.multimodal import moving_media_from_documents
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    media = moving_media_from_documents(docs)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in video_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    want = set()
+    for d in range(60):
+        if d % 5 == 0:
+            want.add((d, d + 500000))
+        if d % 10 == 0:
+            want.add((d, d + 600000))
+            want.add((d + 500000, d + 600000))
+    assert got == want
+
+
+def test_video_fingerprint_majority_vote_is_exercised(spark):
+    """The fixture's per-frame noise must actually DRIFT individual
+    frame hashes (else the vote degenerates to frame 0's pHash) while
+    the voted signature stays stable across both clone containers."""
+    from quanta_spark.operators.multimodal import (
+        _dct_mat,
+        _phash_one,
+        moving_pattern,
+    )
+
+    dct32 = _dct_mat(32)
+    fr = moving_pattern(3)
+    hashes = []
+    for f in range(len(fr)):
+        px = fr[f].astype(np.float64)
+        g = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        hashes.append(_phash_one(g, dct32))
+    drift = max(bin(hashes[0] ^ h).count("1") for h in hashes)
+    assert drift >= 1, "per-frame noise flips no bits; vote untested"
+
+
+def test_video_fingerprint_nonstrict_corrupt_blob(spark):
+    from quanta_spark.operators.codecs import encode_qvid
+    from quanta_spark.operators.multimodal import moving_pattern, video_fingerprint
+
+    rows = [
+        (0, bytearray(encode_qvid(moving_pattern(1), fps=30))),
+        (1, bytearray(b"QVIDgarbage-not-a-real-header")),
+        (2, bytearray(b"\x00\x01unknown-magic")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in video_fingerprint(df, strict=False).collect()}
+    assert got[0]["_status"] == "OK" and got[0]["c0"] is not None
+    assert got[1]["_status"] == "ERROR" and got[1]["c0"] is None
+    assert got[2]["_status"] == "ERROR"
+    assert got[2]["_error"].startswith("video_fingerprint:")
+    with pytest.raises(Exception):
+        video_fingerprint(df).collect()  # strict default raises
