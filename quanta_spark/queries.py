@@ -4362,3 +4362,66 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = moving_media_from_documents(spark.table("documents"))
     return video_near_dup_pairs(media, max_hamming=3).select("doc_a", "doc_b")
+
+
+_Q112_BOILER = (
+    "terms of service apply to this mirror page content provided as is "
+    "without warranty of any kind use implies acceptance"
+)
+
+_Q112_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_Q112_BOILER} ' || text ELSE text END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, t.pid,
+         array_to_string(
+           list_slice(string_split(text, ' '), t.pid * 20 + 1, t.pid * 20 + 20),
+           ' '
+         ) AS para
+  FROM aug,
+       LATERAL (
+         SELECT unnest(range(0,
+           CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT))) AS pid
+       ) t
+),
+dup AS (SELECT para FROM paras GROUP BY para HAVING count(*) >= 2)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY pid) AS text_dedup,
+       count(*) AS n_paras_kept
+FROM paras p
+WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.para = p.para)
+GROUP BY doc_id
+"""
+
+
+@query("q112_paragraph_dedup", _Q112_ORACLE)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level CORPUS dedup (dedup.paragraph_dedup — the
+    CCNet/RefinedWeb boilerplate pass): a fixed 20-token boilerplate
+    paragraph is planted at the head of every 3rd document (a shared
+    SQL literal, so the oracle replays the plant exactly); documents
+    segment into 20-token paragraphs, any paragraph appearing >=2
+    times corpus-wide is dropped EVERYWHERE (the plant, plus the
+    natural short-tail collisions the fixture corpus already has), and
+    each document is reassembled from its survivors in order. The
+    boilerplate is exactly one paragraph group, so every other
+    paragraph boundary is unchanged — the oracle checks the
+    reassembled TEXT, not just counts. Corpus-wide counting groups on
+    xxhash64(para) with map-side partial agg; the drop is a shuffle
+    anti-join on the hash; nothing collects driver-side."""
+    from quanta_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.table("documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_Q112_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return paragraph_dedup(aug).select("doc_id", "text_dedup", "n_paras_kept")

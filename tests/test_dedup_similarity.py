@@ -775,3 +775,60 @@ def test_semantic_dedup_collapses_exact_clone_groups(spark):
     for v in range(n):
         want = 3 if v % 10 == 0 else 2 if v % 5 == 0 else 1
         assert got[v] == want, (v, got[v], want)
+
+
+def test_paragraph_dedup_drops_all_copies_and_preserves_order(spark):
+    """CCNet semantics: a paragraph appearing >=min_dup times
+    corpus-wide is dropped EVERYWHERE (including its first
+    occurrence); survivors reassemble in original order; a document
+    whose every paragraph was boilerplate disappears."""
+    from quanta_spark.operators.dedup import paragraph_dedup
+
+    b = " ".join(f"boiler{i}" for i in range(4))  # one 4-token paragraph
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(4))
+    rows = [
+        (1, f"{b} {u('alpha')} {u('beta')}"),   # boiler + 2 unique paras
+        (2, f"{u('gamma')} {b}"),               # unique + boiler (tail)
+        (3, b),                                 # all-boilerplate doc
+        (4, u("delta")),                        # untouched doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, k=4, min_dup=2).collect()
+    }
+    assert set(got) == {1, 2, 4}  # doc 3 fully boilerplate -> gone
+    assert got[1]["text_dedup"] == f"{u('alpha')} {u('beta')}"
+    assert got[1]["n_paras_kept"] == 2
+    assert got[2]["text_dedup"] == u("gamma")
+    assert got[4]["text_dedup"] == u("delta")
+
+
+def test_paragraph_dedup_min_dup_threshold(spark):
+    """min_dup=3: a paragraph shared by only TWO documents survives in
+    both; only >=3-way repeats drop."""
+    from quanta_spark.operators.dedup import paragraph_dedup
+
+    p2 = "twice a b c"       # appears 2x
+    p3 = "thrice x y z"      # appears 3x
+    rows = [(1, f"{p2} {p3}"), (2, f"{p2} {p3}"), (3, p3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in paragraph_dedup(docs, k=4, min_dup=3).collect()
+    }
+    assert got == {1: p2, 2: p2}
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """The token split must sit ABOVE an exchange (transform-lambda
+    re-eval pitfall) and the drop must be a hash-key anti-join — no
+    Cartesian/NestedLoop anywhere."""
+    from quanta_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = paragraph_dedup(docs)
+    df.count()  # force AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan
