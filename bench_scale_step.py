@@ -104,6 +104,8 @@ def _ops():
         duplicate_spans as _dup_spans,
         gopher_quality_filters as _gopher,
     )
+    from quanta_spark.operators.dedup import paragraph_dedup as _para_dedup
+    from quanta_spark.operators.sampling import temperature_mix as _temp_mix
 
     def bench_set(docs):
         from quanta_spark.operators.dedup import normalized
@@ -282,6 +284,10 @@ def _ops():
         ),
         "dsir_weights": lambda docs, emb: _dsir(
             docs, target=F.col("text").contains("spark")
+        ),
+        "paragraph_dedup": lambda docs, emb: _para_dedup(docs),
+        "temperature_mix": lambda docs, emb: _temp_mix(
+            budget_in(docs), budget=20_000, alpha=0.5
         ),
     }
 

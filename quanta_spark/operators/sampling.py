@@ -88,7 +88,7 @@ def assign_splits(
 
 def token_budget_per_stratum(
     df: DataFrame,
-    budget: int,
+    budget: int | Column,
     stratum_col: str = "lang",
     tokens_col: Column | str = "n_tokens",
     order_by: list[Column] | None = None,
@@ -128,7 +128,13 @@ def token_budget_per_stratum(
     Caveat: rows with 0 tokens never exhaust a local budget, so a
     corpus dominated by empty documents defeats the phase-1 bound —
     filter those first.
+
+    ``budget`` may be a Column (a PER-ROW attribute, constant within
+    each stratum — e.g. a per-stratum budget joined in by
+    temperature_mix); the two-phase argument is per-stratum, so it
+    holds unchanged for any stratum-constant budget.
     """
+    budget = F.lit(budget) if isinstance(budget, int) else budget
     tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     order = order_by or [tokens.desc(), F.col(id_col).asc()]
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
@@ -158,6 +164,55 @@ def token_budget_per_stratum(
         .withColumn("_any_overflow", F.max("_overflow").over(w_global))
         .filter((F.col("_running_tokens") <= budget) & (F.col("_any_overflow") == 0))
         .drop("_running_tokens", "_any_overflow", "_overflow")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    tokens_col: Column | str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-corpus
+    sampling rule: per-stratum token share p_i ∝ n_i^alpha, alpha=1 →
+    natural proportions, alpha=0 → uniform across strata, alpha<1
+    upsamples the tail — the standard way a 100 TB multilingual crawl
+    is rebalanced before training): compute corpus token totals per
+    stratum, raise to alpha, normalize, and give each stratum a token
+    budget floor(budget * p_i), then keep each stratum's greedy prefix
+    within its own budget via token_budget_per_stratum's exact
+    two-phase plan (mega-stratum safe, no whole-stratum sort).
+
+    100 TB shape: the totals aggregate is one map-side-combined
+    groupBy emitting #strata rows; the normalization window runs over
+    that #strata-row table (bounded by construction); budgets join
+    back BROADCAST (#strata rows). The only corpus-sized work is the
+    two-phase prefix itself.
+
+    Output: the kept rows of ``df`` plus ``_budget`` (the stratum's
+    token budget)."""
+    from pyspark.sql.functions import broadcast
+
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    totals = df.groupBy(stratum_col).agg(F.sum(tokens).alias("_n_i"))
+    w_all = Window.partitionBy()
+    budgets = totals.select(
+        stratum_col,
+        F.floor(
+            F.lit(budget)
+            * F.pow("_n_i", F.lit(alpha))
+            / F.sum(F.pow("_n_i", F.lit(alpha))).over(w_all)
+        ).alias("_budget"),
+    )
+    withb = df.join(broadcast(budgets), stratum_col)
+    return token_budget_per_stratum(
+        withb,
+        F.col("_budget"),
+        stratum_col=stratum_col,
+        tokens_col=tokens_col,
+        id_col=id_col,
     )
 
 

@@ -4425,3 +4425,51 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return paragraph_dedup(aug).select("doc_id", "text_dedup", "n_paras_kept")
+
+
+_Q113_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+  FROM documents
+),
+tot AS (SELECT lang, sum(n_ws_tokens) AS n_i FROM t GROUP BY lang),
+bud AS (
+  SELECT lang,
+         CAST(floor(20000 * pow(CAST(n_i AS DOUBLE), 0.5)
+               / (SELECT sum(pow(CAST(n_i AS DOUBLE), 0.5)) FROM tot))
+              AS BIGINT) AS t_i
+  FROM tot
+),
+r AS (
+  SELECT t.*, sum(n_ws_tokens) OVER (PARTITION BY lang
+                                     ORDER BY n_ws_tokens DESC, doc_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS running
+  FROM t
+)
+SELECT r.doc_id, r.lang, r.n_ws_tokens
+FROM r JOIN bud USING (lang) WHERE running <= t_i
+"""
+
+
+@query("q113_temperature_mix", _Q113_ORACLE)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (sampling.temperature_mix —
+    the multilingual sampling rule p_i ∝ n_i^alpha, alpha=0.5): each
+    lang's token share is square-rooted and renormalized (upsampling
+    tail languages), its budget is floor(20000 * p_i), and the
+    stratum keeps its greedy prefix (most tokens first, doc_id
+    tie-break) within that budget — q49's two-phase exact prefix plan
+    generalized to a PER-STRATUM budget column. The totals aggregate
+    emits #strata rows, the normalization window runs over that
+    bounded table, and budgets join back broadcast; only the prefix
+    pass touches corpus-sized data."""
+    from quanta_spark.operators.sampling import temperature_mix
+    from quanta_spark.operators.text import ws_token_count
+
+    docs = spark.table("documents").select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("n_ws_tokens")
+    )
+    return temperature_mix(
+        docs, budget=20000, alpha=0.5, tokens_col="n_ws_tokens"
+    ).select("doc_id", "lang", "n_ws_tokens")

@@ -233,3 +233,59 @@ def test_systematic_weighted_sample_empty(spark):
     out = systematic_weighted_sample(empty, F.length("text"), 10)
     assert out.count() == 0
     assert out.columns == ["doc_id", "weight", "cum_weight", "pick_count"]
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    """alpha=0 -> every stratum gets an equal budget slice regardless
+    of its natural size; alpha=1 -> budgets proportional to natural
+    token share. Checked via the kept rows' attached _budget."""
+    from quanta_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big", 10) for i in range(100)] + [
+        (1000 + i, "small", 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    uni = temperature_mix(df, budget=200, alpha=0.0)
+    buds = {r["lang"]: r["_budget"] for r in uni.select("lang", "_budget").distinct().collect()}
+    assert buds == {"big": 100, "small": 100}
+    nat = temperature_mix(df, budget=220, alpha=1.0)
+    buds = {r["lang"]: r["_budget"] for r in nat.select("lang", "_budget").distinct().collect()}
+    assert buds == {"big": 200, "small": 20}
+
+
+def test_temperature_mix_matches_single_window_reference(spark):
+    """The two-phase per-stratum-budget prefix must equal the naive
+    single-window greedy prefix under the same budgets, including a
+    mega-stratum whose phase-1 buckets all overflow."""
+    import math
+
+    from quanta_spark.operators.sampling import temperature_mix
+
+    rows = []
+    for i in range(500):  # mega stratum, varied sizes
+        rows.append((i, "mega", 1 + (i * 7) % 23))
+    for i in range(12):
+        rows.append((10_000 + i, "tail", 5 + i))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    budget, alpha = 600, 0.5
+    got = {
+        r["doc_id"]
+        for r in temperature_mix(df, budget=budget, alpha=alpha).collect()
+    }
+    # reference: exact same rule in plain python
+    tot = {}
+    for _id, lang, n in rows:
+        tot[lang] = tot.get(lang, 0) + n
+    z = sum(math.pow(n, alpha) for n in tot.values())
+    want = set()
+    for lang in tot:
+        t_i = math.floor(budget * math.pow(tot[lang], alpha) / z)
+        run = 0
+        for _id, l2, n in sorted(
+            (r for r in rows if r[1] == lang), key=lambda r: (-r[2], r[0])
+        ):
+            if run + n > t_i:
+                break
+            run += n
+            want.add(_id)
+    assert got == want
