@@ -85,7 +85,10 @@ def _ops():
         neardup_index as _nd_index,
         stream_neardup_gate as _nd_gate,
     )
-    from quanta_spark.operators.packing import pack_turns as _pack
+    from quanta_spark.operators.packing import (
+        pack_lm_examples as _pack_lm,
+        pack_turns as _pack,
+    )
     from quanta_spark.operators.sampling import (
         systematic_weighted_sample as _wsample,
     )
@@ -286,6 +289,7 @@ def _ops():
             docs, target=F.col("text").contains("spark")
         ),
         "paragraph_dedup": lambda docs, emb: _para_dedup(docs),
+        "pack_lm_examples": lambda docs, emb: _pack_lm(docs, seq_len=2048),
         "temperature_mix": lambda docs, emb: _temp_mix(
             budget_in(docs), budget=20_000, alpha=0.5
         ),

@@ -99,3 +99,81 @@ def pack_stats(packed: DataFrame, key_col: str = "conv_id") -> DataFrame:
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("ntok").cast("long").alias("pack_tokens"),
     )
+
+
+def pack_lm_examples(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos: str = "<eos>",
+) -> DataFrame:
+    """Causal-LM example packing — the standard GPT pretraining prep:
+    append an EOS token to every document, lay ALL documents' tokens
+    end-to-end on one global axis (in ``id_col`` order), and cut it
+    into consecutive ``seq_len``-token training examples. Documents
+    crossing an example boundary SPLIT across the adjacent examples
+    (unlike pack_turns' next-fit, which never splits); the final
+    partial example is kept.
+
+    100 TB shape: the global token offset is sampling.global_prefix_sum
+    (coarse-range partial sums -> O(parallelism) rows to the driver ->
+    broadcast offsets + per-range window; never a one-task global
+    window). Each document then computes its own example span locally
+    and explodes into at most ceil(n_tokens/seq_len)+1 portion rows —
+    for the typical doc ≪ seq_len that is ONE row — and examples
+    reassemble with a single groupBy(example_id). Token arrays are
+    sliced JVM-side; zero Python.
+
+    Output: (example_id, n_tokens, text); every example has exactly
+    ``seq_len`` tokens except the last."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from quanta_spark.operators.sampling import global_prefix_sum
+
+    L = int(seq_len)
+    base = df.select(F.col(id_col), F.trim(F.col(text_col)).alias("_txt"))
+    n_toks = F.size(F.split(F.col("_txt"), " ")) + F.lit(1)  # +1: EOS
+    with_cum = global_prefix_sum(base, n_toks, id_col)
+    if with_cum is None:
+        return df.sparkSession.createDataFrame(
+            [], "example_id long, n_tokens long, text string"
+        )
+    doc = with_cum.select(
+        (F.col("_cum") - F.col("_w")).alias("_start"),
+        F.col("_cum"),
+        F.concat(F.split(F.col("_txt"), " "), F.array(F.lit(eos))).alias("_toks"),
+    )
+    p = doc.select(
+        "_start",
+        "_cum",
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start DIV {L}"), F.expr(f"(_cum - 1) DIV {L}")
+            )
+        ).alias("example_id"),
+    )
+    s_g = F.greatest(F.col("example_id") * L, F.col("_start"))
+    e_g = F.least((F.col("example_id") + 1) * L, F.col("_cum"))
+    portions = p.select(
+        "example_id",
+        s_g.alias("_gstart"),
+        F.slice(
+            F.col("_toks"),
+            (s_g - F.col("_start") + 1).cast("int"),
+            (e_g - s_g).cast("int"),
+        ).alias("_ptoks"),
+    )
+    return portions.groupBy("example_id").agg(
+        F.sum(F.size("_ptoks")).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_gstart", "_ptoks"))),
+                    lambda x: x["_ptoks"],
+                )
+            ),
+            " ",
+        ).alias("text"),
+    )

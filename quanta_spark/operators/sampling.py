@@ -254,49 +254,31 @@ def robust_outliers(
     )
 
 
-def systematic_weighted_sample(
-    df: DataFrame,
-    weight: Column | str,
-    stride: int,
-    order_col: str = "doc_id",
-) -> DataFrame:
-    """Weighted systematic sampling: lay all rows end-to-end on an
-    integer weight axis (in ``order_col`` order) and pick the row under
-    every ``stride``-th tick — each row is selected with probability
-    proportional to its weight (token count -> token-proportional
-    document sampling), deterministically, with no RNG. A row heavier
-    than ``stride`` is picked multiple times (``pick_count``).
+def global_prefix_sum(
+    df: DataFrame, weight: Column, order_col: str
+) -> DataFrame | None:
+    """Distributed GLOBAL inclusive prefix sum of ``weight`` in
+    ``order_col`` order — the shared machinery behind weighted
+    systematic sampling (q78) and causal-LM example packing: coarse
+    ``width_bucket`` ranges over ``order_col``, a narrow per-range
+    total aggregate (O(n_ranges) rows to the driver — bounded by
+    parallelism, not data), broadcast range offsets, then a per-range
+    window cumsum. NEVER a one-task whole-corpus window.
 
-    The running weight sum is a DISTRIBUTED prefix sum (the
-    multimodal.repartition_by_size shape, not a one-task global
-    window): coarse ``width_bucket`` ranges over ``order_col``, a
-    narrow per-range total aggregate (O(n_ranges) rows to the driver —
-    bounded by parallelism, not data), broadcast range offsets, then a
-    per-range window cumsum. Weights cross exactly one shuffle.
-
-    Integer-only arithmetic end to end, so a plain SQL window-cumsum
-    oracle reproduces the selection exactly (q78)."""
-    if stride < 1:
-        raise ValueError(f"stride must be >= 1, got {stride}")
-    if isinstance(weight, str):
-        weight = F.col(weight)
-    # weights must be non-negative for the tick semantics to hold; a
-    # negative weight would make the cumsum non-monotonic and a NULL
-    # would poison its range's offset — clamp both to 0
-    sized = df.select(
-        F.col(order_col),
-        F.greatest(F.coalesce(weight.cast("long"), F.lit(0)), F.lit(0)).alias("_w"),
+    Returns ``df``'s columns plus ``_w`` (the weight, NULL/negative
+    clamped to 0, long) and ``_cum`` (inclusive global cumsum), or
+    None for an empty input. Raises on NULL ``order_col`` values (a
+    NULL key has no position on the axis). Every column of ``df``
+    rides through the one prefix-sum exchange — keep the payload
+    narrow if the caller doesn't need it downstream."""
+    sized = df.withColumn(
+        "_w", F.greatest(F.coalesce(weight.cast("long"), F.lit(0)), F.lit(0))
     )
     bounds = sized.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
     if bounds["lo"] is None:
-        return sized.select(
-            F.col(order_col),
-            F.col("_w").alias("weight"),
-            F.lit(0).cast("long").alias("cum_weight"),
-            F.lit(0).cast("long").alias("pick_count"),
-        ).limit(0)
+        return None
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     n_ranges = max(df.sparkSession.sparkContext.defaultParallelism * 4, 4)
     rid = F.width_bucket(
@@ -325,7 +307,47 @@ def systematic_weighted_sample(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = (off_map[F.col("_rid")] + F.sum("_w").over(w)).cast("long")
-    with_cum = ranged.withColumn("_cum", cum).withColumn(
+    return ranged.withColumn("_cum", cum).drop("_rid")
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    stride: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted systematic sampling: lay all rows end-to-end on an
+    integer weight axis (in ``order_col`` order) and pick the row under
+    every ``stride``-th tick — each row is selected with probability
+    proportional to its weight (token count -> token-proportional
+    document sampling), deterministically, with no RNG. A row heavier
+    than ``stride`` is picked multiple times (``pick_count``).
+
+    The running weight sum is a DISTRIBUTED prefix sum (the
+    multimodal.repartition_by_size shape, not a one-task global
+    window): coarse ``width_bucket`` ranges over ``order_col``, a
+    narrow per-range total aggregate (O(n_ranges) rows to the driver —
+    bounded by parallelism, not data), broadcast range offsets, then a
+    per-range window cumsum. Weights cross exactly one shuffle.
+
+    Integer-only arithmetic end to end, so a plain SQL window-cumsum
+    oracle reproduces the selection exactly (q78)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if isinstance(weight, str):
+        weight = F.col(weight)
+    # keep the shuffled payload narrow: only (order_col, weight)
+    # crosses the prefix-sum exchange
+    sized = df.select(F.col(order_col), weight.alias("_wraw"))
+    with_cum = global_prefix_sum(sized, F.col("_wraw"), order_col)
+    if with_cum is None:
+        return sized.select(
+            F.col(order_col),
+            F.lit(0).cast("long").alias("weight"),
+            F.lit(0).cast("long").alias("cum_weight"),
+            F.lit(0).cast("long").alias("pick_count"),
+        ).limit(0)
+    with_cum = with_cum.withColumn(
         "_picks",
         F.expr(f"_cum DIV {int(stride)}") - F.expr(f"(_cum - _w) DIV {int(stride)}"),
     )

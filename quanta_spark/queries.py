@@ -4473,3 +4473,54 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(
         docs, budget=20000, alpha=0.5, tokens_col="n_ws_tokens"
     ).select("doc_id", "lang", "n_ws_tokens")
+
+
+_Q114_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') || ['<eos>'] AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(sum(len(toks)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t
+),
+portions AS (
+  SELECT e.eid,
+         greatest(e.eid * 64, cum - n) AS gstart,
+         list_slice(toks,
+                    greatest(e.eid * 64, cum - n) - (cum - n) + 1,
+                    least((e.eid + 1) * 64, cum) - (cum - n)) AS ptoks
+  FROM c,
+       LATERAL (
+         SELECT unnest(range((cum - n) // 64, ((cum - 1) // 64) + 1)) AS eid
+       ) e
+)
+SELECT eid AS example_id,
+       CAST(sum(len(ptoks)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(ptoks, ' '), ' ' ORDER BY gstart) AS text
+FROM portions GROUP BY eid
+"""
+
+
+@query("q114_pack_lm_examples", _Q114_ORACLE)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM example packing (packing.pack_lm_examples — the
+    standard GPT pretraining prep): every document gets an <eos>
+    appended, all tokens lie end-to-end on one global axis in doc_id
+    order, and the axis is cut into consecutive 64-token training
+    examples; boundary-crossing documents SPLIT across adjacent
+    examples and the final partial example survives. The global
+    offset is the distributed two-phase prefix sum shared with q78
+    (coarse-range totals -> broadcast offsets -> per-range window;
+    plan-asserted never a one-task global window); each doc explodes
+    into at most ceil(n/64)+1 portion rows and examples reassemble in
+    ONE groupBy. The oracle rebuilds every example's exact TEXT, so a
+    single token out of place anywhere on the 27k-token axis
+    hash-mismatches."""
+    from quanta_spark.operators.packing import pack_lm_examples
+
+    return pack_lm_examples(spark.table("documents"), seq_len=64).select(
+        "example_id", "n_tokens", "text"
+    )

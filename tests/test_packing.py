@@ -65,3 +65,50 @@ def test_assignment_independent_of_partitioning(spark):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, shuffled.collect()))
     assert a == b
+
+
+def test_pack_lm_examples_reconstructs_token_stream(spark):
+    """Concatenating all examples in example_id order must equal the
+    original documents' tokens + <eos>, in doc_id order — nothing
+    lost, duplicated, or reordered; every example has exactly seq_len
+    tokens except the last."""
+    from quanta_spark.operators.packing import pack_lm_examples
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L = 64
+    out = pack_lm_examples(docs, seq_len=L).orderBy("example_id").collect()
+    sizes = [r["n_tokens"] for r in out]
+    assert all(s == L for s in sizes[:-1]) and 1 <= sizes[-1] <= L
+    assert [r["example_id"] for r in out] == list(range(len(out)))
+    stream = " ".join(r["text"] for r in out)
+    want = " ".join(
+        r["text"].strip() + " <eos>"
+        for r in docs.select("doc_id", "text").orderBy("doc_id").collect()
+    )
+    assert stream == want
+
+
+def test_pack_lm_examples_doc_longer_than_seq_len_splits(spark):
+    """A single document longer than seq_len must span multiple
+    examples, split mid-document."""
+    from quanta_spark.operators.packing import pack_lm_examples
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens + eos = 11
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["example_id"]: r for r in pack_lm_examples(docs, seq_len=4).collect()}
+    assert len(out) == 3
+    assert out[0]["text"] == "t0 t1 t2 t3"
+    assert out[1]["text"] == "t4 t5 t6 t7"
+    assert out[2]["text"] == "t8 t9 <eos>" and out[2]["n_tokens"] == 3
+
+
+def test_pack_lm_examples_no_global_window(spark):
+    """The offset axis must be per-range windows (shared q78 prefix
+    machinery), never a one-task corpus window."""
+    from quanta_spark.operators.packing import pack_lm_examples
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = pack_lm_examples(docs, seq_len=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_rid" in plan, plan
+    assert "windowspecdefinition(doc_id" not in plan, plan
