@@ -254,6 +254,32 @@ def robust_outliers(
     )
 
 
+def shuffle_shards(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + sharding — the pretraining step
+    between curation and packing: every row gets a pseudorandom but
+    reproducible position (shard_id, pos) derived ONLY from md5(id),
+    so the training order is a fixed permutation of the corpus — no
+    RNG state, identical across runs, engines, and input partitioning
+    (a re-run after adding one source file reshuffles nothing else).
+
+    shard_id = md5-bucket16(id) % n_shards; pos = rank of md5(id) hex
+    within the shard (id tie-break). 100 TB shape: ONE exchange on
+    shard_id, then a per-shard window sort — the sort is distributed
+    across shards, so size n_shards to the cluster (shards ~ corpus /
+    n_shards rows each, hash-balanced); never a global sort."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    w = Window.partitionBy("shard_id").orderBy("_key", id_col)
+    return (
+        df.withColumn("shard_id", F.pmod(_hash16(F.col(id_col)), F.lit(n_shards)))
+        .withColumn("_key", F.md5(F.col(id_col).cast("string")))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("_key")
+    )
+
+
 def global_prefix_sum(
     df: DataFrame, weight: Column, order_col: str
 ) -> DataFrame | None:

@@ -4524,3 +4524,28 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_lm_examples(spark.table("documents"), seq_len=64).select(
         "example_id", "n_tokens", "text"
     )
+
+
+@query(
+    "q115_shuffle_shards",
+    f"""
+SELECT doc_id,
+       CAST({_HEX16_DUCK} % 8 AS INT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY {_HEX16_DUCK} % 8
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS INT) AS pos
+FROM documents
+""",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding
+    (sampling.shuffle_shards — the pretraining step between curation
+    and packing): every document's (shard_id, pos) derives ONLY from
+    md5(doc_id) — a fixed, engine-portable permutation with no RNG
+    state, so the training order reproduces across runs and the
+    oracle recomputes it exactly. One exchange on shard_id, per-shard
+    window sort (distributed across the 8 shards; never global)."""
+    from quanta_spark.operators.sampling import shuffle_shards
+
+    return shuffle_shards(spark.table("documents"), n_shards=8).select(
+        "doc_id", "shard_id", "pos"
+    )

@@ -289,3 +289,30 @@ def test_temperature_mix_matches_single_window_reference(spark):
             run += n
             want.add(_id)
     assert got == want
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    """(shard_id, pos) is a function of doc_id alone: identical under
+    different input partitionings; positions are dense 0..n_i-1 per
+    shard; shards are hash-balanced."""
+    from quanta_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["doc_id"]): (r["shard_id"], r["pos"])
+         for r in shuffle_shards(docs, 4).collect()}
+    b = {(r["doc_id"]): (r["shard_id"], r["pos"])
+         for r in shuffle_shards(docs.repartition(7), 4).collect()}
+    assert a == b
+    by_shard = {}
+    for sid, pos in a.values():
+        by_shard.setdefault(sid, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    total = sum(len(v) for v in by_shard.values())
+    for sid, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+        assert len(poss) > total / 4 / 3  # no degenerate shard
+    # order within a shard is NOT id order (it is a real shuffle)
+    ids0 = sorted(
+        (pos, d) for d, (sid, pos) in a.items() if sid == 0
+    )
+    assert [d for _p, d in ids0] != sorted(d for _p, d in ids0)
