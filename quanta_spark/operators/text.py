@@ -234,6 +234,7 @@ def decontaminate(
     benchmark: DataFrame,
     n: int = 8,
     text_col: str = "text",
+    min_overlap_bp: int | None = None,
 ) -> DataFrame:
     """Training-data DECONTAMINATION: flag corpus documents that share
     any word n-gram with an eval/benchmark set (the standard 8-to-13-
@@ -249,7 +250,14 @@ def decontaminate(
     behind an exchange barrier before the per-element gram transform
     (see dedup._norm_grams_df: transform() re-evaluates captured
     expressions once PER ELEMENT, and AQE would serialize the tiny
-    exchange onto one core without the explicit partition count)."""
+    exchange onto one core without the explicit partition count).
+
+    ``min_overlap_bp``: FUZZY decontamination (the "drop a document
+    when >= X% of its n-grams appear in the benchmark" rule) — when
+    set, the output adds ``n_grams_total`` (the doc's distinct-gram
+    count) and ``contaminated`` becomes the pure-INTEGER test
+    hits * 10000 >= min_overlap_bp * total (engine-portable, no float
+    division); any-hit semantics (the default) stays unchanged."""
     from quanta_spark.operators.dedup import normalized
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
@@ -268,22 +276,44 @@ def decontaminate(
         gram_arr = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
             F.array().cast("array<string>")
         )
-        return toked.select(*cols, F.explode(gram_arr).alias("gram"))
+        return toked.select(*cols, gram_arr.alias("_grams"))
 
-    doc_grams = grams_of(docs, keep_id=True)
-    bench_grams = grams_of(benchmark, keep_id=False).distinct()
+    doc_g = grams_of(docs, keep_id=True)
+    doc_grams = doc_g.select("doc_id", F.explode("_grams").alias("gram"))
+    bench_grams = (
+        grams_of(benchmark, keep_id=False)
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+    )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
     )
+    n_hits = F.coalesce("n_contaminated_grams", F.lit(0))
+    if min_overlap_bp is None:
+        return (
+            docs.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                n_hits.alias("n_contaminated_grams"),
+                (n_hits > 0).alias("contaminated"),
+            )
+        )
+    totals = doc_g.select(
+        "doc_id", F.size("_grams").cast("long").alias("n_grams_total")
+    )
     return (
-        docs.select("doc_id")
-        .join(hits, "doc_id", "left")
+        totals.join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
-            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+            n_hits.alias("n_contaminated_grams"),
+            "n_grams_total",
+            (
+                (F.col("n_grams_total") > 0)
+                & (n_hits * 10000 >= F.lit(min_overlap_bp) * F.col("n_grams_total"))
+            ).alias("contaminated"),
         )
     )
 

@@ -4549,3 +4549,69 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(spark.table("documents"), n_shards=8).select(
         "doc_id", "shard_id", "pos"
     )
+
+
+_Q116_ORACLE = """
+WITH nd AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+bench AS (
+  SELECT array_to_string(list_slice(string_split(t, ' '), 1, 12), ' ') AS t
+  FROM nd WHERE doc_id % 50 = 0
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(
+           list_slice(string_split(t, ' '), i, i + 7), ' ') AS gram
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(string_split(t, ' ')) - 7)) AS i
+    FROM nd
+  )
+),
+bg AS (
+  SELECT DISTINCT array_to_string(
+           list_slice(string_split(t, ' '), i, i + 7), ' ') AS gram
+  FROM (
+    SELECT t, unnest(generate_series(1, len(string_split(t, ' ')) - 7)) AS i
+    FROM bench
+  )
+),
+tot AS (SELECT doc_id, count(DISTINCT gram) AS n_grams_total FROM cg GROUP BY doc_id),
+hits AS (
+  SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_contaminated_grams
+  FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+)
+SELECT nd.doc_id,
+       CAST(coalesce(h.n_contaminated_grams, 0) AS BIGINT) AS n_contaminated_grams,
+       CAST(coalesce(t.n_grams_total, 0) AS BIGINT) AS n_grams_total,
+       (coalesce(t.n_grams_total, 0) > 0 AND
+        coalesce(h.n_contaminated_grams, 0) * 10000 >= 500 * coalesce(t.n_grams_total, 0)
+       ) AS contaminated
+FROM nd LEFT JOIN tot t USING (doc_id) LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("q116_fuzzy_decontaminate", _Q116_ORACLE)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (text.decontaminate(min_overlap_bp=500)):
+    a document is contaminated when >= 5% of its distinct word
+    8-grams appear in the benchmark set (q51's any-hit rule upgraded
+    to the overlap-fraction rule used for web-scale pretraining
+    decontamination) — the threshold test is pure INTEGER arithmetic
+    (hits * 10000 >= bp * total), so the oracle replays it exactly
+    with no float division. Same plan as q51: benchmark grams
+    broadcast, one corpus scan + explode; the totals column reuses the
+    already-materialized distinct-gram array (size(), no extra pass)."""
+    from quanta_spark.operators.dedup import normalized
+    from quanta_spark.operators.text import decontaminate
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(
+            F.slice(F.split(normalized(F.col("text")), " "), 1, 12), " "
+        ).alias("text")
+    )
+    return decontaminate(docs, bench, n=8, min_overlap_bp=500).select(
+        "doc_id", "n_contaminated_grams", "n_grams_total", "contaminated"
+    )

@@ -135,3 +135,24 @@ def test_dsir_feature_count_and_short_doc_drop(spark):
     by_id = {r["doc_id"]: r for r in got}
     assert by_id[1]["n_features"] == 2  # bigrams of a 3-token doc
     assert 2 not in by_id  # <2 tokens -> no bigram features
+
+
+def test_fuzzy_decontaminate_threshold_semantics(spark):
+    """min_overlap_bp: flagged iff hits*10000 >= bp*total; a doc with
+    3/10 grams overlapping is contaminated at 2500bp but not 4000bp;
+    short docs (< n tokens, 0 grams) are never flagged."""
+    from quanta_spark.operators.text import decontaminate
+
+    # doc 1: 12 tokens -> 10 distinct 3-grams, 3 of which overlap bench
+    d1 = "a b c d e f g h i j k l"
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, d1), (2, "z y x w v u t s r q p o"), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    lo = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3, min_overlap_bp=2500).collect()}
+    hi = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3, min_overlap_bp=4000).collect()}
+    assert lo[1]["n_contaminated_grams"] == 3 and lo[1]["n_grams_total"] == 10
+    assert lo[1]["contaminated"] is True and hi[1]["contaminated"] is False
+    assert lo[2]["contaminated"] is False
+    assert lo[3]["n_grams_total"] == 0 and lo[3]["contaminated"] is False
