@@ -108,7 +108,10 @@ def _ops():
         gopher_quality_filters as _gopher,
     )
     from quanta_spark.operators.dedup import paragraph_dedup as _para_dedup
-    from quanta_spark.operators.sampling import temperature_mix as _temp_mix
+    from quanta_spark.operators.sampling import (
+        shuffle_shards as _shards,
+        temperature_mix as _temp_mix,
+    )
 
     def bench_set(docs):
         from quanta_spark.operators.dedup import normalized
@@ -293,6 +296,7 @@ def _ops():
         "temperature_mix": lambda docs, emb: _temp_mix(
             budget_in(docs), budget=20_000, alpha=0.5
         ),
+        "shuffle_shards": lambda docs, emb: _shards(docs, n_shards=64),
     }
 
 
