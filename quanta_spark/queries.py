@@ -4615,3 +4615,129 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8, min_overlap_bp=500).select(
         "doc_id", "n_contaminated_grams", "n_grams_total", "contaminated"
     )
+
+
+_Q117_SESSION_FP = """
+  SELECT conv_id, md5(string_agg(text, chr(31) ORDER BY ts, turn_idx)) AS fp
+  FROM (
+    SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM (
+      SELECT conv_id, turn_idx, text, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       <= INTERVAL 1 DAY THEN 0 ELSE 1 END AS brk
+      FROM {src}
+    )
+  )
+  GROUP BY conv_id, sess HAVING count(*) >= 3
+"""
+
+_Q117_ORACLE = f"""
+WITH {{cte}},
+stream AS (
+  SELECT concat('dup-', substr(conv_id, 6)) AS conv_id, turn_idx, text, ts
+  FROM transcripts WHERE CAST(substr(conv_id, 6) AS INT) % 5 = 0
+  UNION ALL
+  SELECT concat('new-', substr(conv_id, 6)) AS conv_id, turn_idx,
+         text || ' novel' AS text, ts
+  FROM transcripts WHERE CAST(substr(conv_id, 6) AS INT) % 7 = 0
+),
+idx AS ({_Q117_SESSION_FP.format(src="transcripts")}),
+str_s AS ({_Q117_SESSION_FP.format(src="stream")})
+SELECT s.conv_id AS new_conv_id, i.conv_id AS idx_conv_id, s.fp AS fp
+FROM str_s s JOIN idx i USING (fp)
+""".format(cte=TRANSCRIPTS_CTE)
+
+
+@query("q117_stream_conv_dedup_gate", _Q117_ORACLE)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING conversation dedup gate
+    (dedup.stream_conv_dedup_gate) — the transcript-ingestion member
+    of the gate family (documents q83 / images q105 / audio q110 /
+    conversations q117): re-played conversations (every 5th historical
+    conv arrives again under a 'dup-' id — agent retry storms, spam)
+    interleaved with genuinely new ones ('new-' ids, every 7th conv
+    with altered turn texts) sessionize ON the stream (session_window
+    1 day + 1 hour watermark, state O(open sessions)); when the
+    watermark closes a session, its exact content fingerprint (md5
+    over (ts, turn_idx)-ordered turn texts, >=3-turn sessions only)
+    probes the static historical session index via a stream-STATIC
+    fp equi-join — O(new sessions)/day, never O(corpus). The SAME
+    aggregation expression builds index and stream signature, so
+    fingerprints are bit-identical by construction; the oracle is
+    fully CONTENT-DERIVED (it recomputes both sides' fingerprints in
+    SQL), so even would-be collisions are predicted, not assumed
+    away (measured: 0 cross-conv collisions among >=3-turn sessions)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.datagen import (
+        stamp_arrival_order as _stamp,
+        write_heartbeat_file,
+    )
+    from quanta_spark.operators.dedup import (
+        session_fingerprint_index,
+        stream_conv_dedup_gate,
+    )
+    from quanta_spark.sources.readers import stream_transcripts_files
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    base = transcripts_df(spark)
+    index = session_fingerprint_index(base).cache()
+    index.count()
+
+    suffix = F.expr("substring(conv_id, 6)")
+    uid = suffix.cast("int")
+    cols = ["turn_idx", "role", "text", "tool", "ts"]
+    dup = base.filter(uid % 5 == 0).select(
+        F.concat(F.lit("dup-"), suffix).alias("conv_id"), *cols
+    )
+    new = (
+        base.filter(uid % 7 == 0)
+        .withColumn("text", F.concat("text", F.lit(" novel")))
+        .select(F.concat(F.lit("new-"), suffix).alias("conv_id"), *cols)
+    )
+    pdf = dup.unionByName(new).toPandas()
+    _guard_gate_rows(len(pdf), "conv stream input")
+    pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+    d = tempfile.mkdtemp(prefix="qs_convstream_")
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 6)):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            path,
+        )
+        paths.append(path)
+    _stamp(paths)
+
+    src = stream_transcripts_files(spark, d, max_files_per_trigger=2, with_lineage=False)
+    out_stream = stream_conv_dedup_gate(src, index)
+    rows_out: list = []
+
+    def _sink(b, i):
+        rows_out.extend(b.collect())
+        _guard_gate_rows(len(rows_out), "collected output")
+
+    h = start_pipeline(out_stream, _sink, tempfile.mkdtemp(prefix="qs_convstream_ckpt_"))
+    h.process_all_available()
+    # advance the watermark past every open session (+1 day gap +1 h wm)
+    write_heartbeat_file(d, pd.Timestamp(pdf["ts"].max()) + pd.Timedelta(days=60))
+    run_to_completion(h)
+    out_pdf = pd.DataFrame([r.asDict() for r in rows_out])
+    return spark.createDataFrame(
+        out_pdf[["new_conv_id", "idx_conv_id", "fp"]] if len(out_pdf) else out_pdf,
+        schema="new_conv_id string, idx_conv_id string, fp string",
+    )
