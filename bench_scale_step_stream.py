@@ -186,6 +186,60 @@ def _run_gate(spark, listener, n_docs: int, ckpt: str) -> dict:
     }
 
 
+def _run_conv_gate(spark, listener, data_dir: str, n_turns: int, ckpt: str) -> dict:
+    """Conversation dedup gate: the SAME transcript stream arrives and
+    every closed >=3-turn session probes a historical session index
+    built from the identical corpus (worst case: every session hits).
+    Index build is the maintained artifact — untimed."""
+    from quanta_spark.datagen import HEARTBEAT_CONV
+    from quanta_spark.operators.dedup import (
+        session_fingerprint_index,
+        stream_conv_dedup_gate,
+    )
+
+    batch = spark.read.parquet(os.path.join(data_dir, "*.parquet")).filter(
+        f"conv_id != '{HEARTBEAT_CONV}'"
+    )
+    index = session_fingerprint_index(batch, gap="30 minutes").cache()
+    index.count()
+    start_idx = len(listener.progress)
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=64, with_lineage=False
+    )
+    counts: list[int] = []
+    t0 = time.perf_counter()
+    h = start_pipeline(
+        stream_conv_dedup_gate(src, index, gap="30 minutes"),
+        lambda b, i: counts.append(b.count()),
+        ckpt,
+    )
+    run_to_completion(h)
+    wall = time.perf_counter() - t0
+    index.unpersist()
+    with listener._lock:
+        recs = listener.progress[start_idx:]
+    add_batch = [r["durationMs"].get("addBatch") for r in recs if r["durationMs"].get("addBatch")]
+    state_rows = [
+        sum(s.get("numRowsTotal") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    state_bytes = [
+        sum(s.get("memoryUsedBytes") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    return {
+        "wall_sec": round(wall, 3),
+        "batches": len(recs),
+        "add_batch_ms_mean": round(sum(add_batch) / max(len(add_batch), 1), 1),
+        "add_batch_ms_max": max(add_batch, default=0),
+        "state_rows_max": max(state_rows, default=0),
+        "state_bytes_max": max(state_bytes, default=0),
+        "output_rows": int(sum(counts)),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark(
         app_name="quanta_stream_step", cores=CPUS, shuffle_partitions=CPUS
@@ -214,6 +268,12 @@ def main() -> None:
     for tag, nd in gate_scales.items():
         results["stream_neardup_gate"][tag] = _run_gate(
             spark, listener, nd, os.path.join(work, f"gate_{tag}")
+        )
+    results["stream_conv_gate"] = {}
+    for tag, target in SCALES.items():
+        data_dir, n_turns = _input_dir(target)
+        results["stream_conv_gate"][tag] = _run_conv_gate(
+            spark, listener, data_dir, n_turns, os.path.join(work, f"convgate_{tag}")
         )
     for name, r in results.items():
         r["wall_ratio_10x"] = round(r["10x"]["wall_sec"] / r["1x"]["wall_sec"], 2)
