@@ -4741,3 +4741,43 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_pdf[["new_conv_id", "idx_conv_id", "fp"]] if len(out_pdf) else out_pdf,
         schema="new_conv_id string, idx_conv_id string, fp string",
     )
+
+
+@query(
+    "q118_json_extract_stats",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS INT) AS min_k,
+       CAST(max(k) AS INT) AS max_k,
+       CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_div7
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON handling (the 'json scalar fns' slot of
+    SURVEY §2.7's relational surface — events.props is a JSON string
+    column): schema-on-read via from_json('k INT') inside the scan
+    stage (JsonToStructs stays in whole-stage codegen; column pruning
+    reads only props + event_type), then a plain hash aggregate over
+    the extracted field including a JSON-value predicate. The oracle
+    replays the extraction with DuckDB's json_extract_string."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        spark.table("events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") % 7 == 0, 1).otherwise(0)).alias("n_k_div7"),
+        )
+    )
