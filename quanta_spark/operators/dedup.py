@@ -368,6 +368,54 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
     ).distinct()
 
 
+def keep_best_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: turn pairwise near-dup
+    evidence into components, then keep exactly ONE row per component
+    — its highest-quality member (ties -> lowest id) — instead of the
+    arbitrary min-id keeper. This is how production corpus dedup
+    actually picks representatives (a model-based or heuristic quality
+    score decides which near-duplicate survives, e.g. the cleanest
+    extraction of a boilerplate-cloned page); min-id survivorship is
+    the degenerate quality = -id case.
+
+    Returns one row per input row: (id, component_id, keep_<id>,
+    survives). Singletons (no near-dup evidence) form their own
+    component and always survive.
+
+    Scale: components are O(log n) alternating-star rounds
+    (:func:`dedup_components`); the keeper is a single ``max_by`` over
+    a lexicographic (quality, -id) struct — a plain hash aggregate
+    with map-side partials, so a mega-component never sorts in one
+    task (a row_number window would); one final equi-join annotates
+    members with their keeper (AQE splits a hot component)."""
+    comp = dedup_components(pairs)
+    left = df.select(F.col(id_col).alias("_kbs_id"), F.col(quality_col))
+    members = (
+        left.join(comp, left["_kbs_id"] == comp["doc_id"], "left")
+        .select(
+            F.col("_kbs_id").alias(id_col),
+            F.coalesce(F.col("component_id"), F.col("_kbs_id")).alias("component_id"),
+            F.col(quality_col),
+        )
+    )
+    keepers = members.groupBy("component_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(quality_col), (-F.col(id_col)).alias("_ni"))
+        ).alias("_keep")
+    )
+    return members.join(keepers, "component_id").select(
+        F.col(id_col),
+        F.col("component_id"),
+        F.col("_keep").alias(f"keep_{id_col}"),
+        (F.col(id_col) == F.col("_keep")).alias("survives"),
+    )
+
+
 def stream_dedup_exact(
     df: DataFrame, watermark: str = "1 hour", text_col: str = "text", ts_col: str = "ts"
 ) -> DataFrame:

@@ -4781,3 +4781,62 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") % 7 == 0, 1).otherwise(0)).alias("n_k_div7"),
         )
     )
+
+
+_Q119_ORACLE = f"""
+WITH RECURSIVE {_Q28_CTES},
+pairs AS ({_Q28_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
+members AS (
+  SELECT d.doc_id,
+         coalesce(c.component_id, d.doc_id) AS component_id,
+         CAST((d.doc_id * 2654435761) % 1000 AS INT) AS quality
+  FROM docs2 d LEFT JOIN comp c USING (doc_id)
+),
+keep AS (
+  SELECT component_id, doc_id AS keep_doc_id FROM (
+    SELECT component_id, doc_id,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM members) WHERE rn = 1
+)
+SELECT m.doc_id, m.component_id, k.keep_doc_id,
+       m.doc_id = k.keep_doc_id AS survives
+FROM members m JOIN keep k USING (component_id)
+"""
+
+
+@query("q119_dedup_keep_best", _Q119_ORACLE)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivorship
+    (dedup.keep_best_survivors): LSH near-dup pairs -> alternating-star
+    components -> keep the HIGHEST-QUALITY member per component (ties
+    -> lowest doc_id) — how production corpus dedup actually picks
+    representatives, vs q63's min-id keeper. Quality here is a
+    deterministic synthetic score ((doc_id * 2654435761) % 1000,
+    shared with the oracle) standing in for a model-based quality
+    column, so the argmax is exercised on every multi-member component
+    (exact clones would tie under any text-derived score). The keeper
+    is a max_by over a (quality, -id) struct — a plain hash aggregate
+    with map-side partials, no per-component sort. Oracle: recursive-
+    CTE components + row_number argmax over the same members."""
+    from quanta_spark.operators.dedup import (
+        keep_best_survivors,
+        minhash_near_dup_pairs,
+    )
+
+    docs2 = spark.sql(f"WITH {_DOCS2} SELECT * FROM docs2").withColumn(
+        "quality", ((F.col("doc_id") * F.lit(2654435761)) % 1000).cast("int")
+    )
+    pairs = minhash_near_dup_pairs(docs2, threshold=0.8, hasher="md5")
+    return keep_best_survivors(docs2, pairs.select("doc_a", "doc_b"), "quality")

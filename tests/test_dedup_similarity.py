@@ -832,3 +832,30 @@ def test_paragraph_dedup_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "LeftAnti" in plan
+
+
+def test_keep_best_survivors_quality_argmax(spark):
+    """Survivor selection must pick the HIGHEST-quality member per
+    component (not min id), break quality ties by lowest id, and keep
+    every singleton. Components here: {1,2,3} (keeper 2, best quality),
+    {7,8} (tied quality -> keeper 7), singleton 9."""
+    from quanta_spark.operators.dedup import keep_best_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 30), (8, 30), (9, 5)],
+        "doc_id long, quality int",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["component_id"], r["keep_doc_id"], r["survives"])
+        for r in keep_best_survivors(docs, pairs, "quality").collect()
+    }
+    assert got == {
+        1: (1, 2, False),
+        2: (1, 2, True),
+        3: (1, 2, False),
+        7: (7, 7, True),
+        8: (7, 7, False),
+        9: (9, 9, True),
+    }
+    assert sum(1 for _, k, s in got.values() if s) == 3
