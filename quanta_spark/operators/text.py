@@ -667,3 +667,64 @@ def gopher_quality_filters(
         has_lorem.alias("has_lorem"),
         keep.alias("keep"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_k: int = 5,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Inverted-index (posting-list) construction — term -> document
+    frequency, total term frequency, doc-id range, and a BOUNDED
+    posting head (the ``head_k`` smallest doc ids, comma-joined): the
+    retrieval-side index a training-data pipeline builds to serve
+    decontamination lookups, topical mining, and term-level corpus
+    audits.
+
+    Scale: tokens explode inside the scan stage; (term, doc) term
+    frequencies and the per-term stats are hash aggregates with
+    map-side partials (two shuffles total, the second on the vocab-
+    sized tf table). The posting head is two-phase min-k in the
+    top_k_turns_per_conv pattern: partial row_number within
+    (term, salt) buckets, final min-k over <= head_k * n_buckets
+    survivors — a stopword's full posting list never sorts (or even
+    co-locates) in one task. Full postings are never collected; the
+    output is O(vocab) rows with an O(head_k) payload each.
+    """
+    from pyspark.sql import Window
+
+    from quanta_spark.operators.dedup import normalized
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+    )
+    w_partial = Window.partitionBy("term", "_salt").orderBy(F.col(id_col).asc())
+    w_final = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    head = (
+        tf.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)))
+        .withColumn("_rn", F.row_number().over(w_partial))
+        .filter(F.col("_rn") <= head_k)
+        .withColumn("_rn2", F.row_number().over(w_final))
+        .filter(F.col("_rn2") <= head_k)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_head")
+        )
+    )
+    return stats.join(head, "term")

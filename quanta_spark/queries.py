@@ -4840,3 +4840,44 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_near_dup_pairs(docs2, threshold=0.8, hasher="md5")
     return keep_best_survivors(docs2, pairs.select("doc_a", "doc_b"), "quality")
+
+
+@query(
+    "q120_inverted_index",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({DUCK_NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+  FROM tf GROUP BY term
+),
+head AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting_head
+  FROM (SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tf)
+  WHERE rn <= 5 GROUP BY term
+)
+SELECT s.term, s.doc_freq, s.total_tf, s.min_doc_id, s.max_doc_id, h.posting_head
+FROM stats s JOIN head h USING (term)
+""",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (text.inverted_index): per-term
+    document frequency, total tf, doc-id range, and a BOUNDED posting
+    head (5 smallest doc ids) — the retrieval index behind
+    decontamination lookups and topical corpus audits. The head is
+    two-phase min-k over (term, salt) buckets, so a stopword's posting
+    list never sorts in one task; full postings are never collected.
+    Oracle replays the same index with string_split + window min-k."""
+    from quanta_spark.operators.text import inverted_index
+
+    return inverted_index(spark.table("documents"))

@@ -156,3 +156,26 @@ def test_fuzzy_decontaminate_threshold_semantics(spark):
     assert lo[1]["contaminated"] is True and hi[1]["contaminated"] is False
     assert lo[2]["contaminated"] is False
     assert lo[3]["n_grams_total"] == 0 and lo[3]["contaminated"] is False
+
+
+def test_inverted_index_head_truncation_and_stats(spark):
+    """Posting heads must be the k SMALLEST doc ids (numeric order, not
+    lexicographic — doc 10 sorts after 2), df counts distinct docs, and
+    total_tf counts every occurrence."""
+    from quanta_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "alpha alpha beta") for i in [2, 10, 1, 30, 4, 25, 7]]
+        + [(99, "beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in inverted_index(docs, head_k=3).collect()}
+    assert set(got) == {"alpha", "beta", "gamma"}
+    a = got["alpha"]
+    assert (a["doc_freq"], a["total_tf"]) == (7, 14)
+    assert a["posting_head"] == "1,2,4"          # numeric min-3, truncated
+    assert (a["min_doc_id"], a["max_doc_id"]) == (1, 30)
+    b = got["beta"]
+    assert (b["doc_freq"], b["total_tf"], b["posting_head"]) == (8, 8, "1,2,4")
+    g = got["gamma"]
+    assert (g["doc_freq"], g["posting_head"]) == (1, "99")
