@@ -4881,3 +4881,102 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.text import inverted_index
 
     return inverted_index(spark.table("documents"))
+
+
+@query(
+    "q121_data_quality_report",
+    """
+WITH li AS (SELECT count(*) AS n FROM lineitem)
+SELECT 'l_quantity_in_1_50' AS check_name,
+       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'l_discount_in_0_10pct',
+       CAST(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice_positive',
+       CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'l_tax_at_most_5pct',
+       CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate_not_null',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique_l_orderkey_l_linenumber',
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+FROM lineitem
+UNION ALL
+SELECT 'ref_l_orderkey_in_o_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       (SELECT CAST(n AS BIGINT) FROM li),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'ref_l_partkey_in_p_partkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+       (SELECT CAST(n AS BIGINT) FROM li),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) = 0
+""",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality check suite (operators/validate.py) —
+    the validation you run over a 100 TB feed BEFORE training: five
+    row-level checks sharing ONE scan (a single conditional-sum
+    aggregate, map-side partial, unpivoted with stack()), key
+    uniqueness as count vs count-distinct, and two referential-
+    integrity left-anti joins (broadcast reference side). The
+    l_tax_at_most_5pct check fails by construction (tax goes to 8%),
+    so violation ACCOUNTING is value-checked, not just the happy path.
+    Report is O(#checks) rows regardless of input size."""
+    from quanta_spark.operators.validate import (
+        constraint_report,
+        referential_check,
+        uniqueness_check,
+        validate_rows,
+    )
+
+    li = spark.table("lineitem")
+    rows = validate_rows(
+        li,
+        {
+            "l_quantity_in_1_50": ~F.col("l_quantity").between(1, 50),
+            "l_discount_in_0_10pct": ~F.col("l_discount").between(0, 0.1),
+            "l_extendedprice_positive": ~(F.col("l_extendedprice") > 0),
+            "l_tax_at_most_5pct": F.col("l_tax") > 0.05,
+            "l_shipdate_not_null": F.col("l_shipdate").isNull(),
+        },
+    )
+    return constraint_report(
+        [
+            rows,
+            uniqueness_check(li, ["l_orderkey", "l_linenumber"]),
+            referential_check(
+                li, "l_orderkey", spark.table("orders"), "o_orderkey",
+                name="ref_l_orderkey_in_o_orderkey", broadcast_ref=False,
+            ),
+            referential_check(
+                li, "l_partkey", spark.table("part"), "p_partkey",
+                name="ref_l_partkey_in_p_partkey",
+            ),
+        ]
+    )
