@@ -4980,3 +4980,33 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@query(
+    "q122_ewma_user_value",
+    """
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(max(CASE WHEN rn = n THEN value END) * 10000 + 0.5) AS BIGINT) AS last_value_bp,
+       CAST(floor(sum((CASE WHEN rn = 1 THEN power(0.5, n - 1)
+                            ELSE 0.5 * power(0.5, n - rn) END) * value) * 10000 + 0.5) AS BIGINT) AS ewma_bp
+FROM o GROUP BY user_id
+""",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (timeseries.ewma_by_key) — the
+    recency-weighted feature every behavioral model wants. The
+    recursion e_i = a*x_i + (1-a)*e_{i-1} is computed CLOSED-FORM as a
+    weighted sum in pure Catalyst window + aggregate expressions (no
+    per-key Python loop, no UDF); weights underflow to exact IEEE zero
+    beyond ~1e3 steps, so unbounded history costs nothing. Oracle
+    replays the same closed form with SQL window functions."""
+    from quanta_spark.operators.timeseries import ewma_by_key
+
+    return ewma_by_key(spark.table("events"), alpha=0.5)
