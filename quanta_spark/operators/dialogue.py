@@ -174,3 +174,66 @@ def curate_conversations(
         & (F.col("tool_ratio_bp") <= max_tool_ratio_bp)
     )
     return agg.withColumn("keep", keep)
+
+
+REPLY_LATENCY_BUCKETS: list[tuple[str, int, int | None]] = [
+    ("0_under_1s", 0, 1),
+    ("1_1_to_10s", 1, 10),
+    ("2_10_to_60s", 10, 60),
+    ("3_1_to_10m", 60, 600),
+    ("4_over_10m", 600, None),
+]
+
+
+def reply_latency_histogram(df: DataFrame) -> DataFrame:
+    """Reply-latency distribution of an agent corpus: for every
+    user turn immediately followed by an assistant turn (turn_idx + 1,
+    same conversation), the ts gap, bucketed into human-meaningful
+    latency bands — the SLO histogram an agent-serving team watches,
+    computed over the transcript table itself.
+
+    Buckets are INTEGER-second ranges (no log2/float boundary math, so
+    a SQL oracle agrees bit-exactly at every edge). One conv_id
+    shuffle for the lead() window, then a 5-row aggregate.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("ts"),
+        F.lead("role").over(w).alias("_nrole"),
+        F.lead("turn_idx").over(w).alias("_nidx"),
+        F.lead("ts").over(w).alias("_nts"),
+    )
+    replies = nxt.filter(
+        (F.col("role") == "user")
+        & (F.col("_nrole") == "assistant")
+        & (F.col("_nidx") == F.col("turn_idx") + 1)
+    ).select(
+        (
+            # cast via TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ, and
+            # the session TZ is pinned UTC so the DIFFERENCE is exact
+            (
+                F.unix_micros(F.col("_nts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            / F.lit(1_000_000)
+        ).cast("long").alias("_sec")  # floor to whole seconds
+    )
+    bucket = F.lit(None).cast("string")
+    for name, lo, hi in reversed(REPLY_LATENCY_BUCKETS):
+        cond = F.col("_sec") >= lo if hi is None else (
+            (F.col("_sec") >= lo) & (F.col("_sec") < hi)
+        )
+        bucket = F.when(cond, name).otherwise(bucket)
+    return (
+        replies.select(bucket.alias("latency_bucket"), "_sec")
+        .groupBy("latency_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replies"),
+            F.min("_sec").cast("long").alias("min_s"),
+            F.max("_sec").cast("long").alias("max_s"),
+            F.sum("_sec").cast("long").alias("sum_s"),
+        )
+    )

@@ -5010,3 +5010,44 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.timeseries import ewma_by_key
 
     return ewma_by_key(spark.table("events"), alpha=0.5)
+
+
+_Q123_ORACLE = """
+WITH {cte},
+nxt AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lead(role) OVER w AS nrole,
+         lead(turn_idx) OVER w AS nidx,
+         lead(ts) OVER w AS nts
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+  SELECT CAST((epoch_us(nts) - epoch_us(ts)) // 1000000 AS BIGINT) AS sec
+  FROM nxt WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
+),
+b AS (
+  SELECT CASE WHEN sec < 1 THEN '0_under_1s'
+              WHEN sec < 10 THEN '1_1_to_10s'
+              WHEN sec < 60 THEN '2_10_to_60s'
+              WHEN sec < 600 THEN '3_1_to_10m'
+              ELSE '4_over_10m' END AS latency_bucket, sec
+  FROM r
+)
+SELECT latency_bucket, CAST(count(*) AS BIGINT) AS n_replies,
+       CAST(min(sec) AS BIGINT) AS min_s, CAST(max(sec) AS BIGINT) AS max_s,
+       CAST(sum(sec) AS BIGINT) AS sum_s
+FROM b GROUP BY latency_bucket
+""".format(cte=TRANSCRIPTS_CTE)
+
+
+@query("q123_reply_latency_histogram", _Q123_ORACLE)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent reply-latency SLO histogram
+    (dialogue.reply_latency_histogram): user->assistant adjacent-turn
+    ts gaps bucketed into INTEGER-second latency bands (no float log
+    boundaries — every bucket edge is exact in both engines). One
+    conv_id shuffle for the lead() window, then a 5-row aggregate."""
+    from quanta_spark.operators.dialogue import reply_latency_histogram
+
+    return reply_latency_histogram(transcripts_df(spark))

@@ -65,3 +65,40 @@ def test_render_conversations_bounded_and_ordered(spark):
     # layout-independence of the sort-then-slice
     r2 = render_conversations(df.repartition(7), max_turns=4).collect()[0]
     assert r2["rendered"] == r["rendered"]
+
+
+def test_reply_latency_histogram_buckets_and_edges(spark):
+    """Bucket edges are integer-exact: 0s, 1s, 9s, 10s, 59s, 60s, 600s
+    land in the right bands; non-adjacent and non-user->assistant pairs
+    are excluded."""
+    from datetime import datetime, timedelta
+
+    from quanta_spark.operators.dialogue import reply_latency_histogram
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # conv c<k>: user at t0, assistant at t0+gap
+    for k, gap in enumerate([0, 1, 9, 10, 59, 60, 600]):
+        rows += [
+            (f"c{k}", 0, "user", t0),
+            (f"c{k}", 1, "assistant", t0 + timedelta(seconds=gap)),
+        ]
+    # excluded: assistant->user, and a user->assistant with a gap in turn_idx
+    rows += [
+        ("x1", 0, "assistant", t0),
+        ("x1", 1, "user", t0 + timedelta(seconds=5)),
+        ("x2", 0, "user", t0),
+        ("x2", 2, "assistant", t0 + timedelta(seconds=5)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = {
+        r["latency_bucket"]: (r["n_replies"], r["min_s"], r["max_s"])
+        for r in reply_latency_histogram(df).collect()
+    }
+    assert got == {
+        "0_under_1s": (1, 0, 0),
+        "1_1_to_10s": (2, 1, 9),
+        "2_10_to_60s": (2, 10, 59),
+        "3_1_to_10m": (1, 60, 60),
+        "4_over_10m": (1, 600, 600),
+    }
