@@ -1,0 +1,149 @@
+"""Distributed k-means training (Lloyd's algorithm), oracle-exact.
+
+The IVF family (similarity.py:420-546) uses deterministic md5-least
+vectors as a STAND-IN for trained coarse centroids; this module trains
+real ones, in the canonical Spark iterative shape: broadcast the k x d
+centroid matrix, one Arrow pass computes per-partition partial sums
+(k x d matrix + k counts per partition — never a row per point), a
+(cell, dim) hash aggregate reduces them, and the driver materializes
+only the k x d update (bounded, independent of corpus size). Each
+Lloyd iteration is one job; lineage does not grow because each
+iteration re-reads the same quantized input.
+
+Everything is INTEGER-exact so a SQL oracle can replay training
+bit-for-bit with zero float-boundary flake risk:
+- vectors quantize to integers once up front (round(x * scale));
+- distances are integer squared-euclidean (exact in int64);
+- argmin ties break to the lowest cell index;
+- centroid updates are FLOORED integer means (floor(sum/count) is
+  exact in double because a rational with denominator <= n is at
+  least 1/n from the nearest integer — far beyond double error);
+- empty cells carry their previous centroid forward.
+Quantized Lloyd converges the same way at any realistic scale
+(embedding values ~1e0, scale 1000 => per-dim error < 1e-3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_train_quantized"]
+
+#: Hard ceiling on k*d driver materialization per iteration.
+MAX_CENTROID_CELLS = 1_000_000
+
+
+def kmeans_train_quantized(
+    corpus: DataFrame,
+    k: int = 6,
+    n_iter: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train k-means on ``corpus`` (``id_col``, ``vec_col: array<float>``)
+    for ``n_iter`` assign+update rounds from deterministic seeds (the k
+    md5-least ids, the same seeding rule as similarity._ivf_centroids).
+
+    Returns k*d rows: (cell, dim, c_val, n_members, sum_d2) — the final
+    centroid matrix plus, per cell, the LAST assignment's membership
+    count and exact integer inertia (sum of squared distances), the
+    quality number you watch across iterations.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError(f"need k >= 1 and n_iter >= 1, got k={k} n_iter={n_iter}")
+    spark = corpus.sparkSession
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            # cast float32 -> double BEFORE scaling (exact), so the
+            # quantization arithmetic is identical to a double-based
+            # SQL oracle at every rounding boundary
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("_qv"),
+    )
+    seeds = (
+        q.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"corpus has only {len(seeds)} vectors for k={k}")
+    cent = np.array([r["_qv"] for r in seeds], dtype=np.int64)
+    d = cent.shape[1]
+    if k * d > MAX_CENTROID_CELLS:
+        raise ValueError(f"k*d = {k * d} exceeds MAX_CENTROID_CELLS")
+
+    def partials_of(cmat: np.ndarray):
+        def fn(batches):
+            import pandas as pd
+
+            kk, dd = cmat.shape
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            counts = np.zeros(kk, dtype=np.int64)
+            d2sum = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["_qv"].to_numpy()).astype(np.int64)
+                # exact int64 squared euclidean; argmin -> lowest cell
+                diff = x[:, None, :] - cmat[None, :, :]
+                dist = np.einsum("nkd,nkd->nk", diff, diff)
+                cell = dist.argmin(axis=1)
+                np.add.at(sums, cell, x)
+                np.add.at(counts, cell, 1)
+                np.add.at(d2sum, cell, dist[np.arange(len(x)), cell])
+            out = {
+                "cell": np.repeat(np.arange(kk, dtype=np.int32), dd),
+                "dim": np.tile(np.arange(dd, dtype=np.int32), kk),
+                "s": sums.reshape(-1),
+                "n": np.repeat(counts, dd),
+                "d2": np.repeat(d2sum, dd),
+            }
+            yield pd.DataFrame(out)
+
+        return fn
+
+    counts = np.zeros(k, dtype=np.int64)
+    d2sum = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iter):
+        agg = (
+            q.mapInPandas(
+                partials_of(cent), schema="cell int, dim int, s long, n long, d2 long"
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"), F.sum("d2").alias("d2"))
+            .collect()  # bounded: k*d rows (<= MAX_CENTROID_CELLS)
+        )
+        sums = np.zeros((k, d), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        d2sum = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            sums[r["cell"], r["dim"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+            d2sum[r["cell"]] = r["d2"]
+        nonempty = counts > 0
+        new_cent = cent.copy()  # empty cells carry forward
+        new_cent[nonempty] = np.floor_divide(
+            sums[nonempty], counts[nonempty, None]
+        )
+        cent = new_cent
+
+    rows = [
+        (
+            int(c),
+            int(j),
+            int(cent[c, j]),
+            int(counts[c]),
+            int(d2sum[c]),
+        )
+        for c in range(k)
+        for j in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, dim int, c_val long, n_members long, sum_d2 long"
+    )

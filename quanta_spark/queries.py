@@ -5051,3 +5051,75 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.dialogue import reply_latency_histogram
 
     return reply_latency_histogram(transcripts_df(spark))
+
+
+def _q124_iter(src_c: str, src_a_prev: str, out_d: str, out_a: str, out_u: str, out_c: str) -> str:
+    """One Lloyd iteration of the q124 oracle: distances under {src_c},
+    argmin assignment, floored-integer-mean update with empty-cell
+    carry-forward."""
+    return f"""
+{out_d} AS (
+  SELECT q.vec_id, q.v, {src_c}.cell,
+         list_sum([(q.v[i]-{src_c}.c[i])*(q.v[i]-{src_c}.c[i])
+                   for i in generate_series(1, 64)]) AS d2
+  FROM q CROSS JOIN {src_c}
+),
+{out_a} AS (
+  SELECT vec_id, v, cell, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM {out_d}
+  ) WHERE rn = 1
+),
+{out_u} AS (
+  SELECT {out_a}.cell, g.i AS dim,
+         CAST(floor(sum(v[g.i])::DOUBLE / count(*)) AS BIGINT) AS c_val
+  FROM {out_a} CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY {out_a}.cell, g.i
+),
+{out_c} AS (
+  SELECT {src_c}.cell, coalesce(l.c, {src_c}.c) AS c
+  FROM {src_c} LEFT JOIN (
+    SELECT cell, list(c_val ORDER BY dim) AS c FROM {out_u} GROUP BY cell
+  ) l USING (cell)
+)"""
+
+
+_Q124_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell,
+         v AS c
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 6
+),{_q124_iter("c0", "", "d0", "a0", "u1", "c1")},{_q124_iter("c1", "", "d1", "a1", "u2", "c2")},
+stats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members, CAST(sum(d2) AS BIGINT) AS sum_d2
+  FROM a1 GROUP BY cell
+)
+SELECT c2.cell, CAST(g.i - 1 AS INT) AS dim, CAST(c2.c[g.i] AS BIGINT) AS c_val,
+       coalesce(s.n_members, 0) AS n_members,
+       coalesce(s.sum_d2, 0) AS sum_d2
+FROM c2 CROSS JOIN generate_series(1, 64) AS g(i)
+LEFT JOIN stats s USING (cell)
+"""
+
+
+@query("q124_kmeans_train", _Q124_ORACLE)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (clustering.kmeans_train_quantized)
+    — real Lloyd iterations where the IVF family seeds with md5-least
+    stand-ins: broadcast k x d centroids, ONE Arrow pass per iteration
+    emitting per-partition partial sums (k x d + counts, never a row
+    per point), a (cell, dim) hash aggregate, and a bounded k*d driver
+    update. Integer-exact end to end (quantized vectors, int64
+    distances, floored integer means, lowest-cell tie-break, empty-cell
+    carry-forward), so the DuckDB oracle replays BOTH iterations
+    bit-for-bit including the exact integer inertia per cell."""
+    from quanta_spark.operators.clustering import kmeans_train_quantized
+
+    return kmeans_train_quantized(
+        spark.table("embeddings"), k=6, n_iter=2, scale=1000
+    )

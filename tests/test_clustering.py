@@ -1,0 +1,93 @@
+"""k-means training (operators/clustering.py) vs an independent pure-
+Python Lloyd reference with the same integer-exact contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from quanta_spark.operators.clustering import kmeans_train_quantized
+
+
+def _ref_kmeans(ids, vecs, k, n_iter, scale=1000):
+    """Reference Lloyd: quantize, seed by md5-least ids, assign by int
+    squared euclidean (tie -> lowest cell), floored-int-mean update,
+    empty-cell carry-forward. Returns (centroids, counts, d2sums)."""
+    q = {i: np.floor(np.asarray(v, dtype=np.float64) * scale + 0.5).astype(np.int64)
+         for i, v in zip(ids, vecs)}
+    seed_ids = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:k]
+    cent = np.stack([q[i] for i in seed_ids])
+    counts = d2s = None
+    for _ in range(n_iter):
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        d2s = np.zeros(k, dtype=np.int64)
+        for i in ids:
+            d2 = ((q[i][None, :] - cent) ** 2).sum(axis=1)
+            c = int(d2.argmin())
+            sums[c] += q[i]
+            counts[c] += 1
+            d2s[c] += d2[c]
+        new = cent.copy()
+        for c in range(k):
+            if counts[c]:
+                new[c] = sums[c] // counts[c]
+        cent = new
+    return cent, counts, d2s
+
+
+def _run(spark, ids, vecs, k, n_iter):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_train_quantized(df, k=k, n_iter=n_iter).collect()
+    d = len(vecs[0])
+    cent = np.zeros((k, d), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    d2s = np.zeros(k, dtype=np.int64)
+    for r in out:
+        cent[r["cell"], r["dim"]] = r["c_val"]
+        counts[r["cell"]] = r["n_members"]
+        d2s[r["cell"]] = r["sum_d2"]
+    return cent, counts, d2s
+
+
+def test_kmeans_matches_reference_on_separated_clusters(spark):
+    rng = np.random.default_rng(7)
+    vecs = [(rng.standard_normal(4) * 0.05 + off).tolist()
+            for off in (0.0, 5.0, -5.0) for _ in range(5)]
+    ids = list(range(15))
+    got = _run(spark, ids, vecs, k=3, n_iter=2)
+    want = _ref_kmeans(ids, vecs, k=3, n_iter=2)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # well-separated: every cluster of 5 found
+    assert sorted(got[1].tolist()) == [5, 5, 5]
+
+
+def test_kmeans_empty_cell_carries_seed_forward(spark):
+    # two IDENTICAL seed vectors: every point ties -> lowest cell wins
+    # all members, the other cell stays empty and must keep its seed
+    ids = [1, 2, 3, 4]
+    seed_order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    vecs_by_id = {seed_order[0]: [0.5, 0.5], seed_order[1]: [0.5, 0.5],
+                  seed_order[2]: [0.4, 0.4], seed_order[3]: [0.6, 0.6]}
+    vecs = [vecs_by_id[i] for i in ids]
+    cent, counts, d2s = _run(spark, ids, vecs, k=2, n_iter=2)
+    want_c, want_n, want_d = _ref_kmeans(ids, vecs, k=2, n_iter=2)
+    np.testing.assert_array_equal(cent, want_c)
+    np.testing.assert_array_equal(counts, want_n)
+    np.testing.assert_array_equal(d2s, want_d)
+    assert counts[1] == 0 and counts[0] == 4
+    np.testing.assert_array_equal(cent[1], [500, 500])  # carried seed
+
+
+def test_kmeans_validates_args(spark):
+    df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_train_quantized(df, k=0)
+    with pytest.raises(ValueError, match="only 1 vectors"):
+        kmeans_train_quantized(df, k=5)
