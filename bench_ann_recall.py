@@ -82,6 +82,13 @@ def measure(spark, emb, n: int) -> dict[str, dict]:
             ivf_cosine_topk(emb, queries, k=K),
             round(min(1.0, DEFAULT_NPROBE / auto_n_cells(n)), 4),
         ),
+        # trained coarse quantizer (spherical k-means, 3 Lloyd rounds)
+        # vs the seed stand-in above — same cells, same nprobe, so any
+        # recall delta is purely centroid quality
+        "ivf_trained_3it": (
+            ivf_cosine_topk(emb, queries, k=K, train_iters=3),
+            round(min(1.0, DEFAULT_NPROBE / auto_n_cells(n)), 4),
+        ),
         "pq_adc_8x16": (pq_adc_topk(emb, queries, k=K), 1.0),
         # two-stage retrieval: ADC shortlist (codes-only) -> exact
         # cosine rerank -> top-10; raw-vector fetch touches only the

@@ -504,6 +504,7 @@ def ivf_cosine_topk(
     n_cells: int | None = None,
     nprobe: int = DEFAULT_NPROBE,
     dim: int = 64,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k — the inverted-file counterpart of
     the LSH path, and the other standard sub-linear ANN shape:
@@ -527,13 +528,24 @@ def ivf_cosine_topk(
     ``n_cells=None`` (default) derives ~sqrt(corpus) cells via
     auto_n_cells — the sizing that keeps per-query candidate work
     sublinear; pass an explicit count for reproducible cell layouts
-    (the q56 gate pins 16 so the oracle can re-derive them)."""
+    (the q56 gate pins 16 so the oracle can re-derive them).
+
+    ``train_iters > 0`` replaces the md5-least seed centroids with
+    ``train_iters`` rounds of spherical k-means
+    (clustering.train_spherical_centroids) — the production quality
+    path (measured on the clustered corpus in BENCH/ann_recall.json);
+    the default 0 keeps the seed path the oracle gates can replay."""
     if n_cells is None:
         n_cells = auto_n_cells(corpus.count())  # one O(1)-result action
     # the probe side is broadcast below — same hard query ceiling as
     # every other collected/broadcast-query ANN path
     _enforce_query_budget(queries)
-    _, cent_mat = _ivf_centroids(corpus, n_cells)
+    if train_iters > 0:
+        from quanta_spark.operators.clustering import train_spherical_centroids
+
+        cent_mat = train_spherical_centroids(corpus, n_cells, n_iter=train_iters)
+    else:
+        _, cent_mat = _ivf_centroids(corpus, n_cells)
     assigned = _ivf_cells(corpus, cent_mat, 1, "vec_id", "embedding")
     q_probe = _ivf_cells(queries, cent_mat, nprobe, "query_id", "q_emb")
     paired = assigned.join(F.broadcast(q_probe), "cell_id").filter(

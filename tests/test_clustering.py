@@ -91,3 +91,26 @@ def test_kmeans_validates_args(spark):
         kmeans_train_quantized(df, k=0)
     with pytest.raises(ValueError, match="only 1 vectors"):
         kmeans_train_quantized(df, k=5)
+
+
+def test_spherical_centroids_recover_cluster_directions(spark):
+    """3 tight direction clusters on the sphere: after training, each
+    true direction must have some centroid within cosine 0.95 (seeds
+    alone can start anywhere; Lloyd pulls them onto the modes)."""
+    from quanta_spark.operators.clustering import train_spherical_centroids
+
+    rng = np.random.default_rng(3)
+    dirs = np.eye(3)  # orthogonal cluster directions in R^3
+    rows = []
+    i = 0
+    for c in range(3):
+        for _ in range(40):
+            v = dirs[c] + rng.standard_normal(3) * 0.05
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = train_spherical_centroids(df, n_cells=3, n_iter=4)
+    assert cent.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    sims = cent @ dirs.T  # (centroid, true direction)
+    assert (sims.max(axis=0) > 0.95).all()
