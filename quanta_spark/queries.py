@@ -5123,3 +5123,68 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train_quantized(
         spark.table("embeddings"), k=6, n_iter=2, scale=1000
     )
+
+
+_Q125_CHECK_SQL = """
+  SELECT window_start,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN length(text) < 15 THEN 1 ELSE 0 END) AS BIGINT) AS short_text,
+         CAST(sum(CASE WHEN role NOT IN ('user','assistant','tool') THEN 1 ELSE 0 END) AS BIGINT) AS unknown_role,
+         CAST(sum(CASE WHEN role = 'tool' AND tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_turn_missing_tool,
+         CAST(sum(CASE WHEN role = 'user' AND turn_idx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS user_turn_odd_idx
+  FROM w GROUP BY window_start
+"""
+
+_Q125_ORACLE = """
+WITH {cte},
+w AS (
+  SELECT date_trunc('day', ts) AS window_start, text, role, tool, turn_idx
+  FROM transcripts
+),
+g AS ({checks})
+SELECT window_start, 'short_text' AS check_name, short_text AS n_violations,
+       n_rows, short_text = 0 AS passed FROM g
+UNION ALL
+SELECT window_start, 'unknown_role', unknown_role, n_rows, unknown_role = 0 FROM g
+UNION ALL
+SELECT window_start, 'tool_turn_missing_tool', tool_turn_missing_tool, n_rows,
+       tool_turn_missing_tool = 0 FROM g
+UNION ALL
+SELECT window_start, 'user_turn_odd_idx', user_turn_odd_idx, n_rows,
+       user_turn_odd_idx = 0 FROM g
+""".format(cte=TRANSCRIPTS_CTE, checks=_Q125_CHECK_SQL)
+
+
+@query("q125_stream_quality_monitor", _Q125_ORACLE)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-quality monitor (validate.stream_quality_monitor)
+    — q121's check contract applied to the ingest stream itself: per
+    1-day event-time window, per check, violation counts in ONE
+    append-mode windowed aggregate (state = one counter row per open
+    window; the per-check stack() unpivot runs post-aggregate). The
+    short_text check (length < 15, between the corpus min 13 and median
+    15) fires on a strict subset of rows, so violation accounting is
+    value-checked on stream; the structural checks hold at zero. The
+    heartbeat that closes the final window lands 30 days out and is
+    stripped by window_start."""
+    import pandas as pd
+
+    from quanta_spark.operators.validate import stream_quality_monitor
+
+    max_ts = pd.Timestamp(
+        spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"]
+    )
+    checks = {
+        "short_text": F.length("text") < 15,
+        "unknown_role": ~F.col("role").isin("user", "assistant", "tool"),
+        "tool_turn_missing_tool": (F.col("role") == "tool") & F.col("tool").isNull(),
+        "user_turn_odd_idx": (F.col("role") == "user") & (F.col("turn_idx") % 2 == 1),
+    }
+    return _run_stream_query(
+        spark,
+        lambda src: stream_quality_monitor(
+            src, checks, window="1 day", watermark="1 hour"
+        ),
+        jitter=False,
+        strip_heartbeat=lambda pdf: pdf[pdf["window_start"] <= max_ts],
+    )
