@@ -112,6 +112,14 @@ def _ops():
         shuffle_shards as _shards,
         temperature_mix as _temp_mix,
     )
+    from quanta_spark.operators.clustering import kmeans_train_quantized as _kmeans
+    from quanta_spark.operators.dedup import keep_best_survivors as _kbs
+    from quanta_spark.operators.text import inverted_index as _inv_idx
+    from quanta_spark.operators.validate import (
+        constraint_report as _crep,
+        uniqueness_check as _uniq,
+        validate_rows as _vrows,
+    )
 
     def bench_set(docs):
         from quanta_spark.operators.dedup import normalized
@@ -297,6 +305,39 @@ def _ops():
             budget_in(docs), budget=20_000, alpha=0.5
         ),
         "shuffle_shards": lambda docs, emb: _shards(docs, n_shards=64),
+        # round-6 additions
+        "inverted_index": lambda docs, emb: _inv_idx(docs),
+        # one-scan conditional-sum suite + key uniqueness (the
+        # referential legs are covered by the events-table joins above)
+        "data_quality_suite": lambda docs, emb: _crep(
+            [
+                _vrows(
+                    docs,
+                    {
+                        "short_text": F.length("text") < 15,
+                        "empty_text": F.length("text") == 0,
+                        "unknown_lang": ~F.col("lang").isin("en", "de", "fr", "es"),
+                    },
+                ),
+                _uniq(docs, ["doc_id"]),
+            ]
+        ),
+        # iterative: 2 Lloyd rounds x (Arrow partial-sum pass + k*d
+        # reduce); wall should scale with rows, not k*d
+        "kmeans_train": lambda docs, emb: _kmeans(emb, k=16, n_iter=2),
+        "dedup_keep_best": lambda docs, emb: _kbs(
+            docs.withColumn("quality", (F.col("doc_id") * 37 % 101).cast("int")),
+            minhash_near_dup_pairs(docs, threshold=0.8, hasher="xxhash64").select(
+                "doc_a", "doc_b"
+            ),
+            "quality",
+        ),
+        "ewma_user_value": lambda docs, emb: _SCALE_CTX["q"]["q122_ewma_user_value"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
+        "reply_latency": lambda docs, emb: _SCALE_CTX["q"][
+            "q123_reply_latency_histogram"
+        ](_SCALE_CTX["spark"], _SCALE_CTX["events_dir"]),
     }
 
 
