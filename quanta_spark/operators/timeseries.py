@@ -63,3 +63,86 @@ def ewma_by_key(
             bp(F.sum("_wx")).alias("ewma_bp"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift monitor: per key and 1-day
+    window, the PSI of ``value_col``'s binned distribution against the
+    PREVIOUS day's —
+
+        PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+    with add-one smoothing (p_i = (c_i + 1) / (n + n_bins)), the
+    standard alarm for feature/score drift between a model's training
+    window and live traffic. Days with no predecessor emit NULL psi.
+
+    Scale: ONE scan aggregates to the (key, day, bin) count table
+    (map-side partial); everything after — densify bins, lag-join the
+    previous day, the log-sum — runs on that compact table (O(keys x
+    days x bins) rows). Values clamp into [lo, hi); psi is reported in
+    basis points (floor(x*1e4+0.5), x >= 0) so ULP-level ln noise
+    cannot flip a hash compare."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    width = (hi - lo) / n_bins
+    bin_c = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - lo) / width).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    day = F.date_trunc("day", F.col(ts_col))
+    counts = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"), bin_c.alias("bin"))
+        .groupBy("key", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # densify: every (key, day) x bin, so empty bins smooth to 1/(n+B)
+    days = counts.select("key", "day").distinct()
+    grid = days.crossJoin(
+        counts.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    dense = grid.join(counts, ["key", "day", "bin"], "left").select(
+        "key", "day", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    totals = dense.groupBy("key", "day").agg(F.sum("c").alias("n"))
+    probs = dense.join(totals, ["key", "day"]).select(
+        "key",
+        "day",
+        "bin",
+        "n",
+        ((F.col("c") + 1) / (F.col("n") + n_bins)).alias("p"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key", "bin").orderBy("day")
+    lagged = probs.select(
+        "key",
+        "day",
+        "bin",
+        "n",
+        "p",
+        F.lag("p").over(w).alias("q"),
+        (F.datediff("day", F.lag("day").over(w)) == 1).alias("_adj"),
+    )
+    term = F.when(
+        F.col("q").isNotNull() & F.col("_adj"),
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")),
+    )
+    return (
+        lagged.groupBy("key", "day")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.floor(F.sum(term) * 10_000 + F.lit(0.5)).cast("long").alias("psi_bp"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

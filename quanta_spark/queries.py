@@ -5188,3 +5188,50 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter=False,
         strip_heartbeat=lambda pdf: pdf[pdf["window_start"] <= max_ts],
     )
+
+
+@query(
+    "q126_psi_drift",
+    """
+WITH b AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS day,
+         least(greatest(CAST(floor(CAST(value AS DOUBLE) / 50) AS INT), 0), 9) AS bin
+  FROM events
+),
+counts AS (SELECT key, day, bin, count(*) AS c FROM b GROUP BY key, day, bin),
+days AS (SELECT DISTINCT key, day FROM counts),
+grid AS (SELECT key, day, g.i AS bin FROM days CROSS JOIN generate_series(0, 9) AS g(i)),
+dense AS (
+  SELECT g.key, g.day, g.bin, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON c.key = g.key AND c.day = g.day AND c.bin = g.bin
+),
+totals AS (SELECT key, day, sum(c) AS n FROM dense GROUP BY key, day),
+probs AS (
+  SELECT d.key, d.day, d.bin, t.n, (d.c + 1)::DOUBLE / (t.n + 10) AS p
+  FROM dense d JOIN totals t ON t.key = d.key AND t.day = d.day
+),
+lagged AS (
+  SELECT key, day, bin, n, p,
+         lag(p) OVER w AS q,
+         date_diff('day', lag(day) OVER w, day) = 1 AS adj
+  FROM probs WINDOW w AS (PARTITION BY key, bin ORDER BY day)
+)
+SELECT key AS event_type, day,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(floor(sum(CASE WHEN q IS NOT NULL AND adj
+                           THEN (p - q) * ln(p / q) END) * 10000 + 0.5) AS BIGINT) AS psi_bp
+FROM lagged GROUP BY key, day
+""",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (timeseries.psi_drift) — per
+    event_type and day, the population stability index of the value
+    distribution vs the PREVIOUS day (add-one-smoothed 10-bin
+    histograms): the standard drift alarm between a model's training
+    window and live traffic, completing the DQ family (q121 batch
+    suite, q125 stream monitor). One scan builds the (key, day, bin)
+    count table; densify/lag/log-sum all run on that compact table.
+    psi in basis points so ULP-level ln noise cannot flip the hash."""
+    from quanta_spark.operators.timeseries import psi_drift
+
+    return psi_drift(spark.table("events"), lo=0.0, hi=500.0, n_bins=10)

@@ -60,3 +60,63 @@ def test_ewma_rejects_bad_alpha(spark):
     df = spark.createDataFrame(_rows([1.0]), SCHEMA)
     with pytest.raises(ValueError, match="alpha"):
         ewma_by_key(df, alpha=0.0)
+
+
+def test_psi_drift_matches_hand_computation(spark):
+    """Two days, one key, 2 bins: PSI against the hand formula with
+    add-one smoothing; day 1 has no predecessor -> NULL psi."""
+    import math
+    from datetime import datetime
+
+    from quanta_spark.operators.timeseries import psi_drift
+
+    d1, d2 = datetime(2024, 1, 1, 5), datetime(2024, 1, 2, 7)
+    # day1: 3 low, 1 high; day2: 1 low, 3 high (drift!)
+    rows = (
+        [(i, d1, "click", 10.0) for i in range(3)]
+        + [(3, d1, "click", 80.0)]
+        + [(4, d2, "click", 10.0)]
+        + [(i, d2, "click", 80.0) for i in range(5, 8)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, event_type string, value double"
+    )
+    out = {r["day"].day: r for r in psi_drift(df, lo=0.0, hi=100.0, n_bins=2).collect()}
+    assert out[1]["psi_bp"] is None
+    p = [(1 + 1) / 6, (3 + 1) / 6]          # day2 smoothed probs
+    q = [(3 + 1) / 6, (1 + 1) / 6]          # day1 smoothed probs
+    want = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert out[2]["psi_bp"] == int(want * 10_000 + 0.5)
+    assert out[2]["n_rows"] == 4
+
+
+def test_psi_drift_gap_days_not_compared(spark):
+    """A 2-day gap between observations must NOT produce a psi (only
+    consecutive days compare)."""
+    from datetime import datetime
+
+    from quanta_spark.operators.timeseries import psi_drift
+
+    rows = [(1, datetime(2024, 1, 1), "e", 10.0), (2, datetime(2024, 1, 3), "e", 10.0)]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, event_type string, value double"
+    )
+    out = psi_drift(df, lo=0.0, hi=100.0, n_bins=2).collect()
+    assert all(r["psi_bp"] is None for r in out)
+
+
+def test_psi_drift_identical_days_zero(spark):
+    from datetime import datetime
+
+    from quanta_spark.operators.timeseries import psi_drift
+
+    rows = [
+        (i, datetime(2024, 1, d), "e", float(v))
+        for d in (1, 2)
+        for i, v in enumerate([5.0, 5.0, 95.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, event_type string, value double"
+    )
+    out = {r["day"].day: r["psi_bp"] for r in psi_drift(df, lo=0.0, hi=100.0, n_bins=2).collect()}
+    assert out[2] == 0
