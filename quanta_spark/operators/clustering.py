@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_train_quantized", "train_spherical_centroids"]
+__all__ = ["kmeans_train_quantized", "train_spherical_centroids", "random_project"]
 
 #: Hard ceiling on k*d driver materialization per iteration.
 MAX_CENTROID_CELLS = 1_000_000
@@ -235,3 +235,61 @@ def train_spherical_centroids(
         new_cent[nonempty] = sums[nonempty] / np.maximum(norms, 1e-12)
         cent = new_cent
     return cent
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Engine-portable ±1: parity of the first hex nibble of
+    md5("i-j") (0-based dims). Reproducible in SQL as
+    (strpos('0123456789abcdef', substr(md5(...), 1, 1)) - 1) % 2."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sparse sign random projection (Achlioptas 2003): y_j = sum_i
+    s_ij * x_i with s_ij in {+1, -1} — the Johnson-Lindenstrauss
+    dimensionality reduction used to shrink embeddings before ANN
+    blocking or as cheap LSH-adjacent features. The sign matrix is
+    derived from md5 (data-independent, seed-free, engine-portable:
+    an oracle re-derives it in SQL), NOT sampled — no RNG state to
+    ship, no drift between runs. Inputs quantize to integers
+    (round(x*scale)) so every projection sum is EXACT in int64.
+
+    Pure Catalyst: per output dim, one zip_with(vector, literal sign
+    array) + aggregate fold — whole-stage codegen, zero Python, zero
+    shuffle (the consumer's groupBy/join pays the first exchange).
+    Output long format (id, out_dim, y) for direct feeding into
+    banding/blocking joins. Standard JL rescaling (1/sqrt(out_dim))
+    is left to the consumer — integer output keeps oracles exact."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"need in_dim/out_dim >= 1, got {in_dim}/{out_dim}")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = df.select(F.col(id_col), qv.alias("_qv"))
+    cols = []
+    for j in range(out_dim):
+        signs = F.array(
+            *[F.lit(_rp_sign(i, j)).cast("long") for i in range(in_dim)]
+        )
+        y = F.aggregate(
+            F.zip_with(F.col("_qv"), signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(y.alias(f"_y{j}"))
+    wide = base.select(F.col(id_col), *cols)
+    stack_args = ", ".join(f"{j}, `_y{j}`" for j in range(out_dim))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({out_dim}, {stack_args}) AS (out_dim, y)"),
+    ).select(id_col, F.col("out_dim").cast("int").alias("out_dim"), "y")

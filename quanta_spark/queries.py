@@ -5235,3 +5235,35 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.timeseries import psi_drift
 
     return psi_drift(spark.table("events"), lo=0.0, hi=500.0, n_bins=10)
+
+
+@query(
+    "q127_random_projection",
+    """
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+)
+SELECT vec_id, CAST(j.j AS INT) AS out_dim,
+       list_sum([
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5((i - 1)::VARCHAR || '-' || j.j::VARCHAR), 1, 1)) - 1) % 2 = 0
+              THEN v[i] ELSE -v[i] END
+         for i in generate_series(1, 64)
+       ]) AS y
+FROM q CROSS JOIN generate_series(0, 15) AS j(j)
+""",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse sign random projection (clustering.random_project) —
+    Johnson-Lindenstrauss 64->16 reduction with a ±1 matrix derived
+    from md5 parity (data-independent, seed-free, engine-portable; no
+    RNG state to ship). Inputs quantize to integers so every
+    projection sum is EXACT; the whole operator is zip_with +
+    aggregate folds in whole-stage codegen — zero Python, zero
+    shuffle. Oracle re-derives the identical sign matrix from the same
+    md5 parity in SQL."""
+    from quanta_spark.operators.clustering import random_project
+
+    return random_project(spark.table("embeddings"), in_dim=64, out_dim=16)

@@ -114,3 +114,40 @@ def test_spherical_centroids_recover_cluster_directions(spark):
     np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
     sims = cent @ dirs.T  # (centroid, true direction)
     assert (sims.max(axis=0) > 0.95).all()
+
+
+def test_random_project_exact_and_jl_property(spark):
+    """Projection equals the literal sign-matrix product, and JL holds
+    statistically: pairwise squared distances in the projected space
+    (rescaled by 1/out_dim) approximate the originals."""
+    from quanta_spark.operators.clustering import _rp_sign, random_project
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 64)) * 0.2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_project(df, in_dim=64, out_dim=16).collect()
+    got = np.zeros((30, 16), dtype=np.int64)
+    for r in out:
+        got[r["vec_id"], r["out_dim"]] = r["y"]
+    qv = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    S = np.array([[_rp_sign(i, j) for j in range(16)] for i in range(64)], dtype=np.int64)
+    np.testing.assert_array_equal(got, qv @ S)
+    # JL distortion check (loose: 16 dims, median ratio near 1)
+    d_orig = ((qv[:, None, :] - qv[None, :, :]) ** 2).sum(-1).astype(float)
+    d_proj = ((got[:, None, :] - got[None, :, :]) ** 2).sum(-1).astype(float) / 16
+    iu = np.triu_indices(30, 1)
+    ratio = d_proj[iu] / d_orig[iu]
+    assert 0.7 < np.median(ratio) < 1.3
+
+
+def test_random_project_validates_dims(spark):
+    import pytest as _pytest
+
+    from quanta_spark.operators.clustering import random_project
+
+    df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_project(df, out_dim=0)
