@@ -90,6 +90,11 @@ def measure(spark, emb, n: int) -> dict[str, dict]:
             round(min(1.0, DEFAULT_NPROBE / auto_n_cells(n)), 4),
         ),
         "pq_adc_8x16": (pq_adc_topk(emb, queries, k=K), 1.0),
+        # trained per-subspace k-means codebooks vs the seed stand-in
+        # above — same codes-only scan, so any delta is codebook quality
+        "pq_adc_trained_3it": (
+            pq_adc_topk(emb, queries, k=K, train_iters=3), 1.0
+        ),
         # two-stage retrieval: ADC shortlist (codes-only) -> exact
         # cosine rerank -> top-10; raw-vector fetch touches only the
         # shortlist (the q66 gate operator).
@@ -103,6 +108,12 @@ def measure(spark, emb, n: int) -> dict[str, dict]:
         # scale-stable deployment shape.
         "pq_rerank_5pct": (
             pq_rerank_topk(emb, queries, k=K, shortlist=max(shortlist, n // 20)),
+            round(max(shortlist, n // 20) / n, 4),
+        ),
+        "pq_rerank_5pct_trained_3it": (
+            pq_rerank_topk(
+                emb, queries, k=K, shortlist=max(shortlist, n // 20), train_iters=3
+            ),
             round(max(shortlist, n // 20) / n, 4),
         ),
     }

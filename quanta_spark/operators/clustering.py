@@ -29,7 +29,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_train_quantized", "train_spherical_centroids", "random_project"]
+__all__ = [
+    "kmeans_train_quantized",
+    "train_spherical_centroids",
+    "random_project",
+    "train_pq_codebooks",
+]
 
 #: Hard ceiling on k*d driver materialization per iteration.
 MAX_CENTROID_CELLS = 1_000_000
@@ -293,3 +298,96 @@ def random_project(
         F.col(id_col),
         F.expr(f"stack({out_dim}, {stack_args}) AS (out_dim, y)"),
     ).select(id_col, F.col("out_dim").cast("int").alias("out_dim"), "y")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_cent: int = 16,
+    n_sub: int = 8,
+    dim: int = 64,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace k-means PQ codebook training (Jegou et al. 2011's
+    actual recipe, replacing similarity._pq_centroids' md5-least
+    stand-in when recall matters): all ``n_sub`` subspaces train
+    SIMULTANEOUSLY — one Arrow pass per Lloyd iteration assigns every
+    subvector to its nearest codebook entry and emits per-partition
+    partial sums keyed (sub, cent, dim); the reduce + driver update is
+    O(n_sub x n_cent x sub_dim), corpus-size-independent. Empty
+    entries carry forward. Float quality path (bench-graded; the
+    oracle gates pin the seed codebooks). Returns the
+    (n_sub, n_cent, sub_dim) float64 tensor ``pq_encode`` consumes."""
+    if dim % n_sub:
+        raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
+    if n_cent < 1 or n_iter < 1:
+        raise ValueError(f"need n_cent >= 1 and n_iter >= 1, got {n_cent}, {n_iter}")
+    sub_dim = dim // n_sub
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .limit(n_cent)
+        .collect()
+    )
+    if len(rows) < n_cent:
+        raise ValueError(f"corpus has only {len(rows)} vectors for n_cent={n_cent}")
+    cent = (
+        np.array([r["_v"] for r in rows], dtype=np.float64)
+        .reshape(n_cent, n_sub, sub_dim)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+
+    def partials_of(ct: np.ndarray):
+        def fn(batches):
+            import pandas as pd
+
+            ns, nc, sd = ct.shape
+            sums = np.zeros((ns, nc, sd), dtype=np.float64)
+            counts = np.zeros((ns, nc), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                vs = v.reshape(len(v), ns, 1, sd)
+                d = ((vs - ct[None]) ** 2).sum(axis=3)  # (n, ns, nc)
+                code = d.argmin(axis=2)  # (n, ns), first-min = lowest idx
+                for s in range(ns):
+                    np.add.at(sums[s], code[:, s], v.reshape(len(v), ns, sd)[:, s])
+                    np.add.at(counts[s], code[:, s], 1)
+            yield pd.DataFrame(
+                {
+                    "sub": np.repeat(np.arange(ns, dtype=np.int32), nc * sd),
+                    "cent": np.tile(np.repeat(np.arange(nc, dtype=np.int32), sd), ns),
+                    "dim": np.tile(np.arange(sd, dtype=np.int32), ns * nc),
+                    "s": sums.reshape(-1),
+                    "n": np.repeat(counts.reshape(-1), sd),
+                }
+            )
+
+        return fn
+
+    for _ in range(n_iter):
+        agg = (
+            vecs.mapInPandas(
+                partials_of(cent), schema="sub int, cent int, dim int, s double, n long"
+            )
+            .groupBy("sub", "cent", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # bounded: n_sub * n_cent * sub_dim rows
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros((n_sub, n_cent), dtype=np.int64)
+        for r in agg:
+            sums[r["sub"], r["cent"], r["dim"]] = r["s"]
+            counts[r["sub"], r["cent"]] = r["n"]
+        nonempty = counts > 0
+        new_cent = cent.copy()
+        new_cent[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+        cent = new_cent
+    return cent

@@ -237,3 +237,33 @@ def reply_latency_histogram(df: DataFrame) -> DataFrame:
             F.sum("_sec").cast("long").alias("sum_s"),
         )
     )
+
+
+def role_trigram_patterns(df: DataFrame, min_support: int = 2) -> DataFrame:
+    """Frequent conversation-shape patterns: counts of (role, next
+    role, next-next role) trigrams inside conversations, with the
+    share of conversations containing each pattern — the corpus-scale
+    summary of how agent flows actually run (user->assistant->user
+    loops vs tool-chain runs), and the batch complement of the CEP
+    operators (which MATCH a given pattern; this MINES the frequent
+    ones).
+
+    One conv_id shuffle for the two lead() windows; counts and the
+    distinct-conversation support are hash aggregates over the
+    |roles|^3-bounded trigram table. ``min_support`` prunes the long
+    tail (conversations, not occurrences)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tri = (
+        df.select(
+            "conv_id",
+            F.col("role").alias("r1"),
+            F.lead("role", 1).over(w).alias("r2"),
+            F.lead("role", 2).over(w).alias("r3"),
+        )
+        .filter(F.col("r2").isNotNull() & F.col("r3").isNotNull())
+    )
+    out = tri.groupBy("r1", "r2", "r3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )
+    return out.filter(F.col("n_convs") >= min_support)

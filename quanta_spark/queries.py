@@ -5267,3 +5267,34 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.clustering import random_project
 
     return random_project(spark.table("embeddings"), in_dim=64, out_dim=16)
+
+
+@query(
+    "q128_role_trigrams",
+    """
+WITH {cte},
+tri AS (
+  SELECT conv_id, role AS r1,
+         lead(role, 1) OVER w AS r2,
+         lead(role, 2) OVER w AS r3
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT r1, r2, r3,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM tri WHERE r2 IS NOT NULL AND r3 IS NOT NULL
+GROUP BY r1, r2, r3
+HAVING count(DISTINCT conv_id) >= 2
+""".format(cte=TRANSCRIPTS_CTE),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent conversation-shape mining
+    (dialogue.role_trigram_patterns): (role, next, next-next) trigram
+    counts + distinct-conversation support — the batch complement of
+    the CEP matchers (they MATCH a given pattern; this MINES the
+    frequent ones). One conv_id shuffle feeding two lead() windows;
+    aggregates run on the |roles|^3-bounded trigram table."""
+    from quanta_spark.operators.dialogue import role_trigram_patterns
+
+    return role_trigram_patterns(transcripts_df(spark), min_support=2)

@@ -151,3 +151,30 @@ def test_random_project_validates_dims(spark):
     df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="out_dim"):
         random_project(df, out_dim=0)
+
+
+def test_train_pq_codebooks_shape_and_improvement(spark):
+    """Trained codebooks must (a) keep the (n_sub, n_cent, sub_dim)
+    contract, (b) not increase total quantization error vs the seed
+    codebooks on the same corpus (Lloyd monotonically reduces within-
+    codebook SSE from its own init; seeds ARE the init)."""
+    from quanta_spark.operators.clustering import train_pq_codebooks
+    from quanta_spark.operators.similarity import _pq_centroids
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def sse(cent):
+        v = vecs.astype(np.float64).reshape(200, 4, 1, 4)
+        d = ((v - cent[None]) ** 2).sum(axis=3)
+        return d.min(axis=2).sum()
+
+    seed = _pq_centroids(df, 8, 4, 4)
+    trained = train_pq_codebooks(df, n_cent=8, n_sub=4, dim=16, n_iter=3)
+    assert trained.shape == (4, 8, 4)
+    assert sse(trained) <= sse(seed) + 1e-9
+    assert sse(trained) < sse(seed) * 0.9  # real improvement, not a no-op

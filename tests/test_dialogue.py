@@ -102,3 +102,32 @@ def test_reply_latency_histogram_buckets_and_edges(spark):
         "3_1_to_10m": (1, 60, 60),
         "4_over_10m": (1, 600, 600),
     }
+
+
+def test_role_trigram_patterns_counts_and_support(spark):
+    """Trigram counts cross conversation boundaries never; support
+    counts distinct conversations; min_support prunes."""
+    from quanta_spark.operators.dialogue import role_trigram_patterns
+
+    rows = []
+    # two convs with user->assistant->user twice each (sliding), one
+    # conv with a unique tool pattern (support 1 -> pruned)
+    for c in ("a", "b"):
+        for i, r in enumerate(["user", "assistant", "user", "assistant"]):
+            rows.append((c, i, r, None))
+    for i, r in enumerate(["tool", "tool", "tool"]):
+        rows.append(("c", i, r, None))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = {
+        (r["r1"], r["r2"], r["r3"]): (r["n_occurrences"], r["n_convs"])
+        for r in role_trigram_patterns(df, min_support=2).collect()
+    }
+    assert got == {
+        ("user", "assistant", "user"): (2, 2),
+        ("assistant", "user", "assistant"): (2, 2),
+    }
+    all_pat = {
+        (r["r1"], r["r2"], r["r3"])
+        for r in role_trigram_patterns(df, min_support=1).collect()
+    }
+    assert ("tool", "tool", "tool") in all_pat
