@@ -112,7 +112,10 @@ def _ops():
         shuffle_shards as _shards,
         temperature_mix as _temp_mix,
     )
-    from quanta_spark.operators.clustering import kmeans_train_quantized as _kmeans
+    from quanta_spark.operators.clustering import (
+        kmeans_train_quantized as _kmeans,
+        random_project as _rproj,
+    )
     from quanta_spark.operators.dedup import keep_best_survivors as _kbs
     from quanta_spark.operators.text import inverted_index as _inv_idx
     from quanta_spark.operators.validate import (
@@ -338,6 +341,13 @@ def _ops():
         "reply_latency": lambda docs, emb: _SCALE_CTX["q"][
             "q123_reply_latency_histogram"
         ](_SCALE_CTX["spark"], _SCALE_CTX["events_dir"]),
+        "psi_drift": lambda docs, emb: _SCALE_CTX["q"]["q126_psi_drift"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
+        "random_projection": lambda docs, emb: _rproj(emb, in_dim=64, out_dim=16),
+        "role_trigrams": lambda docs, emb: _SCALE_CTX["q"]["q128_role_trigrams"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
     }
 
 
