@@ -1120,3 +1120,56 @@ def stream_phash_gate(
     return pairs.select(
         "new_media_id", "idx_media_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest accounting between two corpus snapshots —
+    the per-day bookkeeping an incremental pipeline emits: every doc
+    classified as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by a full-outer join on id with normalized content fingerprints,
+    and added docs additionally flagged ``added_dup_content`` when
+    their content already existed ANYWHERE in the old snapshot (the
+    re-upload / mirror case exact dedup must catch on day N+1 without
+    rescanning day N's pairs).
+
+    Returns (category, n_docs). Scale: one id-keyed full-outer join
+    (both sides pre-projected to id+fp), one fp-keyed LEFT SEMI join
+    of the added slice against the old fp set, then a 5-row aggregate.
+    Nothing is collected; both joins are plain shuffles AQE can
+    re-plan (broadcast when a day's delta is small — the usual case).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(normalized(F.col(text_col))).alias("_ofp")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(normalized(F.col(text_col))).alias("_nfp")
+    )
+    j = o.join(n, "_id", "full_outer")
+    base = j.select(
+        "_id",
+        "_nfp",
+        F.when(F.col("_ofp").isNull(), "added")
+        .when(F.col("_nfp").isNull(), "removed")
+        .when(F.col("_ofp") == F.col("_nfp"), "unchanged")
+        .otherwise("changed")
+        .alias("category"),
+    )
+    counts = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    added_dup = (
+        base.filter(F.col("category") == "added")
+        .join(
+            o.select(F.col("_ofp").alias("_nfp")).distinct(),
+            "_nfp",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(F.lit("added_dup_content").alias("category"), "n_docs")
+    )
+    return counts.unionByName(added_dup)

@@ -84,12 +84,15 @@ def psi_drift(
     standard alarm for feature/score drift between a model's training
     window and live traffic. Days with no predecessor emit NULL psi.
 
-    Scale: ONE scan aggregates to the (key, day, bin) count table
-    (map-side partial); everything after — densify bins, lag-join the
-    previous day, the log-sum — runs on that compact table (O(keys x
-    days x bins) rows). Values clamp into [lo, hi); psi is reported in
-    basis points (floor(x*1e4+0.5), x >= 0) so ULP-level ln noise
-    cannot flip a hash compare."""
+    Scale: ONE scan, ONE (key, day) hash aggregate — each bin is a
+    conditional sum INSIDE that aggregate (map-side partial), so the
+    corpus is never re-read and the count table is never self-joined
+    (a naive counts-CTE formulation re-scans the input once per
+    consumer — measured 4 scans). The stack() unpivot, the per-(key,
+    bin) lag window, and the log-sum all run on the O(keys x days x
+    bins) table that aggregate emits. Values clamp into [lo, hi); psi
+    is reported in basis points (floor(x*1e4+0.5), x >= 0) so
+    ULP-level ln noise cannot flip a hash compare."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     width = (hi - lo) / n_bins
@@ -101,21 +104,24 @@ def psi_drift(
         F.lit(n_bins - 1),
     )
     day = F.date_trunc("day", F.col(ts_col))
-    counts = (
+    wide = (
         df.select(F.col(key_col).alias("key"), day.alias("day"), bin_c.alias("bin"))
-        .groupBy("key", "day", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("key", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("bin") == i).cast("long")).alias(f"_b{i}")
+                for i in range(n_bins)
+            ],
+        )
     )
-    # densify: every (key, day) x bin, so empty bins smooth to 1/(n+B)
-    days = counts.select("key", "day").distinct()
-    grid = days.crossJoin(
-        counts.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    )
-    dense = grid.join(counts, ["key", "day", "bin"], "left").select(
-        "key", "day", "bin", F.coalesce("c", F.lit(0)).alias("c")
-    )
-    totals = dense.groupBy("key", "day").agg(F.sum("c").alias("n"))
-    probs = dense.join(totals, ["key", "day"]).select(
+    stack_args = ", ".join(f"{i}, `_b{i}`" for i in range(n_bins))
+    probs = wide.select(
+        "key",
+        "day",
+        "n",
+        F.expr(f"stack({n_bins}, {stack_args}) AS (bin, c)"),
+    ).select(
         "key",
         "day",
         "bin",

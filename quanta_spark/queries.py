@@ -5298,3 +5298,68 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.dialogue import role_trigram_patterns
 
     return role_trigram_patterns(transcripts_df(spark), min_support=2)
+
+
+_Q129_NEW_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' changed' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'novel doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@query(
+    "q129_snapshot_diff",
+    f"""
+WITH newsnap AS ({_Q129_NEW_SQL}),
+o AS (SELECT doc_id AS oid, md5({DUCK_NORM}) AS ofp FROM documents),
+n AS (SELECT doc_id AS nid, md5({DUCK_NORM}) AS nfp FROM newsnap),
+cat AS (
+  SELECT n.nfp,
+         CASE WHEN o.oid IS NULL THEN 'added'
+              WHEN n.nid IS NULL THEN 'removed'
+              WHEN o.ofp = n.nfp THEN 'unchanged'
+              ELSE 'changed' END AS category
+  FROM o FULL OUTER JOIN n ON n.nid = o.oid
+)
+SELECT category, CAST(count(*) AS BIGINT) AS n_docs FROM cat GROUP BY category
+UNION ALL
+SELECT 'added_dup_content', CAST(count(*) AS BIGINT)
+FROM cat WHERE category = 'added' AND nfp IN (SELECT ofp FROM o)
+""",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff / ingest accounting
+    (dedup.snapshot_diff): day-N vs day-N+1 corpus versions classified
+    added / removed / changed / unchanged via an id-keyed full-outer
+    join on content fingerprints, plus added docs whose CONTENT already
+    existed anywhere in day N (re-uploads caught without rescanning
+    day N's pairs — a left-semi join on the fingerprint). The synthetic
+    day-N+1 plants every category: ids %10==3 removed, %7==0 texts
+    changed, %5==0 re-uploaded under new ids (dup content), %11==0
+    genuinely novel docs added."""
+    from quanta_spark.operators.dedup import snapshot_diff
+
+    old = spark.table("documents")
+    base = old.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" changed"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    reup = old.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    novel = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("novel doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = base.unionByName(reup).unionByName(novel)
+    return snapshot_diff(old, new)

@@ -859,3 +859,28 @@ def test_keep_best_survivors_quality_argmax(spark):
         9: (9, 9, True),
     }
     assert sum(1 for _, k, s in got.values() if s) == 3
+
+
+def test_snapshot_diff_all_categories(spark):
+    """Planted categories: id 1 unchanged, id 2 changed, id 3 removed,
+    id 10 added-novel, id 11 added with content copied from id 1
+    (dup content)."""
+    from quanta_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta CHANGED"), (10, "zeta"), (11, "Alpha  Beta!")],
+        "doc_id long, text string",
+    )
+    got = {r["category"]: r["n_docs"] for r in snapshot_diff(old, new).collect()}
+    # id 11 normalizes to id 1's content -> dup
+    assert got == {
+        "unchanged": 1,
+        "changed": 1,
+        "removed": 1,
+        "added": 2,
+        "added_dup_content": 1,
+    }

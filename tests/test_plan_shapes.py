@@ -402,3 +402,42 @@ def test_q108_dsir_weights_plan(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     for bad in ("ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, (bad, plan)
+
+
+def test_q127_random_projection_zero_exchange(spark):
+    """The JL projection is pure per-row codegen (zip_with + aggregate
+    folds + stack): no Exchange, no Python worker in the plan."""
+    plan = _plan(spark, "q127_random_projection")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_q126_psi_single_events_scan(spark):
+    """PSI reads the events table exactly ONCE: everything after the
+    (key, day, bin) aggregate runs on the compact count table."""
+    plan = _plan(spark, "q126_psi_drift")
+    # one scan of events; the bin grid comes from a driver-side range()
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_q120_inverted_index_partial_aggs(spark):
+    """Term stats partial-aggregate map-side before the term shuffle
+    (a stopword's occurrences combine within each task first)."""
+    plan = _plan(spark, "q120_inverted_index")
+    i_exch = plan.index("Exchange hashpartitioning(term")
+    assert "HashAggregate" in plan[:i_exch], plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q123_reply_latency_single_conv_exchange(spark):
+    """One conv_id exchange feeds the lead() window; the bucket
+    aggregate adds no second corpus-wide shuffle (its input is the
+    filtered reply rows)."""
+    plan = _plan(spark, "q123_reply_latency_histogram")
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
+
+
+def test_q122_ewma_single_user_exchange(spark):
+    plan = _plan(spark, "q122_ewma_user_value")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
