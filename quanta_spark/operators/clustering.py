@@ -34,6 +34,7 @@ __all__ = [
     "train_spherical_centroids",
     "random_project",
     "train_pq_codebooks",
+    "class_centroid_accuracy",
 ]
 
 #: Hard ceiling on k*d driver materialization per iteration.
@@ -391,3 +392,90 @@ def train_pq_codebooks(
         new_cent[nonempty] = sums[nonempty] / counts[nonempty][:, None]
         cent = new_cent
     return cent
+
+
+def class_centroid_accuracy(
+    corpus: DataFrame,
+    label_col: str = "label",
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-class-centroid evaluation — the standard cheap probe of
+    embedding quality over a labeled table: per-label centroids, then
+    every vector classified to its nearest centroid; reports per-label
+    (n_vecs, n_correct, accuracy_bp). Integer-exact end to end
+    (quantized vectors, floored integer-mean centroids, int64
+    distances, lowest-label ties) so a SQL oracle replays it.
+
+    Scale: centroids come from a posexplode + (label, dim) hash
+    aggregate — the explode collapses map-side to |labels| x d partials
+    per partition (the q55 pooled-embeddings shape). Assignment is
+    SHUFFLE-FREE: the |labels| centroid arrays are a bounded driver
+    collect folded into one literal-array argmin expression evaluated
+    inside the scan (no join, no window over the corpus). The final
+    accuracy aggregate shuffles |labels| partial rows per partition."""
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("_qv"),
+    )
+    sums = (
+        q.select("_lbl", F.posexplode("_qv").alias("_dim", "_x"))
+        .groupBy("_lbl", "_dim")
+        .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    cent_rows = (
+        sums.groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_dim"), F.col("_s"), F.col("_n")))
+                ),
+                lambda t: F.floor(t["_s"].cast("double") / t["_n"]).cast("long"),
+            ).alias("_c")
+        )
+        .collect()  # bounded: one row per label
+    )
+    if not cent_rows:
+        raise ValueError("class_centroid_accuracy needs a non-empty corpus")
+    cent_rows.sort(key=lambda r: r["_lbl"])
+    # one literal array of (label, centroid) structs, folded in-scan:
+    # assignment never joins or shuffles
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["_lbl"])).alias("lbl"),
+                F.array(*[F.lit(int(v)) for v in r["_c"]]).alias("c"),
+            )
+            for r in cent_rows
+        ]
+    )
+    d2_of = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("_qv"), c, lambda x, cc: (x - cc) * (x - cc)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(None).cast("long").alias("d2"), F.lit(None).cast("long").alias("lbl")
+        ),
+        lambda acc, cand: F.when(
+            acc["d2"].isNull() | (d2_of(cand["c"]) < acc["d2"]),
+            F.struct(d2_of(cand["c"]).alias("d2"), cand["lbl"].alias("lbl")),
+        ).otherwise(acc),
+    )
+    scored = q.select(
+        "_lbl", (best["lbl"] == F.col("_lbl")).cast("long").alias("_ok")
+    )
+    return scored.groupBy(F.col("_lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("_ok").cast("long").alias("n_correct"),
+        F.floor(F.sum("_ok") * 10_000 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("accuracy_bp"),
+    )

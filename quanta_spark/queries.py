@@ -5363,3 +5363,53 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = base.unionByName(reup).unionByName(novel)
     return snapshot_diff(old, new)
+
+
+@query(
+    "q130_class_centroid_eval",
+    """
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT label, g.i AS dim, sum(v[g.i]) AS s, count(*) AS n
+  FROM q CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY label, g.i
+),
+cent AS (
+  SELECT label AS clbl, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY dim) AS c
+  FROM sums GROUP BY label
+),
+d AS (
+  SELECT q.vec_id, q.label, cent.clbl,
+         list_sum([(q.v[i]-cent.c[i])*(q.v[i]-cent.c[i])
+                   for i in generate_series(1, 64)]) AS d2
+  FROM q CROSS JOIN cent
+),
+a AS (
+  SELECT vec_id, label, clbl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clbl) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN clbl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(floor(sum(CASE WHEN clbl = label THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5) AS BIGINT) AS accuracy_bp
+FROM a GROUP BY label
+""",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid embedding evaluation
+    (clustering.class_centroid_accuracy) — the standard cheap probe of
+    embedding quality over the labeled table: per-label floored-
+    integer-mean centroids (posexplode + (label, dim) hash aggregate,
+    the q55 pooled-embeddings shape), then SHUFFLE-FREE assignment —
+    the |labels| centroid arrays fold into one literal-array argmin
+    expression evaluated inside the scan (no join, no corpus window).
+    Integer-exact end to end; lowest-label ties."""
+    from quanta_spark.operators.clustering import class_centroid_accuracy
+
+    return class_centroid_accuracy(spark.table("embeddings"))

@@ -178,3 +178,36 @@ def test_train_pq_codebooks_shape_and_improvement(spark):
     assert trained.shape == (4, 8, 4)
     assert sse(trained) <= sse(seed) + 1e-9
     assert sse(trained) < sse(seed) * 0.9  # real improvement, not a no-op
+
+
+def test_class_centroid_accuracy_separated_labels(spark):
+    """Perfectly separated labels classify 100%; a planted outlier
+    sitting on the other label's centroid is counted wrong."""
+    from quanta_spark.operators.clustering import class_centroid_accuracy
+
+    rows = []
+    i = 0
+    for lbl, base in ((0, 0.1), (1, 0.9)):
+        for _ in range(5):
+            rows.append((i, lbl, [base, base]))
+            i += 1
+    # outlier: label 0 but sits at label 1's centroid
+    rows.append((i, 0, [0.9, 0.9]))
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    got = {r["label"]: (r["n_vecs"], r["n_correct"]) for r in class_centroid_accuracy(df).collect()}
+    # label-0 centroid is dragged slightly toward the outlier but the 5
+    # clean points remain nearest to it; the outlier lands on label 1
+    assert got[0] == (6, 5)
+    assert got[1] == (5, 5)
+
+
+def test_class_centroid_accuracy_tie_breaks_lowest_label(spark):
+    """Two identical label populations -> identical centroids: every
+    vector ties and must classify to the LOWEST label."""
+    from quanta_spark.operators.clustering import class_centroid_accuracy
+
+    rows = [(1, 3, [0.5]), (2, 7, [0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    got = {r["label"]: (r["n_correct"], r["accuracy_bp"]) for r in class_centroid_accuracy(df).collect()}
+    assert got[3] == (1, 10_000)
+    assert got[7] == (0, 0)
