@@ -388,3 +388,61 @@ def test_conv_dedup_gate_restart_fingerprints_span_crash(spark, tmp_workdir):
     ]
     assert len(got) == len(set(got))  # exactly-once: no duplicate emission
     assert set(got) == want
+
+
+def test_quality_monitor_restart_no_dup_no_loss_windows(spark, tmp_workdir):
+    """Kill the streaming DQ monitor while a day window is still open;
+    the restarted query must keep accumulating into that window's
+    state and emit each (window, check) row EXACTLY once with counts
+    covering BOTH runs' rows. Union of both runs == batch replay."""
+    from quanta_spark.operators.validate import stream_quality_monitor
+
+    checks = {"short": F.length("text") < 6}
+    day1 = pd.Timestamp("2024-03-01")
+    wave1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["abc", "long enough text", "xy"],
+            "ts": [day1, day1 + pd.Timedelta(hours=1), day1 + pd.Timedelta(hours=2)],
+        }
+    )
+    # wave 2 lands IN THE SAME DAY WINDOW (state must span the crash)
+    # plus a later day that closes everything via the final file
+    wave2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["zz", "also long enough"],
+            "ts": [day1 + pd.Timedelta(hours=3), day1 + pd.Timedelta(days=5)],
+        }
+    )
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+    _write_doc_file(os.path.join(d, "p0000.parquet"), wave1)
+
+    rows: list = []
+
+    def build():
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_quality_monitor(src, checks, window="1 day", watermark="1 hour")
+
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    # crash: nothing may have been emitted yet (day-1 window still open)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    _write_doc_file(os.path.join(d, "p0001.parquet"), wave2)
+    run_to_completion(h2)
+
+    got = {
+        (r["window_start"], r["check_name"]): (r["n_violations"], r["n_rows"])
+        for r in rows
+        if r["window_start"] <= pd.Timestamp("2024-03-02")
+    }
+    # day-1 window: 4 rows total ACROSS the crash, 3 short
+    assert got == {(day1, "short"): (3, 4)}
+    assert len([r for r in rows if r["window_start"] <= pd.Timestamp("2024-03-02")]) == 1
