@@ -273,6 +273,29 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
             threshold=float(op.get("threshold", 0.8)),
             watermark=watermark,
         )
+    if kind == "dq_monitor":
+        # declarative streaming data-quality monitoring:
+        #   operator:
+        #     kind: dq_monitor
+        #     window: 1 day
+        #     checks:                      # name -> VIOLATION predicate
+        #       short_text: "length(text) < 15"
+        #       bad_role: "role NOT IN ('user','assistant','tool')"
+        from pyspark.sql import functions as F
+
+        from quanta_spark.operators.validate import stream_quality_monitor
+
+        checks_spec = op.get("checks")
+        if not checks_spec:
+            raise ValueError("dq_monitor operator needs a non-empty checks map")
+        checks = {name: F.expr(pred) for name, pred in checks_spec.items()}
+        return stream_quality_monitor(
+            df,
+            checks,
+            window=op.get("window", "1 day"),
+            watermark=watermark,
+            ts_col=op.get("ts_col", "ts"),
+        )
     raise ValueError(f"unknown operator kind {kind!r}")
 
 

@@ -346,3 +346,72 @@ def test_neardup_gate_operator_kind_compiles_and_runs(spark, tmp_workdir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dq_monitor_kind_compiles_and_runs(spark, transcripts_dir, tmp_workdir):
+    """`kind: dq_monitor` wires stream_quality_monitor from pure YAML
+    (checks are SQL predicate strings) and produces the report shape
+    end to end."""
+    import pandas as pd
+
+    from quanta_spark.datagen import GenSpec, generate, write_heartbeat_file
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "dq",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "watermark": "1 hour",
+            "operator": {
+                "kind": "dq_monitor",
+                "window": "1 day",
+                "checks": {
+                    "short_text": "length(text) < 100",
+                    "bad_role": "role NOT IN ('user','assistant','tool')",
+                },
+            },
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out_dq"),
+                "key_cols": ["window_start", "check_name"],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_dq"),
+        },
+    }
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.df.isStreaming
+    assert set(compiled.df.columns) == {
+        "window_start", "check_name", "n_violations", "n_rows", "passed",
+    }
+    rows: list = []
+    h = start_pipeline(compiled.df, lambda b, i: rows.extend(b.collect()), spec["pipeline"]["checkpoint"])
+    h.process_all_available()
+    pdf_all = generate(GenSpec())  # transcripts_dir fixture spec
+    write_heartbeat_file(transcripts_dir, pdf_all["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h)
+    got = [r for r in rows if r["check_name"] == "bad_role"]
+    assert got and all(r["n_violations"] == 0 and r["passed"] for r in got)
+    assert any(r["check_name"] == "short_text" and r["n_violations"] > 0 for r in rows)
+
+
+def test_dq_monitor_kind_requires_checks(spark, transcripts_dir, tmp_workdir):
+    import pytest as _pytest
+
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "dq-bad",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "watermark": "1 hour",
+            "operator": {"kind": "dq_monitor"},
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out_dq2"),
+                "key_cols": [],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_dq2"),
+        },
+    }
+    with _pytest.raises(ValueError, match="checks"):
+        compile_pipeline(spark, spec)
