@@ -116,7 +116,11 @@ def _ops():
         kmeans_train_quantized as _kmeans,
         random_project as _rproj,
     )
-    from quanta_spark.operators.dedup import keep_best_survivors as _kbs
+    from quanta_spark.operators.clustering import class_centroid_accuracy as _cc_acc
+    from quanta_spark.operators.dedup import (
+        keep_best_survivors as _kbs,
+        snapshot_diff as _snap_diff,
+    )
     from quanta_spark.operators.text import inverted_index as _inv_idx
     from quanta_spark.operators.validate import (
         constraint_report as _crep,
@@ -347,6 +351,27 @@ def _ops():
         "random_projection": lambda docs, emb: _rproj(emb, in_dim=64, out_dim=16),
         "role_trigrams": lambda docs, emb: _SCALE_CTX["q"]["q128_role_trigrams"](
             _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
+        "snapshot_diff": lambda docs, emb: _snap_diff(
+            docs,
+            docs.filter(F.col("doc_id") % 10 != 3)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" changed")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 5 == 0).select(
+                    (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+                )
+            ),
+        ),
+        "class_centroid_eval": lambda docs, emb: _cc_acc(
+            emb.withColumn("label", (F.col("vec_id") % 10).cast("long"))
         ),
     }
 
