@@ -864,3 +864,57 @@ def stream_ivf_ingest(
         "cell_id",
         F.col("n_vectors").cast("long").alias("n_vectors"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, threshold_bp: int = 9000
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: for every corpus
+    vector, the max cosine similarity against ANY benchmark/eval
+    vector, its nearest benchmark id, and a contamination flag at
+    ``threshold_bp``. The textual twin is text.decontaminate (exact
+    n-gram) / fuzzy_decontaminate (overlap fraction); this catches
+    paraphrased or re-embedded eval leakage those miss.
+
+    Scale shape: the benchmark set is the SMALL side by construction
+    (eval suites are thousands of rows, the corpus is the 100 TB
+    side) — it is collected under MAX_BROADCAST_QUERIES and broadcast;
+    the corpus crosses ONE Arrow scan with a (batch x bench) matmul
+    per batch, zero joins, zero shuffles, output one row per corpus
+    vector. Ties on the rounded-bp max resolve to the LOWEST benchmark
+    id (bench matrix is sorted by id; integer argmax takes the first
+    max), matching the oracle's ORDER BY sim_bp DESC, bench_id ASC.
+    """
+    b_rows = _bounded_query_rows(benchmark, "vec_id", "embedding")
+    if not b_rows:
+        raise ValueError("benchmark set is empty; nothing to decontaminate against")
+    b_rows.sort(key=lambda r: r["vec_id"])
+    b_ids = np.array([r["vec_id"] for r in b_rows], dtype=np.int64)
+    b_mat = np.array([r["embedding"] for r in b_rows], dtype=np.float64)
+    b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
+    sc = corpus.sparkSession.sparkContext
+    br_ids, br_mat = sc.broadcast(b_ids), sc.broadcast(b_mat)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bi, bm = br_ids.value, br_mat.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims_bp = _bp_half_away(c @ bm.T)  # (batch, n_bench) ints
+            best = np.argmax(sims_bp, axis=1)  # first max -> lowest bench_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "nearest_bench_id": bi[best],
+                    "max_sim_bp": sims_bp[np.arange(len(best)), best],
+                }
+            )
+
+    scored = corpus.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id long, nearest_bench_id long, max_sim_bp long"
+    )
+    return scored.withColumn(
+        "contaminated", (F.col("max_sim_bp") >= F.lit(int(threshold_bp)))
+    )

@@ -5413,3 +5413,62 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.clustering import class_centroid_accuracy
 
     return class_centroid_accuracy(spark.table("embeddings"))
+
+
+@query(
+    "q131_semantic_decontaminate",
+    """
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 37 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [CAST(x * 0.9 + 0.05 AS FLOAT) for x in embedding] AS embedding
+  FROM embeddings WHERE vec_id % 37 = 0
+),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) * 10000)
+              AS BIGINT) AS sim_bp
+  FROM corpus c, bench b
+),
+best AS (
+  SELECT vec_id, bench_id, sim_bp,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim_bp DESC, bench_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench_id, sim_bp AS max_sim_bp,
+       (sim_bp >= 7000) AS contaminated
+FROM best WHERE rk = 1
+""",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (similarity.semantic_decontaminate): scrub eval-set leakage the
+    exact/fuzzy n-gram decontaminators (q51/q116) cannot see —
+    paraphrases land near the eval vector in embedding space. The
+    benchmark slice (vec_id % 37 = 0) plays the eval suite; the corpus
+    is every other vector PLUS planted "paraphrases" — each bench
+    vector re-embedded through a deterministic scale+shift (x*0.9+0.05,
+    cosine ~0.95+ vs its source) under a new id, so the gate proves
+    both directions: planted leaks flagged, organic corpus clean. One
+    broadcast of the bench matrix, one Arrow corpus scan, zero joins —
+    the corpus side never shuffles, so the plan is identical at 500
+    rows and 10^11 rows."""
+    from quanta_spark.operators.similarity import semantic_decontaminate
+
+    emb = spark.table("embeddings")
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    planted = bench.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.05)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.filter(F.col("vec_id") % 37 != 0).unionByName(planted)
+    return semantic_decontaminate(corpus, bench, threshold_bp=7000)

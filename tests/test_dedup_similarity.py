@@ -884,3 +884,48 @@ def test_snapshot_diff_all_categories(spark):
         "added": 2,
         "added_dup_content": 1,
     }
+
+
+def test_semantic_decontaminate_flags_planted_paraphrases(spark):
+    """Exact clones and scale+shift 'paraphrases' of bench vectors are
+    flagged contaminated; organic vectors stay clean; nearest_bench_id
+    points at the right bench vector; bp ties break to lowest bench id."""
+    from quanta_spark.operators.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 31 == 0)
+    clones = bench.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    para = bench.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.05)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 31 != 0).unionByName(clones).unionByName(para)
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, bench, threshold_bp=8500).collect()
+    }
+    n_bench = bench.count()
+    assert n_bench > 0
+    for bid in (r["vec_id"] for r in bench.select("vec_id").collect()):
+        clone = got[bid + 1_000_000]
+        assert clone["contaminated"] and clone["max_sim_bp"] == 10_000
+        assert clone["nearest_bench_id"] == bid
+        p = got[bid + 2_000_000]
+        assert p["contaminated"], (bid, p)
+    organic = [r for v, r in got.items() if v < 1_000_000]
+    assert organic and all(not r["contaminated"] for r in organic)
+
+
+def test_semantic_decontaminate_rejects_empty_benchmark(spark):
+    from quanta_spark.operators.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="benchmark set is empty"):
+        semantic_decontaminate(emb, emb.filter(F.lit(False)))

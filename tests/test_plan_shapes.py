@@ -441,3 +441,14 @@ def test_q122_ewma_single_user_exchange(spark):
     plan = _plan(spark, "q122_ewma_user_value")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_q131_semantic_decontaminate_no_join(spark):
+    """Semantic decontamination is one Arrow corpus scan against a
+    broadcast bench matrix: the plan must contain NO join and NO
+    aggregate exchange — the only Python eval is the single
+    mapInPandas scoring pass (corpus side never shuffles)."""
+    plan = _plan(spark, "q131_semantic_decontaminate")
+    for bad in ("Join", "CartesianProduct", "Exchange hashpartitioning"):
+        assert bad not in plan, (bad, plan)
+    assert plan.count("MapInPandas") == 1, plan
