@@ -1173,3 +1173,94 @@ def snapshot_diff(
         .select(F.lit("added_dup_content").alias("category"), "n_docs")
     )
     return counts.unionByName(added_dup)
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 8,
+    threshold: float = 0.9,
+    max_df: int = 64,
+    min_shared: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT near-dup: for document pair
+    (a, b), containment(a in b) = |grams(a) ∩ grams(b)| / |grams(a)|.
+    Catches quotes, excerpts, and wholesale inclusion that symmetric
+    Jaccard dilutes toward 0 as the containing document grows (a 10%
+    excerpt has Jaccard <= 0.1 but containment 1.0) — the Broder
+    resemblance-vs-containment distinction.
+
+    Scale shape (self-blocking, no candidate list needed):
+    normalize -> distinct char n-grams -> explode -> xxhash64 gram
+    fingerprints (ints shuffle, strings don't) -> drop grams present in
+    more than ``max_df`` docs (stopword-gram pruning — this bounds each
+    gram's pair fan-out at max_df^2 EXACTLY, so the candidate join is
+    O(sum_g df_g^2), never corpus-quadratic) -> self-join on gram_fp
+    with doc_a < doc_b -> count shared grams per pair -> containment
+    against each side's RETAINED-gram count (numerator and denominator
+    both post-pruning, so the ratio is well-defined and the planted
+    full-inclusion case still reads exactly 1.0: a subset's retained
+    grams are a subset of the superset's retained grams).
+
+    Emits one row per unordered pair with both directions; ``keep``
+    marks pairs whose max-direction containment >= threshold.
+    ``min_shared`` is a support floor applied INSIDE the pair
+    aggregation (HAVING, map-side combined): accidental pairs sharing
+    fewer than that many grams never reach the containment joins —
+    on short-gram corpora those 1-gram-collision pairs are the bulk
+    of the candidate set and pure noise for excerpt detection.
+    """
+    grams = _norm_grams_df(df, text_col, n)
+    exploded = grams.select(
+        "doc_id", F.explode("grams").alias("_g")
+    ).select("doc_id", F.xxhash64("_g").alias("gram_fp"))
+    # stopword-gram pruning: drop grams with df > max_df (corpus
+    # boilerplate whose fan-out would dominate the join). df=1 grams
+    # stay: they witness no pair but MUST count in the denominator —
+    # a doc's unique content lowering its containment is the point.
+    df_per_gram = exploded.groupBy("gram_fp").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    retained = exploded.join(
+        df_per_gram.filter(F.col("_df") <= max_df).select("gram_fp"),
+        "gram_fp",
+    )
+    n_retained = retained.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    pairs = (
+        retained.alias("l")
+        .join(retained.alias("r"), "gram_fp")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    out = (
+        pairs.join(
+            n_retained.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            n_retained.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b")
+            ),
+            "doc_b",
+        )
+    )
+    cont_a = F.col("n_shared") / F.col("n_a")
+    cont_b = F.col("n_shared") / F.col("n_b")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(cont_a, 4).alias("containment_a_in_b"),
+        F.round(cont_b, 4).alias("containment_b_in_a"),
+        (F.greatest(cont_a, cont_b) >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -5472,3 +5472,66 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") % 37 != 0).unionByName(planted)
     return semantic_decontaminate(corpus, bench, threshold_bp=7000)
+
+
+@query(
+    "q132_containment_neardup",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+n AS (SELECT doc_id, {DUCK_NORM} AS norm FROM corpus),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(norm, i, 12)
+                               for i in generate_series(1, len(norm) - 11)])) AS gram
+  FROM n WHERE len(norm) >= 12
+),
+keepg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64),
+r AS (SELECT g.doc_id, g.gram FROM g JOIN keepg USING (gram)),
+nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM r GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM r a JOIN r b ON b.gram = a.gram AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 8
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       na.n_grams AS n_a, nb.n_grams AS n_b,
+       round(p.n_shared / na.n_grams, 4) AS containment_a_in_b,
+       round(p.n_shared / nb.n_grams, 4) AS containment_b_in_a,
+       (greatest(p.n_shared / na.n_grams, p.n_shared / nb.n_grams) >= 0.9) AS keep
+FROM pairs p
+JOIN nr na ON na.doc_id = p.doc_a
+JOIN nr nb ON nb.doc_id = p.doc_b
+""",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram CONTAINMENT near-dup (dedup.containment_pairs):
+    catches excerpts/quotes that symmetric Jaccard (q22/q63) dilutes —
+    a half-length prefix excerpt has Jaccard ~0.5 but containment ~1.0
+    (Broder's resemblance-vs-containment distinction). Plants a
+    first-half-prefix excerpt at doc_id+700000 for every 7th document;
+    the oracle re-derives the full self-blocking chain (distinct
+    12-grams -> df<=64 stopword-gram pruning -> gram self-join ->
+    per-pair shared counts -> both containment directions) in SQL.
+    Scale shape: the df cap bounds each gram's pair fan-out at
+    max_df^2 exactly, so the candidate join is O(sum_g df_g^2), never
+    corpus-quadratic, and gram fingerprints shuffle as xxhash64 ints,
+    not strings."""
+    from quanta_spark.operators.dedup import containment_pairs
+
+    docs = spark.table("documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(length(text) / 2) AS INT))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return containment_pairs(corpus, n=12, threshold=0.9, max_df=64, min_shared=8)

@@ -929,3 +929,65 @@ def test_semantic_decontaminate_rejects_empty_benchmark(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ValueError, match="benchmark set is empty"):
         semantic_decontaminate(emb, emb.filter(F.lit(False)))
+
+
+def test_containment_excerpt_detected_where_jaccard_dilutes(spark):
+    """A 20%-prefix excerpt must read containment ~1.0 (keep=True at
+    threshold 0.9) even though its symmetric Jaccard vs the source is
+    ~0.2 — the Broder resemblance-vs-containment distinction that
+    motivates the operator."""
+    from quanta_spark.operators.dedup import containment_pairs
+
+    words = [f"tok{i:03d}" for i in range(200)]
+    full = " ".join(words)
+    excerpt = " ".join(words[:40])
+    unrelated = " ".join(f"zzz{i:03d}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, full), (2, excerpt), (3, unrelated)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, n=12, threshold=0.9).toPandas()
+    pair = out[(out.doc_a == 1) & (out.doc_b == 2)]
+    assert len(pair) == 1
+    row = pair.iloc[0]
+    # excerpt-in-source direction saturates; source-in-excerpt stays low
+    assert row.containment_b_in_a >= 0.95
+    assert row.containment_a_in_b <= 0.35
+    assert bool(row.keep)
+    jacc = row.n_shared / (row.n_a + row.n_b - row.n_shared)
+    assert jacc < 0.5  # symmetric Jaccard would have missed it at 0.8/0.9
+    assert not ((out.doc_b == 3) | (out.doc_a == 3)).any()
+
+
+def test_containment_min_shared_prunes_accidental_pairs(spark):
+    from quanta_spark.operators.dedup import containment_pairs
+
+    # two docs sharing exactly one 12-gram window ("sharedtoken0")
+    df = spark.createDataFrame(
+        [(1, "aaa bbb sharedtoken0 ccc ddd"), (2, "eee fff sharedtoken0 ggg hhh")],
+        "doc_id long, text string",
+    )
+    loose = containment_pairs(df, n=12, min_shared=1)
+    tight = containment_pairs(df, n=12, min_shared=8)
+    assert loose.count() >= 1
+    assert tight.count() == 0
+
+
+def test_containment_max_df_drops_boilerplate_grams(spark):
+    """Grams present in more than max_df docs must not witness pairs:
+    100 docs sharing one boilerplate sentence pair up on dozens of
+    shared grams when the cap is loose (max_df=200 keeps the df=100
+    boilerplate grams) but only on the <=2 prefix/boiler JUNCTION
+    grams (shared by the 10 docs with the same trailing digit,
+    df=10 <= 64) once the cap bites — and never reach keep."""
+    from quanta_spark.operators.dedup import containment_pairs
+
+    boiler = "this boilerplate footer appears everywhere in the corpus"
+    rows = [(i, f"unique{i:04d} " * 3 + boiler) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = containment_pairs(df, n=12, max_df=200, min_shared=1).toPandas()
+    assert loose.n_shared.max() >= 30  # boilerplate grams witness pairs
+    assert loose.containment_a_in_b.max() >= 0.6
+    capped = containment_pairs(df, n=12, max_df=64, min_shared=1).toPandas()
+    assert capped.n_shared.max() <= 2
+    assert capped.containment_a_in_b.max() <= 0.2
+    assert not capped.keep.any()

@@ -452,3 +452,16 @@ def test_q131_semantic_decontaminate_no_join(spark):
     for bad in ("Join", "CartesianProduct", "Exchange hashpartitioning"):
         assert bad not in plan, (bad, plan)
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_q132_containment_no_cartesian_no_python(spark):
+    """Containment near-dup self-blocks on gram fingerprints: the pair
+    candidate join must be an equi-join on gram_fp (never Cartesian /
+    NestedLoop), and the whole chain is JVM-side — zero Python eval
+    nodes. Gram fingerprints shuffle as xxhash64 ints: no raw gram
+    string survives past the explode projection into an exchange."""
+    plan = _plan(spark, "q132_containment_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in plan, (py, plan)
