@@ -5535,3 +5535,72 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(excerpts)
     return containment_pairs(corpus, n=12, threshold=0.9, max_df=64, min_shared=8)
+
+
+def _q133_oracle(iters: int = 8) -> str:
+    """Unrolled-CTE integer PageRank — DuckDB's recursive CTEs cannot
+    aggregate in the recursive term, so the fixed iteration count is
+    unrolled mechanically (same integer floor arithmetic as
+    graph.pagerank, so the match is EXACT, not approximate)."""
+    head = """
+WITH base AS (SELECT DISTINCT doc_id % 1000 AS v FROM documents),
+edges AS (
+  SELECT v AS src, (v * 7 + 3) % 1000 AS dst FROM base
+  UNION
+  SELECT v AS src, (v * 13 + 5) % 1000 AS dst FROM base
+  UNION
+  SELECT v AS src, 0 AS dst FROM base WHERE v % 10 = 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+consts AS (SELECT CAST(1000000000 // count(*) AS BIGINT) AS init,
+                  CAST(150000000 // count(*) AS BIGINT) AS teleport
+           FROM nodes),
+pr0 AS (SELECT node, (SELECT init FROM consts) AS pr FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+pr{i} AS (
+  SELECT n.node,
+         CAST((SELECT teleport FROM consts)
+              + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // o.deg) AS contrib
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    return head + "".join(steps) + f"\nSELECT node, pr FROM pr{iters}"
+
+
+@query("q133_pagerank", _q133_oracle())
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (graph.pagerank) — the link-graph
+    quality signal web-scale curation runs over the crawl graph before
+    any text filter. The gate plants a deterministic 1000-node graph
+    from doc_id arithmetic (two mixing permutation-ish edge families
+    plus hub edges into node 0, which must surface as the top rank);
+    the oracle unrolls the identical floor-division fixed-point
+    recurrence through 8 chained CTEs, so every one of the ~1000 ranks
+    must match BIT-EXACTLY — any drift in division order, damping, or
+    dangling handling is a hash mismatch. Per-iteration cost is one
+    src equi-join + one dst aggregate (the Pregel superstep); nothing
+    iterates on the driver but the loop counter."""
+    from quanta_spark.operators.graph import pagerank
+
+    base = spark.table("documents").select(
+        (F.col("doc_id") % 1000).alias("v")
+    ).distinct()
+    e1 = base.select(
+        F.col("v").alias("src"), ((F.col("v") * 7 + 3) % 1000).alias("dst")
+    )
+    e2 = base.select(
+        F.col("v").alias("src"), ((F.col("v") * 13 + 5) % 1000).alias("dst")
+    )
+    e3 = base.filter(F.col("v") % 10 == 0).select(
+        F.col("v").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    return pagerank(edges, iters=8)

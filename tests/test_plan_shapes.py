@@ -465,3 +465,14 @@ def test_q132_containment_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in plan, (py, plan)
+
+
+def test_q133_pagerank_no_cartesian_no_python(spark):
+    """PageRank supersteps are equi-joins + dst aggregates: never a
+    Cartesian/NestedLoop, and zero Python eval nodes — the fixed-point
+    integer recurrence lives entirely in codegen."""
+    plan = _plan(spark, "q133_pagerank")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in plan, (py, plan)
