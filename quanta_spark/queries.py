@@ -5604,3 +5604,60 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e1.unionByName(e2).unionByName(e3).distinct()
     return pagerank(edges, iters=8)
+
+
+_Q134_STEP_US = 6 * 3_600_000_000
+
+
+@query(
+    "q134_gapfill",
+    f"""
+WITH obs AS (
+  SELECT user_id AS key,
+         make_timestamp((epoch_us(ts) // {_Q134_STEP_US}) * {_Q134_STEP_US}) AS tick,
+         max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT key, min(tick) AS mn, max(tick) AS mx FROM obs GROUP BY key),
+spine AS (
+  SELECT key, unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS tick FROM rng
+),
+base AS (
+  SELECT s.key, s.tick, o.value
+  FROM spine s LEFT JOIN obs o ON o.key = s.key AND o.tick = s.tick
+),
+win AS (
+  SELECT key, tick, value,
+    last_value(CASE WHEN value IS NOT NULL
+                    THEN struct_pack(t := tick, v := value) END IGNORE NULLS)
+      OVER (PARTITION BY key ORDER BY tick
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+    first_value(CASE WHEN value IS NOT NULL
+                     THEN struct_pack(t := tick, v := value) END IGNORE NULLS)
+      OVER (PARTITION BY key ORDER BY tick
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM base
+)
+SELECT key AS user_id, tick, value,
+       prev.v AS value_locf,
+       CASE WHEN value IS NOT NULL THEN value
+            ELSE floor((prev.v + (nxt.v - prev.v)
+                 * ((epoch_us(tick) - epoch_us(prev.t))
+                    / (epoch_us(nxt.t) - epoch_us(prev.t)))) * 10000 + 0.5)
+                 / 10000
+       END AS value_linear,
+       (value IS NULL) AS is_gap
+FROM win
+""",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap fill with LOCF + linear interpolation
+    (timeseries.gapfill ≙ TimescaleDB time_bucket_gapfill/locf/
+    interpolate): the events stream regularized onto a per-user 6-hour
+    grid, gaps marked and filled both ways. Oracle re-derives the
+    whole chain — floor-division ticks, per-key spine, both
+    IGNORE-NULLS window fills, the exact interpolation ratio in µs
+    integer arithmetic — so every filled value hash-matches."""
+    from quanta_spark.operators.timeseries import gapfill
+
+    return gapfill(spark.table("events"), bucket="6 hours")

@@ -32,8 +32,20 @@ def small_spec() -> GenSpec:
 def transcripts_dir(small_spec):
     d = tempfile.mkdtemp(prefix="qs_transcripts_")
     write_transcripts(d, small_spec, n_files=8)
+    baseline = sorted(os.listdir(d))
     yield d
+    # tripwire: this dir is SESSION-scoped and read-only by contract.
+    # A test that appends files here (e.g. a heartbeat) silently adds
+    # rows to every later test that streams it — copy to a private dir
+    # (tmp_workdir) first. Caught live in r6: dq_monitor's heartbeat
+    # broke the fanout-sink count two files later.
+    polluted = sorted(os.listdir(d))
     shutil.rmtree(d, ignore_errors=True)
+    assert polluted == baseline, (
+        f"session-scoped transcripts_dir was mutated by a test: "
+        f"added {sorted(set(polluted) - set(baseline))}, "
+        f"removed {sorted(set(baseline) - set(polluted))}"
+    )
 
 
 @pytest.fixture()

@@ -348,20 +348,30 @@ def test_neardup_gate_operator_kind_compiles_and_runs(spark, tmp_workdir):
     assert got == want and len(got) > 0
 
 
-def test_dq_monitor_kind_compiles_and_runs(spark, transcripts_dir, tmp_workdir):
+def test_dq_monitor_kind_compiles_and_runs(
+    spark, transcripts_dir, small_spec, tmp_workdir
+):
     """`kind: dq_monitor` wires stream_quality_monitor from pure YAML
     (checks are SQL predicate strings) and produces the report shape
     end to end."""
+    import shutil as _sh
+
     import pandas as pd
 
-    from quanta_spark.datagen import GenSpec, generate, write_heartbeat_file
+    from quanta_spark.datagen import generate, write_heartbeat_file
     from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    # private copy: the heartbeat append below must NOT leak into the
+    # session-scoped fixture dir (it added 2 rows to every later test
+    # streaming transcripts_dir — the r6 fanout-sink flake)
+    private_dir = os.path.join(tmp_workdir, "dq_in")
+    _sh.copytree(transcripts_dir, private_dir)
 
     spec = {
         "schema_version": "v1",
         "pipeline": {
             "name": "dq",
-            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "source": {"kind": "parquet-stream", "path": private_dir},
             "watermark": "1 hour",
             "operator": {
                 "kind": "dq_monitor",
@@ -387,8 +397,8 @@ def test_dq_monitor_kind_compiles_and_runs(spark, transcripts_dir, tmp_workdir):
     rows: list = []
     h = start_pipeline(compiled.df, lambda b, i: rows.extend(b.collect()), spec["pipeline"]["checkpoint"])
     h.process_all_available()
-    pdf_all = generate(GenSpec())  # transcripts_dir fixture spec
-    write_heartbeat_file(transcripts_dir, pdf_all["ts"].max() + pd.Timedelta(days=30))
+    pdf_all = generate(small_spec)
+    write_heartbeat_file(private_dir, pdf_all["ts"].max() + pd.Timedelta(days=30))
     run_to_completion(h)
     got = [r for r in rows if r["check_name"] == "bad_role"]
     assert got and all(r["n_violations"] == 0 and r["passed"] for r in got)

@@ -476,3 +476,17 @@ def test_q133_pagerank_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in plan, (py, plan)
+
+
+def test_q134_gapfill_single_window_pass(spark):
+    """Gap fill costs one (key,tick) aggregate, one per-key range
+    aggregate, a spine explode, and ONE key-partitioned window pass —
+    never a Cartesian and never Python."""
+    plan = _plan(spark, "q134_gapfill")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in plan, (py, plan)
+    # both fills (and both directions) fuse into ONE Window node over
+    # one key-partitioned exchange
+    assert plan.count("Window ") == 1, plan

@@ -120,3 +120,52 @@ def test_psi_drift_identical_days_zero(spark):
     )
     out = {r["day"].day: r["psi_bp"] for r in psi_drift(df, lo=0.0, hi=100.0, n_bins=2).collect()}
     assert out[2] == 0
+
+
+def _gf_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_gapfill_locf_and_linear_exact(spark):
+    from quanta_spark.operators.timeseries import gapfill
+
+    # observations at hours 0 and 3 -> ticks 1,2 are gaps; linear walks
+    # 10 -> 40 in thirds, locf carries 10
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 3, 50), 40.0),
+    ]
+    out = {
+        r["tick"].hour: r
+        for r in gapfill(_gf_df(spark, rows), bucket="1 hour").collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert [out[h]["is_gap"] for h in (0, 1, 2, 3)] == [False, True, True, False]
+    assert [out[h]["value_locf"] for h in (0, 1, 2, 3)] == [10.0, 10.0, 10.0, 40.0]
+    assert out[1]["value_linear"] == 20.0
+    assert out[2]["value_linear"] == 30.0
+
+
+def test_gapfill_per_tick_reducer_is_max_and_spine_per_key(spark):
+    from quanta_spark.operators.timeseries import gapfill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 3.0),
+        (1, datetime(2024, 1, 1, 0, 40), 7.0),  # same tick -> max = 7
+        (2, datetime(2024, 1, 5, 0, 0), 1.0),  # key 2 spans ONE tick
+    ]
+    out = gapfill(_gf_df(spark, rows), bucket="1 hour").collect()
+    k1 = [r for r in out if r["user_id"] == 1]
+    k2 = [r for r in out if r["user_id"] == 2]
+    assert len(k1) == 1 and k1[0]["value"] == 7.0
+    assert len(k2) == 1 and not k2[0]["is_gap"]  # no cross-key spine bleed
+
+
+def test_gapfill_bucket_validation(spark):
+    from quanta_spark.operators.timeseries import gapfill
+
+    df = _gf_df(spark, [(1, datetime(2024, 1, 1), 1.0)])
+    with pytest.raises(ValueError, match="unsupported bucket unit"):
+        gapfill(df, bucket="1 week")
+    with pytest.raises(ValueError, match="bucket must look like"):
+        gapfill(df, bucket="hourly")
