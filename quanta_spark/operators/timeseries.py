@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ewma_by_key", "psi_drift", "gapfill"]
+__all__ = ["ewma_by_key", "psi_drift", "gapfill", "scd2_history"]
 
 
 def ewma_by_key(
@@ -276,4 +276,58 @@ def gapfill(
             linear.alias("value_linear"),
             F.col("value").isNull().alias("is_gap"),
         )
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from a changelog: turn
+    a stream of (key, ts, attributes) observations into versioned
+    validity intervals — the warehouse-standard shape every
+    point-in-time-correct join needs (feed the result to the as-of
+    join for "the user's plan AS OF this order's timestamp", or to the
+    interval join for overlap analytics).
+
+    Semantics (deterministic):
+    - rows ordered per key by (ts, tiebreak);
+    - consecutive observations with IDENTICAL attributes collapse into
+      one version (null-safe comparison — a no-op upsert never cuts a
+      new version, the property that distinguishes SCD2 from a raw
+      changelog);
+    - version n: valid_from = its first observation's ts, valid_to =
+      the NEXT version's valid_from (null on the current version),
+      version numbered from 1, is_current flag.
+
+    Scale shape: one key-partitioned window pass to detect change
+    points, a second over the (much smaller) change-point rows for
+    valid_to/version — both share the same partitioning, so ONE
+    exchange on the key. Zero Python, zero joins. Per-key history is
+    the window grain; an unbounded hot key should be pre-bucketed by a
+    coarser epoch upstream (same caveat as ewma_by_key)."""
+    if not attr_cols:
+        raise ValueError("attr_cols must name at least one attribute column")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    is_change = F.lit(False)
+    for a in attr_cols:
+        # null-safe: a version cut happens iff some attr is NOT
+        # null-safe-equal to its predecessor
+        is_change = is_change | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first_row = F.row_number().over(w) == 1
+    cuts = changes.withColumn(
+        "_cut", first_row | is_change
+    ).filter(F.col("_cut"))
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    valid_to = F.lead(F.col(ts_col)).over(w2)
+    return cuts.select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+        valid_to.isNull().alias("is_current"),
     )

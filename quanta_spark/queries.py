@@ -5661,3 +5661,37 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.timeseries import gapfill
 
     return gapfill(spark.table("events"), bucket="6 hours")
+
+
+@query(
+    "q135_scd2_history",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+cuts AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_et
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM cuts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (timeseries.scd2_history): the events
+    changelog versioned into per-user validity intervals with
+    consecutive-duplicate collapse (a no-op upsert never cuts a
+    version — the property a raw changelog lacks). Composes with the
+    as-of join (q41) for point-in-time-correct enrichment and the
+    interval join (q98) for overlap analytics. Oracle re-derives the
+    identical change-point + lead() chain."""
+    from quanta_spark.operators.timeseries import scd2_history
+
+    return scd2_history(spark.table("events"), attr_cols=("event_type",))

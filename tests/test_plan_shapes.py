@@ -490,3 +490,14 @@ def test_q134_gapfill_single_window_pass(spark):
     # both fills (and both directions) fuse into ONE Window node over
     # one key-partitioned exchange
     assert plan.count("Window ") == 1, plan
+
+
+def test_q135_scd2_single_exchange(spark):
+    """Both SCD2 window passes share the key partitioning: exactly one
+    hash exchange, no joins, no Python."""
+    plan = _plan(spark, "q135_scd2_history")
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in plan, (py, plan)

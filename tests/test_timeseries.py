@@ -169,3 +169,56 @@ def test_gapfill_bucket_validation(spark):
         gapfill(df, bucket="1 week")
     with pytest.raises(ValueError, match="bucket must look like"):
         gapfill(df, bucket="hourly")
+
+
+def test_scd2_noop_upserts_collapse(spark):
+    from quanta_spark.operators.timeseries import scd2_history
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1), "free"),
+        (1, 2, datetime(2024, 1, 2), "free"),  # no-op: same attrs
+        (1, 3, datetime(2024, 1, 3), "pro"),
+        (1, 4, datetime(2024, 1, 4), "pro"),  # no-op
+        (1, 5, datetime(2024, 1, 5), "free"),  # back to free = NEW version
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = sorted(
+        scd2_history(df).collect(), key=lambda r: r["version"]
+    )
+    assert [(r["event_type"], r["version"], r["is_current"]) for r in out] == [
+        ("free", 1, False), ("pro", 2, False), ("free", 3, True)
+    ]
+    assert out[0]["valid_to"] == out[1]["valid_from"]  # contiguous intervals
+    assert out[2]["valid_to"] is None
+
+
+def test_scd2_null_attr_is_a_state(spark):
+    from quanta_spark.operators.timeseries import scd2_history
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1), "a"),
+        (1, 2, datetime(2024, 1, 2), None),  # null is a distinct state
+        (1, 3, datetime(2024, 1, 3), None),  # ...that collapses with itself
+        (1, 4, datetime(2024, 1, 4), "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = scd2_history(df).collect()
+    assert len(out) == 3
+    assert [r["event_type"] for r in sorted(out, key=lambda r: r["version"])] == [
+        "a", None, "a"
+    ]
+
+
+def test_scd2_requires_attrs(spark):
+    from quanta_spark.operators.timeseries import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), "a")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    with pytest.raises(ValueError, match="attr_cols"):
+        scd2_history(df, attr_cols=())
