@@ -11,7 +11,7 @@ evaluate identically in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic mini stopword lists per language — shared with the SQL
@@ -728,3 +728,68 @@ def inverted_index(
         )
     )
     return stats.join(head, "term")
+
+
+def zipf_fit(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf power-law fit per stratum: the least-squares slope of
+    ln(freq) on ln(rank) over the top ``max_rank`` word frequencies —
+    the corpus-health diagnostic (natural language sits near slope -1;
+    a flat slope flags template/boilerplate floods, a cliff flags
+    tiny-vocabulary synthetic text; Zipf 1949, Piantadosi 2014).
+
+    Determinism: each retained (rank, freq) point's logs are quantized
+    to 1e-6 units (floor(ln(x)*1e6 + 0.5) as LONG) BEFORE the
+    regression sums, so Sum-x/Sum-y/Sum-xy/Sum-xx are INTEGER sums —
+    exact and order-independent across engines and partitionings; only
+    the final closed-form combination of five integers runs in double.
+
+    Plan: one explode -> (stratum, word) count -> per-stratum rank
+    window (freq desc, word asc tie-break) -> top-max_rank filter ->
+    one per-stratum aggregate. The rank window's grain is the DISTINCT
+    VOCABULARY of a stratum, not the corpus: the token stream crushes
+    map-side in the count aggregate first."""
+    from quanta_spark.operators.dedup import normalized
+
+    if max_rank < 2:
+        raise ValueError(f"max_rank must be >= 2, got {max_rank}")
+    toks = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = toks.groupBy("stratum", "word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("freq").desc(), F.col("word").asc()
+    )
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= max_rank
+    )
+    q6 = lambda c: F.floor(F.log(c) * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    pts = ranked.select(
+        "stratum", q6(F.col("rank")).alias("x"), q6(F.col("freq")).alias("y")
+    )
+    sums = pts.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # slope in ln/ln space; the 1e-6 quantization units cancel in the
+    # ratio. Combination in double: the five integers are identical in
+    # any engine, so the doubles are too.
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / F.lit(1e6)
+    return sums.select(
+        F.col("stratum").alias(stratum_col),
+        F.col("n").alias("n_ranks"),
+        F.floor(slope * 10_000 + F.lit(0.5)).cast("long").alias("slope_bp"),
+        F.floor(intercept * 10_000 + F.lit(0.5)).cast("long").alias("intercept_bp"),
+    )

@@ -5695,3 +5695,56 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.timeseries import scd2_history
 
     return scd2_history(spark.table("events"), attr_cols=("event_type",))
+
+
+@query(
+    "q136_zipf_fit",
+    f"""
+WITH nrm AS (SELECT lang, {DUCK_NORM} AS norm FROM documents),
+toks AS (
+  SELECT lang AS stratum, unnest(regexp_split_to_array(norm, ' ')) AS word
+  FROM nrm
+),
+counts AS (
+  SELECT stratum, word, count(*) AS freq
+  FROM toks WHERE word <> '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT stratum, word, freq,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY freq DESC, word ASC) AS rank
+  FROM counts
+),
+pts AS (
+  SELECT stratum,
+         CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(freq) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked WHERE rank <= 1000
+),
+sums AS (
+  SELECT stratum,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM pts GROUP BY stratum
+)
+SELECT stratum AS lang,
+       CAST(n AS BIGINT) AS n_ranks,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+            AS BIGINT) AS slope_bp,
+       CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                  / 1000000 * 10000 + 0.5) AS BIGINT) AS intercept_bp
+FROM sums
+""",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law exponent per language (text.zipf_fit): the
+    corpus-health diagnostic — natural text fits ln(freq) ~ a - s
+    ln(rank) with s near 1; template floods flatten it, synthetic
+    tiny-vocab text cliffs it. Logs are quantized to 1e-6 BEFORE the
+    regression sums so the sums are integer-exact (order-independent);
+    both engines then combine the same five integers in double. The
+    oracle re-derives tokenize -> count -> rank -> quantize -> fit."""
+    from quanta_spark.operators.text import zipf_fit
+
+    return zipf_fit(spark.table("documents"), max_rank=1000)

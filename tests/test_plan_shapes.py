@@ -501,3 +501,15 @@ def test_q135_scd2_single_exchange(spark):
     assert "Join" not in plan, plan
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in plan, (py, plan)
+
+
+def test_q136_zipf_rank_window_on_vocab_not_corpus(spark):
+    """The rank window must sit above the (stratum, word) count
+    aggregate — its grain is the distinct vocabulary, never the raw
+    token stream — and the whole fit is JVM-side."""
+    plan = _plan(spark, "q136_zipf_fit")
+    i_win = plan.index("Window ")
+    assert "HashAggregate" in plan[i_win:], plan  # count agg BELOW the window
+    assert "CartesianProduct" not in plan, plan
+    for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py not in plan, (py, plan)

@@ -4,6 +4,8 @@ rule-based quality filters, and DSIR importance weights."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from quanta_spark.operators.sampling import dsir_weights
@@ -179,3 +181,40 @@ def test_inverted_index_head_truncation_and_stats(spark):
     assert (b["doc_freq"], b["total_tf"], b["posting_head"]) == (8, 8, "1,2,4")
     g = got["gamma"]
     assert (g["doc_freq"], g["posting_head"]) == (1, "99")
+
+
+# ---------------------------------------------------------------- zipf
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_text(spark):
+    from quanta_spark.operators.text import zipf_fit
+
+    # word_r planted floor(600/r) times, r = 1..40 -> freq ~ 1/rank
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * (600 // r)
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "zz")], "doc_id long, text string, lang string"
+    )
+    row = zipf_fit(df, max_rank=40).collect()[0]
+    assert row["n_ranks"] == 40
+    assert -11_500 <= row["slope_bp"] <= -8_500  # slope within 15% of -1
+
+
+def test_zipf_flat_on_uniform_vocab(spark):
+    from quanta_spark.operators.text import zipf_fit
+
+    words = [f"u{r:02d}" for r in range(40)] * 50  # every word equally common
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "zz")], "doc_id long, text string, lang string"
+    )
+    row = zipf_fit(df, max_rank=40).collect()[0]
+    assert abs(row["slope_bp"]) <= 100  # essentially flat
+
+
+def test_zipf_validation(spark):
+    from quanta_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame([(1, "a b", "zz")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="max_rank"):
+        zipf_fit(df, max_rank=1)
