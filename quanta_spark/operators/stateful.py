@@ -962,3 +962,144 @@ def join_user_replies(
             - F.unix_micros(F.col("user_ts").cast("timestamp")) / 1_000_000.0
         ).alias("reply_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming gap fill (continuous-aggregate twin of timeseries.gapfill)
+# ---------------------------------------------------------------------------
+
+def stream_gapfill_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    bucket: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING time-bucket gap fill with LOCF — the continuous-
+    aggregate twin of ``timeseries.gapfill``: per-key observations
+    arrive as a stream; once the watermark proves a grid tick FINAL
+    (wm >= tick + step, so no event in [tick, tick+step) can still
+    arrive), the tick is emitted exactly once — observed ticks with
+    their per-tick MAX value, gap ticks between observations carrying
+    the last observed value. A drained stream's cumulative output
+    equals the batch operator's LOCF columns row-for-row (the oracle).
+
+    State per key: the LOCF carry (last emitted tick + value, 2
+    scalars — kept forever, the continuous-aggregate contract) plus
+    the not-yet-final pending ticks (bounded by the watermark horizon:
+    at most horizon/step entries). An event-time timer set to the
+    earliest pending tick's finality point flushes keys that receive
+    no further data — gap emission never needs a new event on the
+    key. Emission is monotone in tick per key and replay-safe: a
+    restarted batch re-derives the same finals from the same state.
+
+    Batch input falls back to the batch operator's LOCF projection
+    (same contract as enforce_turn_order's batch twin)."""
+    from quanta_spark.operators.timeseries import _bucket_to_us
+
+    step = _bucket_to_us(bucket)
+    if not df.isStreaming:
+        from quanta_spark.operators.timeseries import gapfill
+
+        return gapfill(
+            df, key_col=key_col, bucket=bucket
+        ).select(key_col, "tick", "value", "value_locf", "is_gap")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("tick", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("value_locf", T.DoubleType()),
+            T.StructField("is_gap", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_tick", T.LongType()),  # -1 = nothing emitted
+            T.StructField("locf_v", T.DoubleType()),
+            T.StructField("pend_ticks", T.ArrayType(T.LongType())),
+            T.StructField("pend_vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        k = key[0]
+        if state.exists:
+            last_tick, locf_v, p_ticks, p_vals = state.get
+            pend = dict(zip(p_ticks, p_vals))
+        else:
+            last_tick, locf_v, pend = -1, float("nan"), {}
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                ts_us = (
+                    pdf["ts"].astype("datetime64[us]").to_numpy().astype(np.int64)
+                )
+                vals = pdf["value"].to_numpy(dtype=np.float64)
+                ticks = (ts_us // step) * step
+                for t, v in zip(ticks.tolist(), vals.tolist()):
+                    old = pend.get(t)
+                    pend[t] = v if old is None or v > old else old
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = sorted(t for t in pend if t + step <= wm_us)
+        out_t, out_v, out_locf, out_gap = [], [], [], []
+        for t in final:
+            v = pend.pop(t)
+            if last_tick >= 0:
+                for g in range(last_tick + step, t, step):
+                    out_t.append(g)
+                    out_v.append(None)
+                    out_locf.append(locf_v)
+                    out_gap.append(True)
+            out_t.append(t)
+            out_v.append(v)
+            out_locf.append(v)
+            out_gap.append(False)
+            locf_v = v
+            last_tick = t
+
+        state.update(
+            (
+                int(last_tick),
+                float(locf_v),
+                sorted(pend),
+                [pend[t] for t in sorted(pend)],
+            )
+        )
+        if pend:
+            # earliest pending tick's finality point; strictly above wm
+            state.setTimeoutTimestamp(min(pend) // 1000 + step // 1000 + 1)
+
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    key_col: np.full(len(out_t), k, dtype=np.int64),
+                    "tick": pd.to_datetime(np.array(out_t, dtype="int64"), unit="us"),
+                    "value": pd.array(out_v, dtype="float64"),
+                    "value_locf": np.array(out_locf, dtype=np.float64),
+                    "is_gap": np.array(out_gap, dtype=bool),
+                }
+            )
+
+    return (
+        df.select(
+            F.col(key_col).cast("long").alias(key_col),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -5748,3 +5748,100 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.text import zipf_fit
 
     return zipf_fit(spark.table("documents"), max_rank=1000)
+
+
+_Q137_STEP_US = 6 * 3_600_000_000
+
+
+@query(
+    "q137_stream_gapfill",
+    f"""
+WITH obs AS (
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // {_Q137_STEP_US}) * {_Q137_STEP_US}) AS tick,
+         max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT user_id, min(tick) AS mn, max(tick) AS mx FROM obs GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS tick FROM rng
+),
+base AS (
+  SELECT s.user_id, s.tick, o.value
+  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.tick = s.tick
+)
+SELECT user_id, tick, value,
+       last_value(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       (value IS NULL) AS is_gap
+FROM base
+""",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING time-bucket gap fill (stateful.stream_gapfill_locf):
+    the events series replayed as a real file stream; each (user, 6h)
+    tick is emitted exactly once when the watermark proves it final —
+    observed ticks with their per-tick max, gap ticks carrying the
+    LOCF value, per-key emission monotone in tick. The heartbeat row
+    finalizes the tail; the drained cumulative output must equal the
+    BATCH gapfill spine (q134's LOCF columns) row-for-row — the
+    streaming/batch parity contract (q32-vs-q13 precedent)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators.stateful import stream_gapfill_locf
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    pdf = (
+        spark.table("events")
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["ts", "user_id"])
+    )
+    _guard_gate_rows(len(pdf), "event stream input")
+    d = tempfile.mkdtemp(prefix="qs_gapstream_")
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            path,
+        )
+        paths.append(path)
+    stamp_arrival_order(paths)
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    out_stream = stream_gapfill_locf(src, bucket="6 hours", watermark="1 hour")
+    rows: list = []
+
+    def _sink(b, i):
+        rows.extend(b.collect())
+        _guard_gate_rows(len(rows), "collected output")
+
+    h = start_pipeline(out_stream, _sink, tempfile.mkdtemp(prefix="qs_gapstream_ckpt_"))
+    h.process_all_available()
+    hb = pdf.iloc[[0]].copy()
+    hb["user_id"] = -1
+    hb["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+    hb_path = os.path.join(d, "part-heartbeat.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(hb, schema=schema, preserve_index=False), hb_path
+    )
+    stamp_arrival_order([hb_path])
+    run_to_completion(h)
+    out_pdf = pd.DataFrame([r.asDict() for r in rows])
+    out_pdf = out_pdf[out_pdf["user_id"] >= 0]  # heartbeat key never emits
+    return spark.createDataFrame(out_pdf, schema=out_stream.schema)

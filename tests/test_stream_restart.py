@@ -446,3 +446,99 @@ def test_quality_monitor_restart_no_dup_no_loss_windows(spark, tmp_workdir):
     # day-1 window: 4 rows total ACROSS the crash, 3 short
     assert got == {(day1, "short"): (3, 4)}
     assert len([r for r in rows if r["window_start"] <= pd.Timestamp("2024-03-02")]) == 1
+
+
+def test_stream_gapfill_restart_no_dup_no_gap_loss(spark, tmp_workdir):
+    """Kill the streaming gap filler mid-series: ticks emitted before
+    the crash must not re-emit, the LOCF carry must survive the
+    checkpoint (gaps straddling the restart still fill with the
+    pre-crash value), and the union of both runs must equal the batch
+    gapfill spine exactly."""
+    from quanta_spark.operators.stateful import stream_gapfill_locf
+    from quanta_spark.operators.timeseries import gapfill
+
+    step_h = 6
+    t0 = pd.Timestamp("2024-01-01")
+    # key 1: obs at hours 0 and 36 PRE-crash, 60 POST-crash -> the
+    # 42/48/54h gaps must fill with the hour-36 value carried ACROSS
+    # the restart; key 2 only appears post-crash
+    wave1 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [t0, t0 + pd.Timedelta(hours=36)],
+            "value": [10.0, 20.0],
+        }
+    )
+    # key 2's events sit ABOVE wave-1's watermark (hour 35): a new key
+    # is still subject to the global event-time watermark, so earlier
+    # ts here would be (correctly) dropped as late
+    wave2 = pd.DataFrame(
+        {
+            "user_id": [1, 2, 2],
+            "ts": [
+                t0 + pd.Timedelta(hours=60),
+                t0 + pd.Timedelta(hours=42),
+                t0 + pd.Timedelta(hours=54),
+            ],
+            "value": [30.0, 5.0, 7.0],
+        }
+    )
+    hb = pd.DataFrame(
+        {"user_id": [-1], "ts": [t0 + pd.Timedelta(days=30)], "value": [0.0]}
+    )
+
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+
+    def _write(name, pdf):
+        schema = pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("value", pa.float64()),
+            ]
+        )
+        p = os.path.join(d, name)
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p)
+        stamp_arrival_order([p])
+
+    def build():
+        src = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_gapfill_locf(src, bucket=f"{step_h} hours", watermark="1 hour")
+
+    rows: list = []
+    _write("p0000.parquet", wave1)
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    n_first = len(rows)
+
+    _write("p0001.parquet", wave2)
+    _write("p0002.parquet", hb)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    run_to_completion(h2)
+    assert len(rows) > n_first
+
+    got = sorted(
+        (r["user_id"], r["tick"], r["value"], r["value_locf"], r["is_gap"])
+        for r in rows
+        if r["user_id"] >= 0
+    )
+    assert len(got) == len(set(got)), "a tick re-emitted across the restart"
+    once = pd.concat([wave1, wave2], ignore_index=True)
+    batch = gapfill(
+        spark.createDataFrame(once), bucket=f"{step_h} hours"
+    ).select("user_id", "tick", "value", "value_locf", "is_gap")
+    want = sorted(
+        (r["user_id"], r["tick"], r["value"], r["value_locf"], r["is_gap"])
+        for r in batch.collect()
+    )
+    assert got == want
+    # the straddling gap carried the pre-crash value
+    carried = [r for r in got if r[0] == 1 and r[4] and r[3] == 20.0]
+    assert len(carried) == 3  # hours 42, 48, 54
