@@ -121,7 +121,10 @@ def _ops():
         keep_best_survivors as _kbs,
         snapshot_diff as _snap_diff,
     )
+    from quanta_spark.operators.dedup import containment_pairs as _containment
+    from quanta_spark.operators.graph import pagerank as _pagerank
     from quanta_spark.operators.text import inverted_index as _inv_idx
+    from quanta_spark.operators.text import zipf_fit as _zipf
     from quanta_spark.operators.validate import (
         constraint_report as _crep,
         uniqueness_check as _uniq,
@@ -373,6 +376,32 @@ def _ops():
         "class_centroid_eval": lambda docs, emb: _cc_acc(
             emb.withColumn("label", (F.col("vec_id") % 10).cast("long"))
         ),
+        # round-6 late additions
+        "containment_neardup": lambda docs, emb: _containment(
+            docs, n=12, max_df=64, min_shared=8
+        ),
+        # graph grows WITH the corpus (nodes = doc ids): 8 supersteps
+        # over 2|V| planted edges — wall should scale with |E|, not
+        # iterations^2
+        "pagerank": lambda docs, emb: _pagerank(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + 3) % _SCALE_CTX["n_docs"]).alias("dst"),
+            ).unionByName(
+                docs.select(
+                    F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 13 + 5) % _SCALE_CTX["n_docs"]).alias("dst"),
+                )
+            ),
+            iters=8,
+        ),
+        "zipf_fit": lambda docs, emb: _zipf(docs, max_rank=1000),
+        "gapfill_locf": lambda docs, emb: _SCALE_CTX["q"]["q134_gapfill"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
+        "scd2_history": lambda docs, emb: _SCALE_CTX["q"]["q135_scd2_history"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
     }
 
 
@@ -396,6 +425,7 @@ def main() -> None:
         _SCALE_CTX["cms_threshold"] = max(50, n_docs // 100)
         _SCALE_CTX["spark"] = spark
         _SCALE_CTX["tag"] = tag
+        _SCALE_CTX["n_docs"] = n_docs
         d = _input_dir(tag, n_docs, n_vecs)
         ed = f"/tmp/qs_scale_events_{tag}_{n_events}"
         if not os.path.exists(os.path.join(ed, "_DONE")):

@@ -918,3 +918,53 @@ def semantic_decontaminate(
     return scored.withColumn(
         "contaminated", (F.col("max_sim_bp") >= F.lit(int(threshold_bp)))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard way hybrid retrieval combines a lexical ranking (BM25)
+    with a vector ranking (cosine ANN) without score calibration:
+
+        rrf(d) = sum over rankings r containing d of  1 / (k + rank_r(d))
+
+    Each input DataFrame carries (id_col, rank) with rank a 1-based
+    INTEGER — integer ranks in, fixed-order float expression out, so
+    the score is engine-deterministic (no float aggregation). Emits
+    the per-list ranks (null where absent) and rrf_e6 =
+    floor(score*1e6 + 0.5). Deliberately NO global fused-rank column:
+    that would be a single-partition window at corpus scale — feed
+    rrf_e6 to the skew-safe top-k instead.
+
+    Plan: len(rankings)-1 full-outer equi-joins on the id — each
+    ranking is already top-N-sized (rankings are produced by top-k
+    retrieval, not corpus scans), so the joins are small-by-small."""
+    if len(rankings) < 2:
+        raise ValueError(f"rrf_fuse needs >= 2 rankings, got {len(rankings)}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sides = [
+        r.select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias(f"rank_{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.join(s, id_col, "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return out.select(
+        id_col,
+        *[F.col(f"rank_{i}") for i in range(len(sides))],
+        F.floor(score * 1_000_000 + F.lit(0.5)).cast("long").alias("rrf_e6"),
+    )

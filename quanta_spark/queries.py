@@ -5845,3 +5845,69 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_pdf = pd.DataFrame([r.asDict() for r in rows])
     out_pdf = out_pdf[out_pdf["user_id"] >= 0]  # heartbeat key never emits
     return spark.createDataFrame(out_pdf, schema=out_stream.schema)
+
+
+@query(
+    "q138_rrf_hybrid",
+    """
+WITH ra AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY nt DESC, doc_id ASC) AS BIGINT) AS rank_0
+  FROM (SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+        FROM documents)
+  QUALIFY rank_0 <= 100
+),
+rb AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY sim_bp DESC, vec_id ASC) AS BIGINT) AS rank_1
+  FROM (SELECT c.vec_id,
+               CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[]))
+                          * 10000) AS BIGINT) AS sim_bp
+        FROM embeddings c,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE c.vec_id <> 0)
+  QUALIFY rank_1 <= 100
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_0, rb.rank_1
+  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
+)
+SELECT doc_id, rank_0, rank_1,
+       CAST(floor((CASE WHEN rank_0 IS NOT NULL
+                        THEN 1.0 / (60.0 + rank_0) ELSE 0.0 END
+                 + CASE WHEN rank_1 IS NOT NULL
+                        THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
+                  * 1000000 + 0.5) AS BIGINT) AS rrf_e6
+FROM fused
+""",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (similarity.rrf_fuse,
+    Cormack et al. 2009): a lexical ranking (top-100 docs by token
+    count — standing in for BM25's shape with a compact oracle) fused
+    with a vector ranking (top-100 by cosine vs vec 0, q27's
+    brute-force machinery) without score calibration. Integer ranks
+    in, fixed-order float expression out — no float aggregation, so
+    rrf_e6 is engine-deterministic. The top-100 cutoffs are the gate
+    fixture; the operator itself never sorts globally (it returns
+    scores for the skew-safe top-k)."""
+    from pyspark.sql.window import Window
+
+    from quanta_spark.operators.similarity import brute_force_cosine_topk, rrf_fuse
+    from quanta_spark.operators.text import ws_token_count
+
+    docs = spark.table("documents")
+    toks = docs.select("doc_id", ws_token_count(F.col("text")).alias("nt"))
+    wa = Window.orderBy(F.col("nt").desc(), F.col("doc_id").asc())
+    ra = (
+        toks.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 100)
+        .select("doc_id", "rank")
+    )
+    emb = spark.table("embeddings")
+    rb = brute_force_cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=100
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([ra, rb], k=60)

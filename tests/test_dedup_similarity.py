@@ -991,3 +991,26 @@ def test_containment_max_df_drops_boilerplate_grams(spark):
     assert capped.n_shared.max() <= 2
     assert capped.containment_a_in_b.max() <= 0.2
     assert not capped.keep.any()
+
+
+def test_rrf_consensus_beats_single_list(spark):
+    from quanta_spark.operators.similarity import rrf_fuse
+
+    # doc 10 is rank 2 in BOTH lists; docs 1 and 2 are rank 1 in ONE
+    # list each -> consensus must out-score either single first place
+    ra = spark.createDataFrame([(1, 1), (10, 2), (3, 3)], "doc_id long, rank int")
+    rb = spark.createDataFrame([(2, 1), (10, 2), (4, 3)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([ra, rb], k=60).collect()}
+    assert out[10]["rrf_e6"] > out[1]["rrf_e6"] == out[2]["rrf_e6"]
+    assert out[1]["rank_1"] is None and out[2]["rank_0"] is None  # absent = null
+    assert len(out) == 5  # full outer keeps every doc from every list
+
+
+def test_rrf_validation(spark):
+    from quanta_spark.operators.similarity import rrf_fuse
+
+    r = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="rankings"):
+        rrf_fuse([r])
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse([r, r], k=0)
