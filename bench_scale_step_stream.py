@@ -186,6 +186,92 @@ def _run_gate(spark, listener, n_docs: int, ckpt: str) -> dict:
     }
 
 
+def _run_gapfill(spark, listener, n_events: int, ckpt: str) -> dict:
+    """Streaming time-bucket gap fill leg: n_events synthetic events
+    across n_events/2000 keys, 6h grid, heartbeat-drained. The scale
+    claims: wall ~ events (one stateful pass), state_rows ~ KEYS (a
+    2-scalar LOCF carry + watermark-bounded pending), never ~ events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.datagen import stamp_arrival_order
+    from quanta_spark.operators.stateful import stream_gapfill_locf
+
+    n_users = max(50, n_events // 2000)
+    d = f"/tmp/qs_gapfill_stream_{n_events}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        i = np.arange(n_events, dtype=np.int64)
+        pdf = pd.DataFrame(
+            {
+                "user_id": i % n_users,
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(i, unit="s"),
+                "value": ((i * 37) % 1000) / 10.0,
+            }
+        )
+        schema = pa.schema(
+            [
+                pa.field("user_id", pa.int64()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("value", pa.float64()),
+            ]
+        )
+        paths = []
+        for k, ix in enumerate(np.array_split(i, 8)):
+            p = os.path.join(d, f"part-{k:05d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False), p
+            )
+            paths.append(p)
+        hb = pdf.iloc[[0]].copy()
+        hb["user_id"] = -1
+        hb["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+        php = os.path.join(d, "part-heartbeat.parquet")
+        pq.write_table(pa.Table.from_pandas(hb, schema=schema, preserve_index=False), php)
+        stamp_arrival_order(paths + [php])
+        open(os.path.join(d, "_DONE"), "w").close()
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    start_idx = len(listener.progress)
+    counts: list[int] = []
+    t0 = time.perf_counter()
+    h = start_pipeline(
+        stream_gapfill_locf(src, bucket="6 hours", watermark="1 hour"),
+        lambda b, i: counts.append(b.count()),
+        ckpt,
+    )
+    run_to_completion(h)
+    wall = time.perf_counter() - t0
+    with listener._lock:
+        recs = listener.progress[start_idx:]
+    add_batch = [r["durationMs"].get("addBatch") for r in recs if r["durationMs"].get("addBatch")]
+    state_rows = [
+        sum(s.get("numRowsTotal") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    state_bytes = [
+        sum(s.get("memoryUsedBytes") or 0 for s in r.get("stateOperators", []))
+        for r in recs
+    ]
+    return {
+        "wall_sec": round(wall, 3),
+        "batches": len(recs),
+        "add_batch_ms_mean": round(sum(add_batch) / max(len(add_batch), 1), 1),
+        "add_batch_ms_max": max(add_batch, default=0),
+        "state_rows_max": max(state_rows, default=0),
+        "state_bytes_max": max(state_bytes, default=0),
+        "output_rows": int(sum(counts)),
+        "events": n_events,
+        "keys": n_users,
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
 def _run_conv_gate(spark, listener, data_dir: str, n_turns: int, ckpt: str) -> dict:
     """Conversation dedup gate: the SAME transcript stream arrives and
     every closed >=3-turn session probes a historical session index
@@ -245,10 +331,18 @@ def main() -> None:
         app_name="quanta_stream_step", cores=CPUS, shuffle_partitions=CPUS
     )
     listener = attach_metrics(spark)
+    only = {
+        n.strip() for n in os.environ.get("STREAM_STEP_ONLY", "").split(",") if n.strip()
+    }
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
     ops = {
         "stream_turn_order": lambda src: enforce_turn_order(src, watermark="1 hour"),
         "stream_composite": lambda src: reply_session_stats(src, watermark="1 hour"),
     }
+    ops = {n: f for n, f in ops.items() if want(n)}
     work = f"/tmp/qs_stream_step_work_{os.getpid()}"
     os.makedirs(work, exist_ok=True)
     results: dict[str, dict] = {name: {} for name in ops}
@@ -263,18 +357,26 @@ def main() -> None:
             r["turns"] = n_turns
             r["turns_per_sec"] = round(n_turns / r["wall_sec"], 1)
             results[name][tag] = r
-    gate_scales = {"1x": 5_000, "10x": 50_000}
-    results["stream_neardup_gate"] = {}
-    for tag, nd in gate_scales.items():
-        results["stream_neardup_gate"][tag] = _run_gate(
-            spark, listener, nd, os.path.join(work, f"gate_{tag}")
-        )
-    results["stream_conv_gate"] = {}
-    for tag, target in SCALES.items():
-        data_dir, n_turns = _input_dir(target)
-        results["stream_conv_gate"][tag] = _run_conv_gate(
-            spark, listener, data_dir, n_turns, os.path.join(work, f"convgate_{tag}")
-        )
+    if want("stream_neardup_gate"):
+        gate_scales = {"1x": 5_000, "10x": 50_000}
+        results["stream_neardup_gate"] = {}
+        for tag, nd in gate_scales.items():
+            results["stream_neardup_gate"][tag] = _run_gate(
+                spark, listener, nd, os.path.join(work, f"gate_{tag}")
+            )
+    if want("stream_conv_gate"):
+        results["stream_conv_gate"] = {}
+        for tag, target in SCALES.items():
+            data_dir, n_turns = _input_dir(target)
+            results["stream_conv_gate"][tag] = _run_conv_gate(
+                spark, listener, data_dir, n_turns, os.path.join(work, f"convgate_{tag}")
+            )
+    if want("stream_gapfill"):
+        results["stream_gapfill"] = {}
+        for tag, ne in {"1x": 100_000, "10x": 1_000_000}.items():
+            results["stream_gapfill"][tag] = _run_gapfill(
+                spark, listener, ne, os.path.join(work, f"gapfill_{tag}")
+            )
     for name, r in results.items():
         r["wall_ratio_10x"] = round(r["10x"]["wall_sec"] / r["1x"]["wall_sec"], 2)
         r["state_bytes_ratio_10x"] = round(
@@ -290,6 +392,14 @@ def main() -> None:
         "ops": results,
     }
     os.makedirs("BENCH", exist_ok=True)
+    if only and os.path.exists("BENCH/scale_step_stream.json"):
+        # partial run: merge fresh legs into the existing artifact
+        with open("BENCH/scale_step_stream.json") as f:
+            old = json.load(f)
+        merged = old.get("ops", {})
+        merged.update(payload["ops"])
+        payload["ops"] = merged
+        payload["turns"] = payload["turns"] or old.get("turns", {})
     with open("BENCH/scale_step_stream.json", "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))

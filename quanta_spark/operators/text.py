@@ -793,3 +793,55 @@ def zipf_fit(
         F.floor(slope * 10_000 + F.lit(0.5)).cast("long").alias("slope_bp"),
         F.floor(intercept * 10_000 + F.lit(0.5)).cast("long").alias("intercept_bp"),
     )
+
+
+#: shared PII patterns — Java-regex/RE2-compatible subset only (no
+#: lookaround), so Spark and the SQL oracle extract identical spans
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+PII_IPV4_RE = rf"\b{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}\b"
+PII_CC_RE = r"[0-9][0-9 -]{11,22}[0-9]"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed PII scan — the detection complement of the redaction
+    stage (stages.redact_pii_stage): per document, COUNT emails,
+    syntactically valid IPv4 addresses (octet-range checked in the
+    pattern itself), and card-shaped digit runs that pass the LUHN
+    checksum (mod-10, ISO/IEC 7812) — the validator is what separates
+    a compliance scan from a digit-run grep (a 16-digit order id
+    fails Luhn 90% of the time).
+
+    Everything is per-row Catalyst expressions (regexp_extract_all +
+    an aggregate() fold over the digit positions for Luhn): scan
+    speed, zero shuffle, zero Python — the shape that lets a 100 TB
+    compliance sweep ride a single corpus scan."""
+    clean = "regexp_replace(c, '[^0-9]', '')"
+    digit = f"CAST(substring({clean}, i, 1) AS INT)"
+    luhn_term = (
+        f"CASE WHEN (length({clean}) - i) % 2 = 0 THEN {digit} "
+        f"ELSE CASE WHEN 2 * {digit} > 9 THEN 2 * {digit} - 9 "
+        f"ELSE 2 * {digit} END END"
+    )
+    luhn_ok = (
+        f"length({clean}) BETWEEN 13 AND 19 AND "
+        f"aggregate(sequence(1, length({clean})), 0, "
+        f"(acc, i) -> acc + {luhn_term}) % 10 = 0"
+    )
+    n_emails = F.expr(
+        f"size(regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0))"
+    )
+    n_ipv4 = F.expr(
+        f"size(regexp_extract_all({text_col}, r'{PII_IPV4_RE}', 0))"
+    )
+    cands = f"regexp_extract_all({text_col}, '{PII_CC_RE}', 0)"
+    n_cc = F.expr(f"size({cands})")
+    n_luhn = F.expr(f"size(filter({cands}, c -> {luhn_ok}))")
+    return df.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_cc.cast("int").alias("n_cc_candidates"),
+        n_luhn.cast("int").alias("n_luhn_valid"),
+        (n_emails + n_ipv4 + n_luhn > 0).alias("has_pii"),
+    )

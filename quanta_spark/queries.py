@@ -5911,3 +5911,99 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") == 0), k=100
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse([ra, rb], k=60)
+
+
+_Q139_SEED = """
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' reach user', CAST(doc_id AS VARCHAR), '@corp.example.org') ELSE '' END,
+           CASE WHEN doc_id % 4 = 0 THEN ' card 4242424242424242 ok' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN ' card 4242424242424243 ok' ELSE '' END,
+           CASE WHEN doc_id % 6 = 0
+                THEN concat(' host 10.1.', CAST(doc_id % 256 AS VARCHAR), '.7') ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN ' bogus 999.888.777.666' ELSE '' END
+         ) AS text
+  FROM documents
+"""
+
+
+@query(
+    "q139_pii_scan",
+    f"""
+WITH seeded AS ({_Q139_SEED}),
+cc AS (
+  SELECT doc_id,
+         regexp_replace(unnest(regexp_extract_all(text, '[0-9][0-9 -]{{11,22}}[0-9]')),
+                        '[^0-9]', '', 'g') AS cl
+  FROM seeded
+),
+ccv AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_luhn
+  FROM cc
+  WHERE length(cl) BETWEEN 13 AND 19
+    AND list_sum([CASE WHEN (length(cl) - i) % 2 = 0
+                       THEN strpos('0123456789', substr(cl, i, 1)) - 1
+                       ELSE CASE WHEN 2 * (strpos('0123456789', substr(cl, i, 1)) - 1) > 9
+                                 THEN 2 * (strpos('0123456789', substr(cl, i, 1)) - 1) - 9
+                                 ELSE 2 * (strpos('0123456789', substr(cl, i, 1)) - 1) END
+                  END
+                  for i in generate_series(1, length(cl))]) % 10 = 0
+  GROUP BY doc_id
+),
+ccc AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_cc FROM cc GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(regexp_extract_all(s.text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(s.text,
+            '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b')) AS INT) AS n_ipv4,
+       COALESCE(ccc.n_cc, 0) AS n_cc_candidates,
+       COALESCE(ccv.n_luhn, 0) AS n_luhn_valid,
+       (len(regexp_extract_all(s.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+        + len(regexp_extract_all(s.text,
+              '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))
+        + COALESCE(ccv.n_luhn, 0)) > 0 AS has_pii
+FROM seeded s
+LEFT JOIN ccc ON ccc.doc_id = s.doc_id
+LEFT JOIN ccv ON ccv.doc_id = s.doc_id
+""",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII scan with Luhn validation (text.pii_scan): documents
+    seeded with a deterministic mix — emails on every 3rd doc, a
+    Luhn-VALID card on every 4th, a Luhn-INVALID near-miss on every
+    5th (counted as candidate, rejected by the checksum), a valid
+    IPv4 on every 6th and an out-of-range fake on every 7th (rejected
+    by the octet-range pattern). The oracle re-implements the exact
+    extraction + mod-10 fold, so a false accept or reject anywhere
+    hash-mismatches."""
+    from quanta_spark.operators.text import pii_scan
+
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.example.org"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" card 4242424242424242 ok")).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" card 4242424242424243 ok")).otherwise(""),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" host 10.1."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" bogus 999.888.777.666")).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scan(seeded)

@@ -218,3 +218,46 @@ def test_zipf_validation(spark):
     df = spark.createDataFrame([(1, "a b", "zz")], "doc_id long, text string, lang string")
     with pytest.raises(ValueError, match="max_rank"):
         zipf_fit(df, max_rank=1)
+
+
+# ---------------------------------------------------------------- pii
+
+
+def test_pii_luhn_separates_valid_from_near_miss(spark):
+    from quanta_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay with 4242424242424242 today"),   # valid Luhn
+            (2, "pay with 4242424242424243 today"),   # off-by-one: reject
+            (3, "order 1234 5678 9012 3456 shipped"), # spaced, invalid
+            (4, "amex 3782 822463 10005 ok"),         # valid (15 digits)
+            (5, "short 4242 4242 4242"),              # 12 digits: too short
+            (6, "tiny 4242 4242 run"),                # 8 digits: no candidate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_luhn_valid"] == 1 and out[1]["has_pii"]
+    assert out[2]["n_cc_candidates"] == 1 and out[2]["n_luhn_valid"] == 0
+    assert out[3]["n_luhn_valid"] == 0
+    # 12 digits is a char-shape candidate but the 13-19 DIGIT gate in
+    # the validator rejects it
+    assert out[4]["n_luhn_valid"] == 1
+    assert out[5]["n_cc_candidates"] == 1 and out[5]["n_luhn_valid"] == 0
+    assert out[6]["n_cc_candidates"] == 0
+
+
+def test_pii_ipv4_octet_range_enforced(spark):
+    from quanta_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "hosts 10.0.0.1 and 255.255.255.255"),
+            (2, "bogus 256.1.2.3 and 999.888.777.666 and 1.2.3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["n_ipv4"] == 0 and not out[2]["has_pii"]
