@@ -845,3 +845,77 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_luhn.cast("int").alias("n_luhn_valid"),
         (n_emails + n_ipv4 + n_luhn > 0).alias("has_pii"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 200,
+) -> DataFrame:
+    """Top-``top_n`` bigram collocations by pointwise mutual
+    information over the normalized corpus — the classic phrase-mining
+    diagnostic (Church & Hanks 1990): PMI = ln(c_xy * N / (c_x * c_y))
+    ranks adjacent pairs that co-occur far above chance ("los angeles")
+    over pairs glued by frequency alone ("of the").
+
+    Determinism: c_xy, c_x, c_y and N are exact integers in any
+    engine; PMI combines them in double with a FIXED expression tree
+    ((c_xy*N)/(c_x*c_y), IEEE-identical) and is then quantized to
+    basis points, so the (pmi_bp, w1, w2) ordering that selects the
+    top-n is a total order computed identically by Spark and the SQL
+    oracle.
+
+    Plan: the token stream crushes map-side into two vocabulary-sized
+    count tables (partial aggregation before either shuffle); the two
+    unigram lookups are equi-joins on the word key (vocab-sized, never
+    corpus-sized); N is a one-row aggregate broadcast via cross join;
+    the final top-n is TakeOrderedAndProject (per-partition heads,
+    driver merge) — no global sort materializes. Zero Python, zero
+    all-pairs anywhere: at 100 TB the only corpus-sized pass is the
+    initial scan."""
+    from quanta_spark.operators.dedup import normalized
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    ws = df.select(
+        F.split(normalized(F.col(text_col)), " ").alias("w")
+    ).filter(F.expr("size(w) >= 1 AND w[0] <> ''"))
+    uni = (
+        ws.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n_tokens"))
+    big = (
+        ws.filter(F.expr("size(w) >= 2"))
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_y"))
+    ratio = (F.col("c_xy").cast("double") * F.col("n_tokens")) / (
+        F.col("c_x").cast("double") * F.col("c_y").cast("double")
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("pair_count"),
+            F.floor(F.log(ratio) * 10_000 + F.lit(0.5)).cast("long").alias("pmi_bp"),
+        )
+        .orderBy(F.col("pmi_bp").desc(), "w1", "w2")
+        .limit(top_n)
+    )

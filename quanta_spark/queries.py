@@ -6007,3 +6007,41 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scan(seeded)
+
+
+@query(
+    "q140_pmi_collocations",
+    f"""
+WITH nrm AS (SELECT {DUCK_NORM} AS norm FROM documents),
+ws AS (SELECT regexp_split_to_array(norm, ' ') AS w FROM nrm WHERE norm <> ''),
+uni AS (SELECT unnest(w) AS word FROM ws),
+ucnt AS (SELECT word, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens FROM ucnt),
+big AS (
+  SELECT unnest([{{'w1': w[i+1], 'w2': w[i+2]}} for i in generate_series(0, len(w)-2)],
+                recursive := true)
+  FROM ws WHERE len(w) >= 2
+),
+bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS pair_count,
+       CAST(floor(ln((CAST(b.c_xy AS DOUBLE) * t.n_tokens)
+                     / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 10000 + 0.5)
+            AS BIGINT) AS pmi_bp
+FROM bcnt b
+JOIN ucnt u1 ON u1.word = b.w1
+JOIN ucnt u2 ON u2.word = b.w2
+CROSS JOIN tot t
+ORDER BY pmi_bp DESC, w1, w2 LIMIT 200
+""",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by PMI (text.pmi_collocations) —
+    phrase discovery for tokenizer/vocab curation (Church & Hanks
+    1990). Counts are exact integers in both engines; PMI combines
+    them in double with an identical expression tree and quantizes to
+    basis points, so the top-200 selection order (pmi_bp, w1, w2) is a
+    cross-engine total order. The oracle re-derives tokenize ->
+    bigram/unigram counts -> PMI -> top-200."""
+    from quanta_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(spark.table("documents"), min_count=5, top_n=200)

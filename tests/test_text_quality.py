@@ -261,3 +261,34 @@ def test_pii_ipv4_octet_range_enforced(spark):
     out = {r["doc_id"]: r for r in pii_scan(df).collect()}
     assert out[1]["n_ipv4"] == 2
     assert out[2]["n_ipv4"] == 0 and not out[2]["has_pii"]
+
+
+def test_pmi_ranks_exclusive_pair_over_frequent_pair(spark):
+    """'alpha beta' always co-occur (exclusively); 'the end' co-occurs
+    but 'the' is glued to everything — PMI must rank the exclusive
+    pair strictly higher even though both pairs have equal counts."""
+    from quanta_spark.operators.text import pmi_collocations
+
+    rows = [(i, "alpha beta . the end . the cat . the dog") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r["pmi_bp"] for r in
+           pmi_collocations(df, min_count=5, top_n=50).collect()}
+    assert ("alpha", "beta") in out and ("the", "end") in out
+    assert out[("alpha", "beta")] > out[("the", "end")]
+
+
+def test_pmi_min_count_and_validation(spark):
+    from quanta_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "rare pair"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    # pair_count 1 < min_count 2 -> filtered; empty doc must not crash
+    assert pmi_collocations(df, min_count=2).count() == 0
+    got = {(r["w1"], r["w2"]) for r in pmi_collocations(df, min_count=1).collect()}
+    assert ("rare", "pair") in got
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)
+    with pytest.raises(ValueError):
+        pmi_collocations(df, top_n=0)
