@@ -1264,3 +1264,75 @@ def containment_pairs(
         F.round(cont_b, 4).alias("containment_b_in_a"),
         (F.greatest(cont_a, cont_b) >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def fuzzy_link(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "m_id",
+    right_id: str = "v_id",
+    key_col: str = "key",
+    max_subs: int = 2,
+) -> DataFrame:
+    """Blocked record linkage: link ``right`` records back to ``left``
+    records whose fixed-length join keys differ by at most ``max_subs``
+    character SUBSTITUTIONS (Hamming distance over equal-length keys —
+    the dirty-replica reconciliation shape: OCR'd ids, fat-fingered
+    account numbers, corrupted registry rows).
+
+    Recall is EXACT by pigeonhole: both keys are cut into
+    ``max_subs + 1`` contiguous chunks, and <= max_subs substitutions
+    on equal-length strings leave at least one chunk untouched, so
+    every true link shares at least one (chunk_idx, chunk, key_len)
+    block — the same argument as the SimHash 4x16-bit blocking
+    (chunked_hamming_pairs), applied to raw characters. Verification
+    recomputes the exact Hamming distance on each candidate.
+
+    Plan: each side explodes to (max_subs+1) chunk rows; candidates
+    come from an equi-join on the block key (shuffle hash/sort-merge on
+    high-entropy chunks — never a cross join); distinct pair ids, then
+    one joined verify pass. At 100 TB both sides stay
+    O(rows * (max_subs+1)); the join degenerates only if the key space
+    itself is degenerate (all-equal keys), which blocking cannot fix
+    and the verify cap makes visible.
+
+    Keys of unequal length never link (a substitution preserves
+    length); mixed lengths are fine — length is part of the block key.
+    """
+    if max_subs < 0:
+        raise ValueError(f"max_subs must be >= 0, got {max_subs}")
+    n_chunks = max_subs + 1
+
+    def chunks(df: DataFrame, id_col: str, side: str) -> DataFrame:
+        k = f"cast({key_col} AS STRING)"
+        return df.select(
+            F.col(id_col),
+            F.col(key_col).alias(f"{side}_key"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_chunks - 1}), i -> struct("
+                    f"i AS chunk_idx, "
+                    f"substring({k}, CAST(floor(i * length({k}) / {n_chunks}) AS INT) + 1, "
+                    f"CAST(floor((i + 1) * length({k}) / {n_chunks}) AS INT) "
+                    f"- CAST(floor(i * length({k}) / {n_chunks}) AS INT)) AS chunk))"
+                )
+            ).alias("c"),
+            F.length(key_col).alias("key_len"),
+        ).select(id_col, f"{side}_key", "c.chunk_idx", "c.chunk", "key_len")
+
+    lc = chunks(left, left_id, "l")
+    rc = chunks(right, right_id, "r")
+    cand = (
+        lc.join(rc, ["chunk_idx", "chunk", "key_len"])
+        .select(left_id, right_id, "l_key", "r_key")
+        .distinct()
+    )
+    dist = F.expr(
+        "size(filter(sequence(1, length(l_key)), "
+        "i -> substring(l_key, i, 1) <> substring(r_key, i, 1)))"
+    )
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_subs)
+        .select(left_id, right_id, "dist")
+    )

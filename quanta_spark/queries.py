@@ -6045,3 +6045,71 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quanta_spark.operators.text import pmi_collocations
 
     return pmi_collocations(spark.table("documents"), min_count=5, top_n=200)
+
+
+# q141 seed: a 12-hex-char registry key per customer, plus a corrupted
+# replica — 1 substitution ('z' at p1), 2 for even ids ('q' at p2; p2
+# may collide with p1, leaving 1), and an unlinkable 3-substitution
+# 'zzz' prefix for ids % 9 == 0 (hex never contains z/q, so every
+# planted substitution really changes the char and distances are exact)
+_Q141_MASTER = (
+    "SELECT c_custkey AS m_id, "
+    "substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS key FROM customer"
+)
+_Q141_VARIANT_CASE = """
+  CASE WHEN m_id % 9 = 0 THEN concat('zzz', substr(key, 4, 9))
+       WHEN m_id % 2 = 0 THEN concat(substr(s1, 1, p2 - 1), 'q', substr(s1, p2 + 1, 12 - p2))
+       ELSE s1 END
+"""
+
+
+@query(
+    "q141_fuzzy_link",
+    f"""
+WITH m AS ({_Q141_MASTER}),
+pos AS (
+  SELECT m_id, key,
+         CAST(m_id % 12 AS INT) + 1 AS p1,
+         CAST((m_id // 7) % 12 AS INT) + 1 AS p2
+  FROM m
+),
+s AS (
+  SELECT m_id, key, p2,
+         concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1)) AS s1
+  FROM pos
+),
+v AS (SELECT m_id AS v_id, {_Q141_VARIANT_CASE} AS key FROM s)
+SELECT m.m_id, v.v_id,
+       CAST(len(list_filter(generate_series(1, 12),
+                i -> substr(m.key, i, 1) <> substr(v.key, i, 1))) AS INT) AS dist
+FROM m, v
+WHERE len(list_filter(generate_series(1, 12),
+          i -> substr(m.key, i, 1) <> substr(v.key, i, 1))) <= 2
+""",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (dedup.fuzzy_link): reconcile a
+    corrupted key replica against its master registry under <= 2
+    character substitutions. The operator blocks on 3 contiguous key
+    chunks (pigeonhole: <= 2 subs leave one chunk exact -> exact
+    recall, same argument as SimHash chunk blocking) and verifies
+    exact Hamming distance; the oracle is the brute-force all-pairs
+    Hamming join, so the gate proves the blocked plan loses nothing.
+    Planted corruption: 1 sub, 2 subs (even ids), and a 3-sub 'zzz'
+    prefix (ids % 9 == 0) that must NOT link."""
+    from quanta_spark.operators.dedup import fuzzy_link
+
+    m = spark.sql(_Q141_MASTER.replace("VARCHAR", "STRING"))
+    s = m.selectExpr(
+        "m_id",
+        "key",
+        "CAST(m_id % 12 AS INT) + 1 AS p1",
+        "CAST((m_id div 7) % 12 AS INT) + 1 AS p2",
+    ).selectExpr(
+        "m_id",
+        "key",
+        "p2",
+        "concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1)) AS s1",
+    )
+    v = s.selectExpr("m_id AS v_id", f"{_Q141_VARIANT_CASE} AS key")
+    return fuzzy_link(m, v, "m_id", "v_id", "key", max_subs=2)

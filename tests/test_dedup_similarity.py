@@ -1014,3 +1014,40 @@ def test_rrf_validation(spark):
         rrf_fuse([r])
     with pytest.raises(ValueError, match="k must"):
         rrf_fuse([r, r], k=0)
+
+
+def test_fuzzy_link_pigeonhole_exact_recall(spark):
+    """<=2 substitutions must ALWAYS link (pigeonhole over 3 chunks),
+    3 substitutions must never link, unequal lengths never link."""
+    from quanta_spark.operators.dedup import fuzzy_link
+
+    master = spark.createDataFrame(
+        [(1, "abcdef012345"), (2, "ffffffffffff")], "m_id long, key string"
+    )
+    variants = spark.createDataFrame(
+        [
+            (10, "zbcdef012345"),   # 1 sub at pos 1 -> links to 1
+            (11, "abcdzf01234z"),   # 2 subs (pos 5, 12) -> links to 1
+            (12, "zbczef0123z5"),   # 3 subs -> must NOT link
+            (13, "abcdef01234"),    # length 11 -> must NOT link
+            (14, "ffffffffffff"),   # exact -> dist 0 to 2
+        ],
+        "v_id long, key string",
+    )
+    out = {(r["m_id"], r["v_id"]): r["dist"]
+           for r in fuzzy_link(master, variants).collect()}
+    assert out == {(1, 10): 1, (1, 11): 2, (2, 14): 0}
+
+
+def test_fuzzy_link_plan_has_no_cartesian(spark):
+    from quanta_spark.operators.dedup import fuzzy_link
+
+    df = spark.createDataFrame([(1, "abcdef012345")], "m_id long, key string")
+    v = df.selectExpr("m_id AS v_id", "key")
+    plan = fuzzy_link(df, v)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fuzzy_link(df, v, max_subs=-1)
