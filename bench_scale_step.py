@@ -48,6 +48,31 @@ def _input_dir(tag: str, n_docs: int, n_vecs: int) -> str:
     return d
 
 
+def _fuzzy_link_docs(docs):
+    """fuzzy_link leg: md5-derived 12-hex master keys from doc_id with
+    the q141 corruption pattern (1/2/3 substitutions)."""
+    from quanta_spark.operators.dedup import fuzzy_link
+
+    m = docs.selectExpr(
+        "doc_id AS m_id", "substr(md5(CAST(doc_id AS STRING)), 1, 12) AS key"
+    )
+    s = m.selectExpr(
+        "m_id", "key",
+        "CAST(m_id % 12 AS INT) + 1 AS p1",
+        "CAST((m_id div 7) % 12 AS INT) + 1 AS p2",
+    ).selectExpr(
+        "m_id", "key", "p2",
+        "concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1)) AS s1",
+    )
+    v = s.selectExpr(
+        "m_id AS v_id",
+        """CASE WHEN m_id % 9 = 0 THEN concat('zzz', substr(key, 4, 9))
+               WHEN m_id % 2 = 0 THEN concat(substr(s1, 1, p2 - 1), 'q', substr(s1, p2 + 1, 12 - p2))
+               ELSE s1 END AS key""",
+    )
+    return fuzzy_link(m, v, "m_id", "v_id", "key", max_subs=2)
+
+
 def _ops():
     from quanta_spark.operators.dedup import (
         dedup_components,
@@ -125,6 +150,7 @@ def _ops():
     from quanta_spark.operators.graph import pagerank as _pagerank
     from quanta_spark.operators.text import inverted_index as _inv_idx
     from quanta_spark.operators.text import zipf_fit as _zipf
+    from quanta_spark.operators.text import pmi_collocations as _pmi
     from quanta_spark.operators.validate import (
         constraint_report as _crep,
         uniqueness_check as _uniq,
@@ -402,6 +428,8 @@ def _ops():
         "scd2_history": lambda docs, emb: _SCALE_CTX["q"]["q135_scd2_history"](
             _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
         ),
+        "pmi_collocations": lambda docs, emb: _pmi(docs, min_count=5, top_n=200),
+        "fuzzy_link": lambda docs, emb: _fuzzy_link_docs(docs),
     }
 
 
