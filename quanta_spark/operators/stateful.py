@@ -1103,3 +1103,138 @@ def stream_gapfill_locf(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_topk_terms(
+    df: DataFrame,
+    k: int = 10,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """STREAMING exact top-k terms per event-time tumbling window —
+    the "trending now" feed (streaming twin of the batch trending
+    query): term counts accumulate in per-window state while the
+    window is open; when the watermark proves the window FINAL
+    (wm >= window end), the top-k rows (count desc, term asc — a total
+    order) are emitted exactly once and the window's state is dropped.
+
+    State is one count table per OPEN window, O(distinct terms within
+    the watermark horizon) — exact by construction, the right tool for
+    bounded vocabularies (ops dashboards, schema'd event names). For
+    open-vocabulary 100 TB streams cap the memory with the mergeable
+    CMS sketch (sketches.cms_heavy_hitters) instead; this operator is
+    the exactness gate the sketch is validated against.
+
+    An event-time timer at window end + 1ms flushes windows that
+    receive no further batches (end-of-stream heartbeat advances the
+    watermark, timers fire, finals drain). Late rows cannot resurrect
+    an emitted window: emission requires wm >= window end, and the
+    watermark filter drops any later-arriving row of that window
+    BEFORE the stateful operator. Batch input falls back to the
+    equivalent count + row_number plan (the oracle's shape).
+    """
+    from quanta_spark.operators.dedup import normalized
+    from quanta_spark.operators.timeseries import _bucket_to_us
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    win_us = _bucket_to_us(window)
+
+    toks_of = lambda d: d.select(  # noqa: E731
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+    if not df.isStreaming:
+        from pyspark.sql.window import Window as W
+
+        counts = (
+            toks_of(df)
+            .groupBy(
+                F.timestamp_micros(
+                    (F.unix_micros(F.col("ts")) / win_us).cast("long") * win_us
+                ).alias("window_start"),
+                "term",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "term")
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("window_start", "term", F.col("n").cast("long").alias("n"), "rank")
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        # key arrives as numpy int64; GroupState serializes timer
+        # properties via json.dumps, which rejects numpy scalars
+        win_start = int(key[0])
+        cnt: dict = {}
+        if state.exists:
+            terms, counts = state.get
+            cnt = {t: int(c) for t, c in zip(terms, counts)}
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                part = pdf.groupby("term").size()
+                for t, c in part.items():
+                    cnt[t] = cnt.get(t, 0) + int(c)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        win_end_us = win_start + win_us
+        if wm_us >= win_end_us:
+            # FINAL: emit top-k on the (count desc, term asc) total
+            # order, drop the window's state — exactly-once emission
+            top = sorted(cnt.items(), key=lambda tc: (-tc[1], tc[0]))[:k]
+            state.remove()
+            if top:
+                yield pd.DataFrame(
+                    {
+                        "window_start": pd.to_datetime(
+                            np.full(len(top), win_start, dtype="int64"), unit="us"
+                        ),
+                        "term": [t for t, _ in top],
+                        "n": np.array([c for _, c in top], dtype=np.int64),
+                        "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                    }
+                )
+        else:
+            ts_sorted = sorted(cnt)
+            state.update((ts_sorted, [cnt[t] for t in ts_sorted]))
+            # flush without further data: fire just past finality,
+            # strictly above the current watermark (set-time contract)
+            state.setTimeoutTimestamp(max(win_end_us // 1000, wm_us // 1000 + 1) + 1)
+
+    toks = toks_of(df).withWatermark("ts", watermark)
+    keyed = toks.withColumn(
+        "win_us", (F.unix_micros(F.col("ts")) / win_us).cast("long") * win_us
+    )
+    return keyed.groupBy("win_us").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

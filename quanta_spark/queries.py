@@ -6113,3 +6113,55 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = s.selectExpr("m_id AS v_id", f"{_Q141_VARIANT_CASE} AS key")
     return fuzzy_link(m, v, "m_id", "v_id", "key", max_subs=2)
+
+
+_Q142_ORACLE = f"""
+WITH {TRANSCRIPTS_CTE},
+tok AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS window_start,
+         unnest(string_split({DUCK_NORM}, ' ')) AS term
+  FROM transcripts
+),
+c AS (
+  SELECT window_start, term, count(*) AS n
+  FROM tok WHERE len(term) > 0 GROUP BY 1, 2
+)
+SELECT window_start, term, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, term ASC) AS rk
+  FROM c
+) t
+WHERE rk <= 5
+"""
+
+
+@query("q142_stream_topk_terms", _Q142_ORACLE)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact top-k terms per 6h tumbling window
+    (stateful.stream_topk_terms) — the streaming twin of batch q92
+    trending terms: per-window term counts accumulate in state while
+    the window is open; when the watermark proves a window FINAL its
+    top-5 (count desc, term asc — a total order) is emitted exactly
+    once and the state dropped. Jittered arrivals inside the watermark
+    must not change the result; the drained stream must equal the
+    batch count+rank plan (the oracle) row-for-row. The heartbeat's
+    own far-future window never finalizes and is stripped by
+    timestamp."""
+    import pandas as pd
+
+    from quanta_spark.operators.stateful import stream_topk_terms
+
+    max_ts = pd.Timestamp(
+        spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"]
+    )
+
+    def strip(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pd.to_datetime(pdf["window_start"]) <= max_ts]
+
+    return _run_stream_query(
+        spark,
+        lambda src: stream_topk_terms(src, k=5, window="6 hours", watermark="1 hour"),
+        jitter=True,
+        strip_heartbeat=strip,
+    )

@@ -542,3 +542,89 @@ def test_stream_gapfill_restart_no_dup_no_gap_loss(spark, tmp_workdir):
     # the straddling gap carried the pre-crash value
     carried = [r for r in got if r[0] == 1 and r[4] and r[3] == 20.0]
     assert len(carried) == 3  # hours 42, 48, 54
+
+
+def test_stream_topk_terms_restart_exactly_once_finals(spark, tmp_workdir):
+    """Kill the streaming top-k mid-stream: a window finalized before
+    the crash must not re-emit after the restart (and a late row for
+    it must stay dropped), a window OPEN across the crash must merge
+    its pre- and post-crash counts from checkpointed state, and the
+    union of both runs must equal the batch count+rank plan."""
+    from quanta_spark.operators.stateful import stream_topk_terms
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    # window A = [0,6h), window B = [6h,12h). wave 1 fills A and puts
+    # one B row at 8h, advancing the watermark to 7h -> A finalizes
+    # (top-2 of alpha x2, beta x1) BEFORE the crash.
+    wave1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "alpha", "gamma"],
+            "ts": [t0 + 1 * h, t0 + 2 * h, t0 + 8 * h],
+        }
+    )
+    # post-restart: more B rows (state for B must have survived: gamma
+    # pre-crash + gamma/delta/eps here -> top-2 = gamma x2, delta x1
+    # on the count-desc/term-asc total order), plus a LATE row aimed
+    # at the already-final window A (ts=5h < wm=7h) that must be
+    # dropped before the stateful operator, never resurrecting A.
+    wave2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5, 6],
+            "text": ["gamma delta", "epsilon", "alpha alpha alpha"],
+            "ts": [t0 + 9 * h, t0 + 10 * h, t0 + 5 * h],
+        }
+    )
+    hb = pd.DataFrame(
+        {"doc_id": [-1], "text": ["hb"], "ts": [t0 + pd.Timedelta(days=30)]}
+    )
+
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+
+    def build():
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_topk_terms(src, k=2, window="6 hours", watermark="1 hour")
+
+    rows: list = []
+    _write_doc_file(os.path.join(d, "p0000.parquet"), wave1)
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    finals_first = sorted((r["window_start"], r["term"], r["n"], r["rank"]) for r in rows)
+    assert finals_first == [
+        (t0, "alpha", 2, 1),
+        (t0, "beta", 1, 2),
+    ], "window A must finalize (top-2) before the crash"
+
+    _write_doc_file(os.path.join(d, "p0001.parquet"), wave2)
+    _write_doc_file(os.path.join(d, "p0002.parquet"), hb)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    run_to_completion(h2)
+
+    got = sorted(
+        (r["window_start"], r["term"], r["n"], r["rank"])
+        for r in rows
+        if r["window_start"] <= t0 + 12 * h
+    )
+    assert len(got) == len(set(got)), "a window's top-k re-emitted across the restart"
+    # batch twin over exactly the rows a correct stream keeps: wave1 +
+    # wave2 minus the late doc 6 (dropped by the 7h watermark)
+    once = pd.concat([wave1, wave2[wave2["doc_id"] != 6]], ignore_index=True)
+    batch = stream_topk_terms(
+        spark.createDataFrame(once), k=2, window="6 hours", watermark="1 hour"
+    )
+    want = sorted(
+        (r["window_start"], r["term"], r["n"], r["rank"]) for r in batch.collect()
+    )
+    assert got == want
+    assert (t0 + 6 * h, "gamma", 2, 1) in got, "window B state must span the crash"
+    assert not any(w == t0 and t == "alpha" and n == 5 for w, t, n, _ in got), (
+        "the late post-crash row resurrected an already-final window"
+    )
