@@ -6165,3 +6165,108 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter=True,
         strip_heartbeat=strip,
     )
+
+
+_M4_ORACLE_BODY = """
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY key, bucket ORDER BY ts ASC, v ASC) AS rf,
+    row_number() OVER (PARTITION BY key, bucket ORDER BY ts DESC, v DESC) AS rl,
+    row_number() OVER (PARTITION BY key, bucket ORDER BY v ASC, ts ASC) AS rmn,
+    row_number() OVER (PARTITION BY key, bucket ORDER BY v DESC, ts ASC) AS rmx
+  FROM b
+)
+SELECT key AS {key_out}, bucket,
+  min(CASE WHEN rf = 1 THEN ts END) AS t_first,
+  min(CASE WHEN rf = 1 THEN v END) AS v_first,
+  min(CASE WHEN rmn = 1 THEN ts END) AS t_min,
+  min(CASE WHEN rmn = 1 THEN v END) AS v_min,
+  min(CASE WHEN rmx = 1 THEN ts END) AS t_max,
+  min(CASE WHEN rmx = 1 THEN v END) AS v_max,
+  min(CASE WHEN rl = 1 THEN ts END) AS t_last,
+  min(CASE WHEN rl = 1 THEN v END) AS v_last,
+  CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+@query(
+    "q143_m4_downsample",
+    f"""
+WITH b AS (
+  SELECT event_type AS key,
+         make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS bucket,
+         ts, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+{_M4_ORACLE_BODY.format(key_out="event_type")}
+""",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (timeseries.m4_downsample; Jugel
+    et al., VLDB 2014) over the events stream at 6 h pixel buckets:
+    per (event_type, bucket) the four ACTUAL rows a pixel-perfect line
+    plot needs — first / last / min-value / max-value — selected by
+    lexicographic struct min/max with deterministic tie-breaks, so the
+    oracle's four row_number() windows must pick literally the same
+    rows. One (key, bucket) exchange; the n->4 reduction happens
+    map-side inside the scan stage."""
+    from quanta_spark.operators.timeseries import m4_downsample
+
+    return m4_downsample(
+        spark.table("events"),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        bucket="6 hours",
+    )
+
+
+@query(
+    "q144_stream_m4",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+b AS (
+  SELECT role AS key,
+         make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS bucket,
+         ts, CAST(len(text) AS DOUBLE) AS v
+  FROM transcripts
+  WHERE role IS NOT NULL AND ts IS NOT NULL AND text IS NOT NULL
+),
+{_M4_ORACLE_BODY.format(key_out="role")}
+""",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING M4 downsampling — the live-dashboard twin of q143:
+    per-role turn-length series downsampled to first/last/min/max per
+    6 h bucket as the stream arrives. Pure built-in windowed
+    aggregation (no custom state): watermark-finalized append-mode
+    buckets each emit exactly once; jittered arrival within the
+    watermark must not change which four rows are picked. The
+    heartbeat's own far-future bucket never finalizes and is stripped
+    by timestamp."""
+    import pandas as pd
+
+    from quanta_spark.operators.timeseries import m4_downsample
+
+    max_ts = pd.Timestamp(
+        spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"]
+    )
+
+    def strip(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pd.to_datetime(pdf["bucket"]) <= max_ts]
+
+    return _run_stream_query(
+        spark,
+        lambda src: m4_downsample(
+            src.select("role", "ts", F.length("text").cast("double").alias("value")),
+            key_col="role",
+            ts_col="ts",
+            value_col="value",
+            bucket="6 hours",
+            watermark="1 hour",
+        ),
+        jitter=True,
+        strip_heartbeat=strip,
+    )

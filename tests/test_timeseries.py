@@ -222,3 +222,84 @@ def test_scd2_requires_attrs(spark):
     )
     with pytest.raises(ValueError, match="attr_cols"):
         scd2_history(df, attr_cols=())
+
+
+def _m4(spark, rows, **kw):
+    from quanta_spark.operators.timeseries import m4_downsample
+
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    return m4_downsample(df, key_col="k", ts_col="ts", value_col="value", **kw)
+
+
+def test_m4_picks_actual_rows_with_deterministic_tiebreaks(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # one 1h bucket; min value 1.0 appears at minutes 10 and 30 ->
+    # EARLIEST wins; max value 9.0 at minutes 20 and 40 -> EARLIEST
+    # wins; first/last are the boundary rows
+    rows = [
+        ("a", t(5), 4.0),
+        ("a", t(10), 1.0),
+        ("a", t(20), 9.0),
+        ("a", t(30), 1.0),
+        ("a", t(40), 9.0),
+        ("a", t(50), 6.0),
+    ]
+    out = _m4(spark, rows, bucket="1 hours").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == datetime(2024, 1, 1, 0, 0)
+    assert (r["t_first"], r["v_first"]) == (t(5), 4.0)
+    assert (r["t_min"], r["v_min"]) == (t(10), 1.0)
+    assert (r["t_max"], r["v_max"]) == (t(20), 9.0)
+    assert (r["t_last"], r["v_last"]) == (t(50), 6.0)
+    assert r["n"] == 6
+
+
+def test_m4_single_row_bucket_is_all_four_points(spark):
+    rows = [("a", datetime(2024, 1, 1, 3, 7), 5.5)]
+    r = _m4(spark, rows, bucket="1 hours").collect()[0]
+    assert (
+        r["t_first"] == r["t_min"] == r["t_max"] == r["t_last"]
+        == datetime(2024, 1, 1, 3, 7)
+    )
+    assert r["v_first"] == r["v_min"] == r["v_max"] == r["v_last"] == 5.5
+    assert r["n"] == 1
+
+
+def test_m4_drops_nan_and_null_and_isolates_keys(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 1), 2.0),
+        ("a", datetime(2024, 1, 1, 0, 2), float("nan")),
+        ("a", None, 3.0),
+        (None, datetime(2024, 1, 1, 0, 3), 4.0),
+        ("b", datetime(2024, 1, 1, 0, 4), 7.0),
+    ]
+    out = {r["k"]: r for r in _m4(spark, rows, bucket="1 hours").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n"] == 1 and out["a"]["v_max"] == 2.0
+    assert out["b"]["n"] == 1 and out["b"]["v_min"] == 7.0
+
+
+def test_m4_one_exchange_partial_agg(spark):
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, value double"
+    )
+    from quanta_spark.operators.timeseries import m4_downsample
+
+    plan = (
+        m4_downsample(df, key_col="k", ts_col="ts", value_col="value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # map-side partial aggregation: the n->4 reduction runs inside the
+    # scan stage (struct min/max lowers to SortAggregate — declarative
+    # struct aggs aren't hash-buffer-able — but the partial_min/max
+    # pass BELOW the exchange is what bounds the shuffle to
+    # O(keys x buckets) structs, not rows)
+    first_exchange = plan.index("Exchange")
+    assert "partial_min" in plan[first_exchange:], plan
+
+
+def test_m4_validates_bucket_and_streaming_watermark(spark):
+    with pytest.raises(ValueError, match="bucket"):
+        _m4(spark, [("a", datetime(2024, 1, 1), 1.0)], bucket="1 fortnight")
