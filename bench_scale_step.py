@@ -430,6 +430,9 @@ def _ops():
         ),
         "pmi_collocations": lambda docs, emb: _pmi(docs, min_count=5, top_n=200),
         "fuzzy_link": lambda docs, emb: _fuzzy_link_docs(docs),
+        "m4_downsample": lambda docs, emb: _SCALE_CTX["q"]["q143_m4_downsample"](
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
     }
 
 

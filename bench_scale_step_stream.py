@@ -338,9 +338,25 @@ def main() -> None:
     def want(name: str) -> bool:
         return not only or name in only
 
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.stateful import stream_topk_terms
+    from quanta_spark.operators.timeseries import m4_downsample
+
     ops = {
         "stream_turn_order": lambda src: enforce_turn_order(src, watermark="1 hour"),
         "stream_composite": lambda src: reply_session_stats(src, watermark="1 hour"),
+        "stream_topk_terms": lambda src: stream_topk_terms(
+            src, k=10, window="1 day", watermark="1 hour"
+        ),
+        "stream_m4": lambda src: m4_downsample(
+            src.select("role", "ts", F.length("text").cast("double").alias("value")),
+            key_col="role",
+            ts_col="ts",
+            value_col="value",
+            bucket="6 hours",
+            watermark="1 hour",
+        ),
     }
     ops = {n: f for n, f in ops.items() if want(n)}
     work = f"/tmp/qs_stream_step_work_{os.getpid()}"

@@ -6270,3 +6270,67 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter=True,
         strip_heartbeat=strip,
     )
+
+
+@query(
+    "q145_incremental_rollup",
+    """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       TRUE AS du_ok
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (rollup.rollup_aggregate/merge):
+    the events table is SPLIT at its time midpoint into a 'history'
+    and a 'delta' batch, each rolled up independently, then folded
+    together with the join-based merge — and the result must equal the
+    oracle's FULL-SCAN aggregate exactly (counts/fixed-point sums are
+    integer-mergeable; min/max actual values; the maintained HLL
+    distinct-user estimate must sit within 5% of the exact count,
+    asserted Spark-side as du_ok so the boolean is oracle-portable).
+    The split point cannot matter: merge(rollup(old), rollup(new)) ==
+    rollup(all) is the continuous-aggregate contract."""
+    from quanta_spark.operators.rollup import rollup_aggregate, rollup_merge
+
+    ev = spark.table("events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "value",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cutoff = F.timestamp_micros(F.lit((int(lo) + int(hi)) // 2))
+    keys = ["event_type", "day"]
+    old = ev.filter(F.col("ts") < cutoff).drop("ts")
+    new = ev.filter(F.col("ts") >= cutoff).drop("ts")
+    merged = rollup_merge(
+        rollup_aggregate(old, keys, "value", distinct_col="user_id"),
+        rollup_aggregate(new, keys, "value", distinct_col="user_id"),
+    )
+    exact = (
+        ev.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(*keys)
+        .agg(F.countDistinct("user_id").alias("_xd"))
+    )
+    return merged.join(exact, keys).select(
+        "event_type",
+        "day",
+        "n",
+        "sum_e6",
+        "min_v",
+        "max_v",
+        (
+            F.abs(F.hll_sketch_estimate("hll") - F.col("_xd"))
+            <= F.lit(0.05) * F.col("_xd")
+        ).alias("du_ok"),
+    )

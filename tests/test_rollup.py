@@ -1,0 +1,126 @@
+"""Incremental rollup maintenance: merge(rollup(old), rollup(delta))
+must equal rollup(all) exactly, in any fold order, and the join-based
+merge over a bucketed history must shuffle ONLY the delta."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quanta_spark.operators.rollup import rollup_aggregate, rollup_merge
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(triples, "k string, value double, uid long")
+
+
+def _collect(df):
+    cols = [c for c in df.columns if c != "hll"]
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_merge_equals_full_recompute(spark):
+    a = _rows(spark, [("x", 1.5, 1), ("x", 2.25, 2), ("y", -3.0, 1)])
+    b = _rows(spark, [("x", 0.125, 3), ("z", 7.0, 9)])
+    merged = rollup_merge(
+        rollup_aggregate(a, ["k"], "value", distinct_col="uid"),
+        rollup_aggregate(b, ["k"], "value", distinct_col="uid"),
+    )
+    full = rollup_aggregate(a.union(b), ["k"], "value", distinct_col="uid")
+    assert _collect(merged) == _collect(full)
+    # the maintained HLL must estimate the union's distinct uids
+    est = {
+        r["k"]: r["e"]
+        for r in merged.select("k", F.hll_sketch_estimate("hll").alias("e")).collect()
+    }
+    assert est == {"x": 3, "y": 1, "z": 1}
+
+
+def test_merge_is_fold_order_invariant(spark):
+    parts = [
+        _rows(spark, [("x", 1.0, 1), ("y", 2.0, 2)]),
+        _rows(spark, [("x", 3.0, 3)]),
+        _rows(spark, [("y", 4.0, 2), ("z", 5.0, 5)]),
+    ]
+    rs = [rollup_aggregate(p, ["k"], "value", distinct_col="uid") for p in parts]
+    fwd = rollup_merge(rollup_merge(rs[0], rs[1]), rs[2])
+    rev = rollup_merge(rs[2], rollup_merge(rs[1], rs[0]))
+    assert _collect(fwd) == _collect(rev)
+    for df in (fwd, rev):
+        est = {
+            r["k"]: r["e"]
+            for r in df.select("k", F.hll_sketch_estimate("hll").alias("e")).collect()
+        }
+        assert est == {"x": 2, "y": 1, "z": 1}
+
+
+def test_disjoint_groups_pass_through_unchanged(spark):
+    h = rollup_aggregate(_rows(spark, [("x", 1.5, 1)]), ["k"], "value")
+    d = rollup_aggregate(_rows(spark, [("z", -2.5, 2)]), ["k"], "value")
+    out = {r["k"]: r for r in rollup_merge(h, d).collect()}
+    assert out["x"]["n"] == 1 and out["x"]["sum_e6"] == 1_500_000
+    assert out["x"]["min_v"] == out["x"]["max_v"] == 1.5
+    assert out["z"]["sum_e6"] == -2_500_000
+
+
+def test_null_and_nan_rows_dropped(spark):
+    df = _rows(
+        spark,
+        [("x", 1.0, 1), ("x", float("nan"), 2), (None, 9.0, 3), ("x", None, 4)],
+    )
+    out = rollup_aggregate(df, ["k"], "value").collect()
+    assert len(out) == 1 and out[0]["n"] == 1 and out[0]["sum_e6"] == 1_000_000
+
+
+def test_validation_errors(spark):
+    df = _rows(spark, [("x", 1.0, 1)])
+    with pytest.raises(ValueError, match="keys"):
+        rollup_aggregate(df, [])
+    h = rollup_aggregate(df, ["k"], "value", distinct_col="uid")
+    d = rollup_aggregate(df, ["k"], "value")  # no hll column
+    with pytest.raises(ValueError, match="schemas differ"):
+        rollup_merge(h, d)
+
+
+def test_bucketed_history_merge_shuffles_only_delta(spark, tmp_path):
+    """The scale contract: with the history rollup persisted bucketed
+    on the key, the merge plan's ONLY exchange is the delta side —
+    history rides its layout, raw history is never rescanned."""
+    from quanta_spark.plans.bucketing import write_bucketed
+
+    hist = rollup_aggregate(
+        _rows(spark, [(f"k{i % 50}", float(i), i) for i in range(500)]),
+        ["k"],
+        "value",
+    )
+    write_bucketed(
+        hist, "qs_rollup_hist", n_buckets=8, key="k",
+        path=os.path.join(str(tmp_path), "hist"),
+    )
+    try:
+        delta = rollup_aggregate(
+            _rows(spark, [("k1", 9.0, 1), ("knew", 2.0, 2)]), ["k"], "value"
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            merged = rollup_merge(spark.table("qs_rollup_hist"), delta)
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            # the history branch — SortMergeJoin down to the bucketed
+            # FileScan — must be exchange-free (the scan's hash
+            # distribution satisfies the join); every exchange in the
+            # plan belongs to the delta's own aggregation
+            join_at = plan.index("SortMergeJoin")
+            hist_scan = plan.index("qs_rollup_hist")
+            assert "Bucketed: true" in plan, plan
+            assert "Exchange" not in plan[join_at:hist_scan], (
+                "history reshuffled:\n" + plan
+            )
+            out = {r["k"]: r for r in merged.collect()}
+            assert out["k1"]["n"] == 11 and out["knew"]["n"] == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qs_rollup_hist")
