@@ -6334,3 +6334,65 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("_xd")
         ).alias("du_ok"),
     )
+
+
+@query(
+    "q146_stream_rollup_ingest",
+    f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(CAST(len(text) AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_e6,
+       min(CAST(len(text) AS DOUBLE)) AS min_v,
+       max(CAST(len(text) AS DOUBLE)) AS max_v,
+       TRUE AS dc_ok
+FROM transcripts
+WHERE role IS NOT NULL AND text IS NOT NULL
+GROUP BY 1
+""",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING continuous-aggregate ingestion (sinks.rollup
+    RollupSink): every micro-batch folds into a persisted per-role
+    rollup of turn lengths — count / fixed-point sum / min / max plus
+    an HLL of distinct conversations — via the generation-marker
+    exactly-once protocol. No watermark and no heartbeat: the merge is
+    associative and keyed only by the group, so jittered/late arrivals
+    fold into their groups instead of being dropped — the final
+    committed generation must equal the oracle's full-scan aggregate
+    exactly (HLL within 5% of the exact distinct-conversation count,
+    asserted Spark-side as dc_ok)."""
+    from quanta_spark.sinks.rollup import RollupSink
+    from quanta_spark.sources.readers import stream_transcripts_files
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    data_dir = _write_transcript_stream(spark, jitter=True)
+    ckpt = tempfile.mkdtemp(prefix="qs_rollup_ckpt_")
+    sink = RollupSink(
+        base_dir=tempfile.mkdtemp(prefix="qs_rollup_sink_"),
+        keys=("role",),
+        value_col="value",
+        distinct_col="conv_id",
+    )
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=2, with_lineage=False
+    ).select("role", "conv_id", F.length("text").cast("double").alias("value"))
+    h = start_pipeline(src, sink, ckpt)
+    run_to_completion(h)
+    rollup = sink.read_rollup(spark)
+    exact = spark.sql(
+        f"WITH {TRANSCRIPTS_CTE} SELECT role, count(DISTINCT conv_id) AS _xd "
+        "FROM transcripts WHERE role IS NOT NULL AND text IS NOT NULL GROUP BY 1"
+    )
+    return rollup.join(exact, "role").select(
+        "role",
+        "n",
+        "sum_e6",
+        "min_v",
+        "max_v",
+        (
+            F.abs(F.hll_sketch_estimate("hll") - F.col("_xd"))
+            <= F.lit(0.05) * F.col("_xd")
+        ).alias("dc_ok"),
+    )

@@ -124,3 +124,69 @@ def test_bucketed_history_merge_shuffles_only_delta(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS qs_rollup_hist")
+
+
+def test_rollup_sink_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch replays the last uncommitted batch after a crash:
+    a batch id at-or-below the committed marker must not fold twice."""
+    from quanta_spark.sinks.rollup import RollupSink
+
+    sink = RollupSink(base_dir=str(tmp_path / "r"), keys=("k",), value_col="value")
+    b0 = _rows(spark, [("x", 1.0, 1), ("y", 2.0, 2)])
+    b1 = _rows(spark, [("x", 3.0, 3)])
+    sink(b0, 0)
+    sink(b1, 1)
+    want = _collect(sink.read_rollup(spark))
+    sink(b1, 1)  # replay of committed batch
+    sink(b0, 0)  # stale replay
+    assert _collect(sink.read_rollup(spark)) == want
+    assert sink.batches_folded == [0, 1]
+    assert sink.batches_skipped == [1, 0]
+    out = {r["k"]: r for r in sink.read_rollup(spark).collect()}
+    assert out["x"]["n"] == 2 and out["x"]["sum_e6"] == 4_000_000
+
+
+def test_rollup_sink_crash_before_marker_refolds_cleanly(spark, tmp_path):
+    """A generation directory written without its marker (crash between
+    write and commit) is an orphan: the refold starts from the LAST
+    COMMITTED generation and overwrites it."""
+    import os
+
+    from quanta_spark.sinks.rollup import RollupSink
+
+    base = str(tmp_path / "r")
+    sink = RollupSink(base_dir=base, keys=("k",), value_col="value")
+    sink(_rows(spark, [("x", 1.0, 1)]), 0)
+    # simulate: batch 1's data written but the marker rename never ran
+    b1 = _rows(spark, [("x", 10.0, 2)])
+    from quanta_spark.operators.rollup import rollup_aggregate, rollup_merge
+
+    orphan = rollup_merge(
+        spark.read.parquet(os.path.join(base, "gen=0")),
+        rollup_aggregate(b1, ["k"], "value"),
+    )
+    orphan.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    assert sink.latest_gen() == 0  # marker unmoved: batch 1 uncommitted
+    sink(b1, 1)  # the replay Structured Streaming would issue
+    out = sink.read_rollup(spark).collect()[0]
+    assert out["n"] == 2 and out["sum_e6"] == 11_000_000
+    assert sink.latest_gen() == 1
+
+
+def test_rollup_sink_prunes_old_generations(spark, tmp_path):
+    import os
+
+    from quanta_spark.sinks.rollup import RollupSink
+
+    sink = RollupSink(
+        base_dir=str(tmp_path / "r"), keys=("k",), value_col="value", keep_gens=2
+    )
+    for i in range(5):
+        sink(_rows(spark, [("x", float(i), i)]), i)
+    gens = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(sink.base_dir)
+        if n.startswith("gen=")
+    )
+    assert gens == [3, 4]
+    assert sink.read_rollup(spark).collect()[0]["n"] == 5

@@ -628,3 +628,88 @@ def test_stream_topk_terms_restart_exactly_once_finals(spark, tmp_workdir):
     assert not any(w == t0 and t == "alpha" and n == 5 for w, t, n, _ in got), (
         "the late post-crash row resurrected an already-final window"
     )
+
+
+def test_stream_rollup_ingest_restart_folds_exactly_once(spark, tmp_workdir):
+    """Kill the continuous-aggregate ingest mid-stream and restart on
+    the same checkpoint: Structured Streaming replays the in-flight
+    batch, the sink's generation marker makes the replay a no-op, and
+    the final committed rollup equals the full-scan answer exactly —
+    including a LATE row (no watermark: a rollup folds late data
+    instead of dropping it)."""
+    from quanta_spark.operators.rollup import rollup_aggregate
+    from quanta_spark.sinks.rollup import RollupSink
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    wave1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["aaaa", "bb", "cccccc"],
+            "ts": [t0, t0 + h, t0 + 2 * h],
+        }
+    )
+    # includes a row 50 h EARLIER than anything in wave 1's tail — a
+    # windowed operator's watermark would drop it; the rollup must not
+    wave2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["ddddd", "e"],
+            "ts": [t0 + 60 * h, t0 + 10 * h],
+        }
+    )
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+    sink = RollupSink(
+        base_dir=os.path.join(tmp_workdir, "rollup"),
+        keys=("k",),
+        value_col="value",
+        distinct_col="doc_id",
+    )
+
+    def build():
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return src.select(
+            F.lit("turns").alias("k"),
+            F.col("doc_id"),
+            F.length("text").cast("double").alias("value"),
+        )
+
+    _write_doc_file(os.path.join(d, "p0000.parquet"), wave1)
+    h1 = start_pipeline(build(), sink, ckpt)
+    h1.process_all_available()
+    h1.stop()
+    mid = sink.read_rollup(spark).collect()[0]
+    assert mid["n"] == 3 and mid["sum_e6"] == 12_000_000
+
+    _write_doc_file(os.path.join(d, "p0001.parquet"), wave2)
+    sink2 = RollupSink(  # fresh process: in-memory history gone, marker on disk
+        base_dir=sink.base_dir, keys=("k",), value_col="value", distinct_col="doc_id"
+    )
+    h2 = start_pipeline(build(), sink2, ckpt)
+    run_to_completion(h2)
+
+    got = sink2.read_rollup(spark).collect()[0]
+    once = pd.concat([wave1, wave2], ignore_index=True)
+    want = rollup_aggregate(
+        spark.createDataFrame(once).select(
+            F.lit("turns").alias("k"),
+            "doc_id",
+            F.length("text").cast("double").alias("value"),
+        ),
+        ["k"],
+        "value",
+        distinct_col="doc_id",
+    ).collect()[0]
+    for c in ("n", "sum_e6", "min_v", "max_v"):
+        assert got[c] == want[c], (c, got[c], want[c])
+    assert got["n"] == 5  # the late row folded
+    est = spark.createDataFrame([(got["hll"],)], "hll binary").select(
+        F.hll_sketch_estimate("hll").alias("e")
+    ).first()["e"]
+    assert est == 5
