@@ -104,3 +104,62 @@ def pagerank(
             ).cast("long").alias("pr"),
         )
     return pr
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact per-vertex triangle counts via degree-ordered orientation
+    (Cohen 2009 / Suri-Vassilvitskii WWW'11 — the MapReduce-scalable
+    formulation): orient every undirected edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges only at each
+    edge's LOWER endpoint, and close them against the edge set.
+
+    Why this survives 100 TB graphs: after orientation every vertex's
+    OUT-degree is O(sqrt(m)) regardless of its in-degree — a celebrity
+    node with 10^8 followers contributes no wedges from its follower
+    side — so the wedge join (the only super-linear step) is bounded
+    by sum(out_deg^2) <= m^1.5 instead of the unbounded sum(deg^2) a
+    naive neighbor join pays. All steps are equi-joins / aggregates on
+    vertex keys (AQE handles residual skew); nothing collects.
+
+    Input is treated as UNDIRECTED: reverse duplicates, repeated edges
+    and self-loops are normalized away first. Returns (v, n_tri) for
+    every vertex in at least one triangle — exact integer counts, so
+    any engine computes the identical table.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    ed = und.join(da, "a").join(db, "b")
+    # orient low-(deg, id) -> high-(deg, id): a total order, so every
+    # triangle has exactly one apex with both out-edges
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select("u", F.col("w").alias("w1"))
+    o2 = oriented.select("u", F.col("w").alias("w2"))
+    wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    tri = wedges.join(
+        und,
+        (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")),
+    ).select("u", "w1", "w2")
+    verts = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select(F.col("w1").alias("v")))
+        .unionAll(tri.select(F.col("w2").alias("v")))
+    )
+    return verts.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))

@@ -6396,3 +6396,50 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("_xd")
         ).alias("dc_ok"),
     )
+
+
+@query(
+    "q147_triangle_count",
+    """
+WITH base AS (SELECT DISTINCT doc_id % 500 AS v FROM documents),
+raw AS (
+  SELECT v AS s, (v + 1) % 500 AS d FROM base
+  UNION ALL SELECT v, (v + 2) % 500 FROM base
+  UNION ALL SELECT v, (v * 3 + 7) % 500 FROM base WHERE v % 5 = 0
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+FROM (
+  SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) t
+GROUP BY 1
+""",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vertex triangle counting (graph.triangle_count) —
+    local clustering signal over the crawl/link graph (the other
+    classic link-quality feature next to q133's PageRank). The operator
+    runs the degree-ordered-orientation algorithm (out-degree bounded
+    by O(sqrt m) after orientation, so the wedge join never explodes on
+    hub vertices); the oracle brute-forces the same 500-vertex planted
+    graph with a canonical a<b<c three-way self-join — every per-vertex
+    count must match exactly."""
+    from quanta_spark.operators.graph import triangle_count
+
+    base = spark.table("documents").select((F.col("doc_id") % 500).alias("v")).distinct()
+    e1 = base.select(F.col("v").alias("src"), ((F.col("v") + 1) % 500).alias("dst"))
+    e2 = base.select(F.col("v").alias("src"), ((F.col("v") + 2) % 500).alias("dst"))
+    e3 = base.filter(F.col("v") % 5 == 0).select(
+        F.col("v").alias("src"), ((F.col("v") * 3 + 7) % 500).alias("dst")
+    )
+    return triangle_count(e1.unionByName(e2).unionByName(e3))

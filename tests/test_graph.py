@@ -64,3 +64,46 @@ def test_pagerank_mass_bounded(spark):
     )
     assert total <= 10**9
     assert total >= 10**9 - 8 * 100  # per-node floor loss is tiny
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles (3 per vertex); an attached pendant vertex
+    and a disconnected edge contribute none."""
+    from quanta_spark.operators.graph import triangle_count
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = k4 + [(3, 9), (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["v"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_normalizes_input(spark):
+    """Reverse duplicates, repeated edges, and self-loops must not
+    change counts: each triangle counts once per vertex."""
+    from quanta_spark.operators.graph import triangle_count
+
+    edges = [(0, 1), (1, 0), (1, 2), (1, 2), (0, 2), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["v"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_hub_star_has_no_triangles(spark):
+    """A pure star (the hub-degree worst case the orientation defuses)
+    has zero triangles — and the result is empty, not zero-rows-lost."""
+    from quanta_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 200)], "src long, dst long")
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_orientation_bounds_wedge_side(spark):
+    """Plan shape: the wedge self-join must be an equi-join on the
+    oriented LOW endpoint (no cartesian/nested-loop fallback)."""
+    from quanta_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
