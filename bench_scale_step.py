@@ -73,6 +73,21 @@ def _fuzzy_link_docs(docs):
     return fuzzy_link(m, v, "m_id", "v_id", "key", max_subs=2)
 
 
+def _triangle_docs(docs):
+    """triangle_count leg: the q147 planted graph scaled to n_docs
+    vertices (ring + skip + chord families, ~2.2 edges/vertex)."""
+    from quanta_spark.operators.graph import triangle_count
+
+    n = _SCALE_CTX["n_docs"]
+    base = docs.select((F.col("doc_id") % n).alias("v")).distinct()
+    e1 = base.select(F.col("v").alias("src"), ((F.col("v") + 1) % n).alias("dst"))
+    e2 = base.select(F.col("v").alias("src"), ((F.col("v") + 2) % n).alias("dst"))
+    e3 = base.filter(F.col("v") % 5 == 0).select(
+        F.col("v").alias("src"), ((F.col("v") * 3 + 7) % n).alias("dst")
+    )
+    return triangle_count(e1.unionByName(e2).unionByName(e3))
+
+
 def _ops():
     from quanta_spark.operators.dedup import (
         dedup_components,
@@ -433,6 +448,10 @@ def _ops():
         "m4_downsample": lambda docs, emb: _SCALE_CTX["q"]["q143_m4_downsample"](
             _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
         ),
+        "incremental_rollup": lambda docs, emb: _SCALE_CTX["q"][
+            "q145_incremental_rollup"
+        ](_SCALE_CTX["spark"], _SCALE_CTX["events_dir"]),
+        "triangle_count": lambda docs, emb: _triangle_docs(docs),
     }
 
 
