@@ -36,12 +36,17 @@ merge plan is the (small) delta side — history never reshuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_aggregate", "rollup_merge", "ROLLUP_METRICS"]
+__all__ = [
+    "rollup_aggregate",
+    "rollup_merge",
+    "rollup_quantiles",
+    "ROLLUP_METRICS",
+]
 
-#: metric columns every rollup row carries (hll only when requested)
+#: metric columns every rollup row carries (hll/hist only when requested)
 ROLLUP_METRICS = ("n", "sum_e6", "min_v", "max_v")
 
 
@@ -51,10 +56,20 @@ def rollup_aggregate(
     value_col: str = "value",
     distinct_col: str | None = None,
     lg_k: int = 12,
+    hist: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """One mergeable-rollup row per group of ``keys``. Null/NaN values
     and null keys are dropped (a rollup over them is undefined in
-    every engine pair)."""
+    every engine pair).
+
+    ``hist=(lo, hi, n_bins)`` additionally maintains a fixed-bin
+    LONG-domain histogram per group as an array<long> of bin counts —
+    the mergeable quantile unit (sketches.histogram_counts per group):
+    cell-wise sums of per-batch histograms equal the full-scan
+    histogram EXACTLY, so :func:`rollup_quantiles` answers p50/p95/p99
+    per group from the maintained rollup without touching raw rows.
+    Values bin by their floor(value) long like histogram_counts
+    (out-of-range clamps into the edge bins)."""
     keys = list(keys)
     if not keys:
         raise ValueError("rollup_aggregate: keys must be non-empty")
@@ -70,6 +85,28 @@ def rollup_aggregate(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("hll"))
+    if hist is not None:
+        lo, hi, n_bins = hist
+        if hi <= lo:
+            raise ValueError(f"hist needs hi > lo, got ({lo}, {hi})")
+        if not 1 <= n_bins <= 256:
+            raise ValueError(
+                f"hist n_bins must be in [1, 256] (one SUM per bin), got {n_bins}"
+            )
+        from quanta_spark.operators.sketches import _floor_div
+
+        vc = F.greatest(F.least(v.cast("long"), F.lit(hi - 1)), F.lit(lo))
+        bin_idx = _floor_div((vc - F.lit(lo)) * F.lit(n_bins), hi - lo)
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(bin_idx == i, F.lit(1)).otherwise(F.lit(0))
+                    ).cast("long")
+                    for i in range(n_bins)
+                ]
+            ).alias("hist")
+        )
     return df.filter(cond).groupBy(*keys).agg(*aggs)
 
 
@@ -92,7 +129,12 @@ def rollup_merge(history: DataFrame, delta: DataFrame) -> DataFrame:
             f"{sorted(history.columns)} vs {sorted(delta.columns)}"
         )
     has_hll = "hll" in history.columns
-    metrics = set(ROLLUP_METRICS) | ({"hll"} if has_hll else set())
+    has_hist = "hist" in history.columns
+    metrics = (
+        set(ROLLUP_METRICS)
+        | ({"hll"} if has_hll else set())
+        | ({"hist"} if has_hist else set())
+    )
     keys = [c for c in history.columns if c not in metrics]
     if not keys:
         raise ValueError("rollup_merge: no key columns found")
@@ -111,7 +153,72 @@ def rollup_merge(history: DataFrame, delta: DataFrame) -> DataFrame:
         out.append(
             _merged(F.col("h.hll"), F.col("d.hll"), F.hll_union).alias("hll")
         )
+    if has_hist:
+        out.append(
+            _merged(
+                F.col("h.hist"),
+                F.col("d.hist"),
+                lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+            ).alias("hist")
+        )
     cond = F.lit(True)
     for k in keys:  # keys are non-null by construction (rollup_aggregate)
         cond = cond & (F.col(f"h.{k}") == F.col(f"d.{k}"))
     return h.join(d, cond, "full_outer").select(*out)
+
+
+def rollup_quantiles(
+    rollup: DataFrame,
+    qs_bp: list[int],
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group quantiles from a maintained rollup's ``hist`` column
+    — the read path of incremental percentiles: p50/p95/p99 per group
+    straight off the O(groups) rollup table, raw rows never touched.
+
+    Same integer-exact arithmetic as sketches.histogram_quantiles
+    (ceil target ``(q*n + 9999) div 10000``, upper edge
+    ``lo + ((bin+1)*span) div n_bins``), applied per group: posexplode
+    the bin array, one cumulative window per group (<= n_bins rows per
+    partition — bounded by construction), first bin whose cumulative
+    count reaches the target. Output: group keys + (q_bp, bin_idx,
+    bin_upper, cum_cnt, total_cnt) — all longs, oracle-checkable
+    value-for-value."""
+    from quanta_spark.operators.sketches import _floor_div
+
+    if "hist" not in rollup.columns:
+        raise ValueError("rollup_quantiles: rollup has no 'hist' column")
+    span = hi - lo
+    metrics = set(ROLLUP_METRICS) | {"hll", "hist"}
+    keys = [c for c in rollup.columns if c not in metrics]
+    ex = rollup.select(
+        *keys, F.col("n").alias("total_cnt"), F.posexplode("hist").alias("bin_idx", "cnt")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ex.withColumn("cum_cnt", F.sum("cnt").over(w))
+    qlit = F.explode(F.array(*[F.lit(int(q)) for q in qs_bp])).alias("q_bp")
+    qd = cum.select(*cum.columns, qlit)
+    target = _floor_div(F.col("q_bp") * F.col("total_cnt") + F.lit(9999), 10_000)
+    sel = (
+        qd.filter(F.col("cum_cnt") >= target)
+        .groupBy(*keys, "q_bp", "total_cnt")
+        .agg(F.min("bin_idx").alias("bin_idx"))
+    )
+    upper = F.lit(lo).cast("long") + _floor_div(
+        (F.col("bin_idx") + 1).cast("long") * F.lit(span).cast("long"), n_bins
+    )
+    cum_small = cum.select(*keys, "bin_idx", "cum_cnt")
+    return sel.join(cum_small, keys + ["bin_idx"]).select(
+        *keys,
+        F.col("q_bp").cast("int"),
+        F.col("bin_idx").cast("int"),
+        upper.alias("bin_upper"),
+        F.col("cum_cnt").cast("long"),
+        F.col("total_cnt").cast("long"),
+    )

@@ -6443,3 +6443,68 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("src"), ((F.col("v") * 3 + 7) % 500).alias("dst")
     )
     return triangle_count(e1.unionByName(e2).unionByName(e3))
+
+
+@query(
+    "q148_incremental_quantiles",
+    """
+WITH f AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS vl
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+b AS (
+  SELECT event_type, (greatest(least(vl, 511), 0) * 128) // 512 AS bin_idx FROM f
+),
+h AS (SELECT event_type, bin_idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+tot AS (SELECT event_type, count(*) AS total_cnt FROM b GROUP BY 1),
+cum AS (
+  SELECT event_type, bin_idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin_idx) AS cum_cnt
+  FROM h
+),
+qs AS (SELECT unnest([5000, 9500, 9900]) AS q_bp),
+sel AS (
+  SELECT c.event_type, q.q_bp, t.total_cnt, min(c.bin_idx) AS bin_idx
+  FROM cum c
+  JOIN tot t USING (event_type)
+  CROSS JOIN qs q
+  WHERE c.cum_cnt >= (q.q_bp * t.total_cnt + 9999) // 10000
+  GROUP BY 1, 2, 3
+)
+SELECT s.event_type, CAST(s.q_bp AS INT) AS q_bp, CAST(s.bin_idx AS INT) AS bin_idx,
+       CAST(((s.bin_idx + 1) * 512) // 128 AS BIGINT) AS bin_upper,
+       CAST(c.cum_cnt AS BIGINT) AS cum_cnt,
+       CAST(s.total_cnt AS BIGINT) AS total_cnt
+FROM sel s
+JOIN cum c ON c.event_type = s.event_type AND c.bin_idx = s.bin_idx
+""",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental percentiles (rollup.rollup_quantiles): the rollup
+    maintained by q145's split-and-merge additionally carries a
+    128-bin mergeable histogram per event_type; p50/p95/p99 are then
+    answered from the MAINTAINED rollup alone — raw rows untouched at
+    read time — and must equal the oracle's full-scan histogram
+    quantiles exactly (histograms are LINEAR: cell-wise sums of
+    per-batch histograms equal the full-scan histogram, unlike
+    estimate-style sketches)."""
+    from quanta_spark.operators.rollup import (
+        rollup_aggregate,
+        rollup_merge,
+        rollup_quantiles,
+    )
+
+    ev = spark.table("events").select(
+        "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+    )
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cutoff = F.timestamp_micros(F.lit((int(lo_us) + int(hi_us)) // 2))
+    hist = (0, 512, 128)
+    merged = rollup_merge(
+        rollup_aggregate(ev.filter(F.col("ts") < cutoff), ["event_type"], "value", hist=hist),
+        rollup_aggregate(ev.filter(F.col("ts") >= cutoff), ["event_type"], "value", hist=hist),
+    )
+    return rollup_quantiles(merged, [5000, 9500, 9900], *hist)

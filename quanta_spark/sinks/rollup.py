@@ -55,6 +55,9 @@ class RollupSink:
     value_col: str = "value"
     distinct_col: str | None = None
     lg_k: int = 12
+    #: (lo, hi, n_bins) — maintain a mergeable per-group histogram so
+    #: rollup_quantiles() answers live percentiles off the rollup
+    hist: tuple[int, int, int] | None = None
     keep_gens: int = 2
     batches_folded: list[int] = field(default_factory=list)
     batches_skipped: list[int] = field(default_factory=list)
@@ -86,6 +89,7 @@ class RollupSink:
             self.value_col,
             distinct_col=self.distinct_col,
             lg_k=self.lg_k,
+            hist=self.hist,
         )
         if latest is not None:
             prev = spark.read.parquet(self._gen_dir(latest))

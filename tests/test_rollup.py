@@ -190,3 +190,76 @@ def test_rollup_sink_prunes_old_generations(spark, tmp_path):
     )
     assert gens == [3, 4]
     assert sink.read_rollup(spark).collect()[0]["n"] == 5
+
+
+def test_hist_merge_is_linear_and_quantiles_exact(spark):
+    """Cell-wise-summed per-batch histograms equal the full-scan
+    histogram, and per-group quantiles off the merged rollup match a
+    hand-computed answer."""
+    from quanta_spark.operators.rollup import (
+        rollup_aggregate,
+        rollup_merge,
+        rollup_quantiles,
+    )
+
+    hist = (0, 10, 10)  # bin width 1: value v lands in bin floor(v)
+    a = _rows(spark, [("x", float(v), v) for v in [0, 1, 1, 2, 9]])
+    b = _rows(spark, [("x", float(v), v) for v in [1, 5]])
+    merged = rollup_merge(
+        rollup_aggregate(a, ["k"], "value", hist=hist),
+        rollup_aggregate(b, ["k"], "value", hist=hist),
+    )
+    full = rollup_aggregate(a.union(b), ["k"], "value", hist=hist)
+    assert merged.first()["hist"] == full.first()["hist"] == [
+        1, 3, 1, 0, 0, 1, 0, 0, 0, 1,
+    ]
+    q = {
+        r["q_bp"]: (r["bin_idx"], r["bin_upper"], r["cum_cnt"])
+        for r in rollup_quantiles(merged, [5000, 9900], *hist).collect()
+    }
+    # n=7: p50 target ceil(3.5)=4 -> bin 1 (cum 4); p99 target 7 -> bin 9
+    assert q[5000] == (1, 2, 4)
+    assert q[9900] == (9, 10, 7)
+
+
+def test_hist_out_of_range_clamps_to_edge_bins(spark):
+    from quanta_spark.operators.rollup import rollup_aggregate
+
+    df = _rows(spark, [("x", -5.0, 1), ("x", 99.0, 2), ("x", 3.0, 3)])
+    h = rollup_aggregate(df, ["k"], "value", hist=(0, 4, 4)).first()["hist"]
+    assert h == [1, 0, 0, 2]  # -5 clamps low, 99 clamps high
+
+
+def test_hist_validation(spark):
+    from quanta_spark.operators.rollup import rollup_aggregate, rollup_quantiles
+
+    df = _rows(spark, [("x", 1.0, 1)])
+    with pytest.raises(ValueError, match="hi > lo"):
+        rollup_aggregate(df, ["k"], "value", hist=(5, 5, 4))
+    with pytest.raises(ValueError, match="n_bins"):
+        rollup_aggregate(df, ["k"], "value", hist=(0, 10, 0))
+    plain = rollup_aggregate(df, ["k"], "value")
+    with pytest.raises(ValueError, match="hist"):
+        rollup_quantiles(plain, [5000], 0, 10, 10)
+
+
+def test_rollup_sink_maintains_streaming_percentiles(spark, tmp_path):
+    """RollupSink(hist=...): quantiles read off the committed rollup
+    equal the batch quantiles over all folded data."""
+    from quanta_spark.operators.rollup import rollup_aggregate, rollup_quantiles
+    from quanta_spark.sinks.rollup import RollupSink
+
+    hist = (0, 100, 20)
+    sink = RollupSink(
+        base_dir=str(tmp_path / "r"), keys=("k",), value_col="value", hist=hist
+    )
+    b0 = _rows(spark, [("x", float(v), v) for v in range(0, 50, 5)])
+    b1 = _rows(spark, [("x", float(v), v) for v in range(50, 100, 5)])
+    sink(b0, 0)
+    sink(b1, 1)
+    got = rollup_quantiles(sink.read_rollup(spark), [5000, 9500], *hist)
+    want = rollup_quantiles(
+        rollup_aggregate(b0.union(b1), ["k"], "value", hist=hist), [5000, 9500], *hist
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(got) == key(want)
