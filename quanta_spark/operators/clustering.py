@@ -35,6 +35,9 @@ __all__ = [
     "random_project",
     "train_pq_codebooks",
     "class_centroid_accuracy",
+    "pca_covariance",
+    "pca_fit",
+    "pca_project",
 ]
 
 #: Hard ceiling on k*d driver materialization per iteration.
@@ -478,4 +481,165 @@ def class_centroid_accuracy(
         F.floor(F.sum("_ok") * 10_000 / F.count(F.lit(1)) + F.lit(0.5))
         .cast("long")
         .alias("accuracy_bp"),
+    )
+
+
+def pca_covariance(
+    df: DataFrame,
+    in_dim: int = 64,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer covariance statistics for distributed PCA: one
+    Arrow pass emits per-partition partials (d x d second-moment int64
+    matrix + per-dim sums + count — never a row per point), a bounded
+    (i, j) aggregate reduces them, and the output carries the
+    covariance NUMERATOR ``cov_num = n*S_ij - m_i*m_j`` — all integer
+    arithmetic on quantized inputs (floor(x*scale + 0.5)), so any
+    partitioning / any engine computes the identical d x d table
+    (integer sums are order-independent; float covariance would drift
+    per shuffle order).
+
+    Scale: the shuffle carries O(partitions) rows of d^2-long arrays,
+    never data rows; the result is d^2 rows regardless of corpus size.
+    Overflow bound: |x_q| <= scale * max|x|, so S_ij sums stay inside
+    int64 up to ~2^63 / (scale*max|x|)^2 rows — at scale=1e4 and unit
+    vectors that is ~9e10 rows per partition-partial; raise per-task
+    row counts past that and quantize coarser.
+    """
+    if not 1 <= in_dim <= 256:
+        raise ValueError(f"in_dim must be in [1, 256], got {in_dim}")
+    d = in_dim
+    import pandas as pd
+
+    def partials(batches):
+        S = np.zeros((d, d), dtype=np.int64)
+        m = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy())
+            Q = np.floor(X.astype(np.float64) * scale + 0.5).astype(np.int64)
+            S += Q.T @ Q
+            m += Q.sum(axis=0)
+            n += len(Q)
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [S.ravel()], "m": [m]})
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<long>, m array<long>"
+    )
+    tot = parts.agg(F.sum("n").alias("n"))
+    means = (
+        parts.select(F.posexplode("m").alias("i", "mv"))
+        .groupBy("i")
+        .agg(F.sum("mv").alias("mv"))
+    )
+    second = (
+        parts.select(F.posexplode("s").alias("idx", "sv"))
+        .groupBy("idx")
+        .agg(F.sum("sv").alias("sv"))
+        .select(
+            (F.col("idx") / d).cast("long").alias("i"),
+            F.pmod(F.col("idx"), F.lit(d)).cast("long").alias("j"),
+            F.col("sv").alias("s"),
+        )
+    )
+    mi = means.select(F.col("i"), F.col("mv").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("mv").alias("mj"))
+    return (
+        second.join(mi, "i")
+        .join(mj, "j")
+        .crossJoin(tot)
+        .select(
+            F.col("i").cast("long"),
+            F.col("j").cast("long"),
+            F.col("n").cast("long"),
+            F.col("s").cast("long"),
+            F.col("mi").cast("long"),
+            F.col("mj").cast("long"),
+            (F.col("n") * F.col("s") - F.col("mi") * F.col("mj")).alias("cov_num"),
+        )
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int = 8,
+    in_dim: int = 64,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+    comp_scale: int = 1_000_000,
+) -> tuple[list[list[int]], list[float]]:
+    """Top-k principal components from :func:`pca_covariance` — the
+    DATA-DRIVEN complement of random_project (same consumer contract).
+    Only the d^2 integer covariance table reaches the driver (bounded
+    by in_dim<=256, never by corpus size); eigh runs on the d x d
+    matrix locally. Components are sign-fixed (largest-|coefficient|
+    entry positive, ties to the lowest index) and quantized to
+    ``comp_scale`` integers, so the downstream projection is
+    deterministic end-to-end given identical input data.
+
+    Returns (components, explained_variance_ratio): components is a
+    k-list of d-lists of ints (quantized eigenvectors, descending
+    eigenvalue); ratios are floats for reporting only.
+    """
+    rows = pca_covariance(df, in_dim=in_dim, scale=scale, vec_col=vec_col).collect()
+    d = in_dim
+    n = rows[0]["n"] if rows else 0
+    if n < 2:
+        raise ValueError(f"pca_fit needs >= 2 rows, got {n}")
+    C = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov_num"]
+    C /= float(n) * float(n) * float(scale) * float(scale)
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps: list[list[int]] = []
+    for idx in order:
+        v = evecs[:, idx]
+        pivot = int(np.argmax(np.abs(np.round(v, 12))))  # ties -> lowest index
+        if v[pivot] < 0:
+            v = -v
+        comps.append([int(x) for x in np.floor(v * comp_scale + 0.5).astype(np.int64)])
+    total = float(np.clip(evals, 0, None).sum()) or 1.0
+    ratios = [float(max(evals[i], 0.0)) / total for i in order]
+    return comps, ratios
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[int]],
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto quantized principal components — the same
+    pure-Catalyst integer shape as random_project (zip_with + aggregate
+    fold per output dim, zero Python, zero shuffle): y_j = sum_i
+    round(x_i*scale) * w_ji. Output long format (id, out_dim, y);
+    rescaling by 1/(scale*comp_scale) is the consumer's choice."""
+    if not components:
+        raise ValueError("components must be non-empty (use pca_fit)")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = df.select(F.col(id_col), qv.alias("_qv"))
+    cols = []
+    for j, comp in enumerate(components):
+        w = F.array(*[F.lit(int(c)).cast("long") for c in comp])
+        y = F.aggregate(
+            F.zip_with(F.col("_qv"), w, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(y.alias(f"_y{j}"))
+    wide = base.select(F.col(id_col), *cols)
+    k = len(components)
+    stack_args = ", ".join(f"{j}, `_y{j}`" for j in range(k))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({k}, {stack_args}) AS (out_dim, y)"),
     )

@@ -6508,3 +6508,65 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup_aggregate(ev.filter(F.col("ts") >= cutoff), ["event_type"], "value", hist=hist),
     )
     return rollup_quantiles(merged, [5000, 9500, 9900], *hist)
+
+
+@query(
+    "q149_pca_covariance",
+    """
+WITH q AS (
+  SELECT [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) for x in embedding] AS qv
+  FROM embeddings
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+m AS (
+  SELECT i, sum(qv[i + 1]) AS mv
+  FROM q, generate_series(0, 63) g(i)
+  GROUP BY 1
+),
+s AS (
+  SELECT g1.i AS i, g2.j AS j, sum(qv[g1.i + 1] * qv[g2.j + 1]) AS s
+  FROM q, generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+  GROUP BY 1, 2
+)
+SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j, tot.n,
+       CAST(s.s AS BIGINT) AS s,
+       CAST(m1.mv AS BIGINT) AS mi, CAST(m2.mv AS BIGINT) AS mj,
+       CAST(tot.n * s.s - m1.mv * m2.mv AS BIGINT) AS cov_num
+FROM s
+JOIN m m1 ON m1.i = s.i
+JOIN m m2 ON m2.i = s.j
+CROSS JOIN tot
+""",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA statistics (clustering.pca_covariance): the
+    64x64 integer covariance table — per-partition Arrow partials
+    (second-moment matrix + dim sums + count, never a row per point)
+    reduced by a bounded (i, j) aggregate. Everything is quantized
+    integer arithmetic, so the oracle's brute-force d^2-explode over
+    the same vectors must match every cell of n, S_ij, m_i, m_j and
+    the covariance numerator n*S - m_i*m_j EXACTLY — the determinism
+    that makes the downstream eigendecomposition reproducible at any
+    partitioning."""
+    from quanta_spark.operators.clustering import pca_covariance
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return pca_covariance(emb, in_dim=64, scale=10_000)
+
+
+@query("q150_pca_project")  # eigh is not SQL-expressible: rows-only driver check
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (clustering.pca_fit + pca_project): top-8
+    data-driven components trained from q149's exact covariance
+    (driver sees only the bounded d^2 table; eigh on 64x64 locally;
+    sign-fixed, integer-quantized), then a pure-Catalyst integer
+    projection (zip_with + aggregate fold per output dim — the
+    random_project consumer contract). No SQL oracle exists for eigh;
+    correctness is pinned by pytest (orthonormality, descending
+    explained variance, partitioning invariance, planted-signal
+    recovery) and the driver records the rows-only check."""
+    from quanta_spark.operators.clustering import pca_fit, pca_project
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    comps, _ = pca_fit(emb, k=8, in_dim=64, scale=10_000)
+    return pca_project(emb, comps, scale=10_000)

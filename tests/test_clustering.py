@@ -211,3 +211,94 @@ def test_class_centroid_accuracy_tie_breaks_lowest_label(spark):
     got = {r["label"]: (r["n_correct"], r["accuracy_bp"]) for r in class_centroid_accuracy(df).collect()}
     assert got[3] == (1, 10_000)
     assert got[7] == (0, 0)
+
+
+def _planted_emb(spark, n=300, d=16, n_parts=4):
+    """Deterministic vectors with variance concentrated on a planted
+    direction u (index pattern), plus small structured residue."""
+    import numpy as np
+
+    rows = []
+    u = np.zeros(d)
+    u[0], u[3] = 3.0, 4.0  # |u| = 5, direction (0.6, 0.8) in dims 0/3
+    u /= np.linalg.norm(u)
+    for i in range(n):
+        a = ((i * 37) % 21 - 10) / 10.0  # in [-1, 1], mean ~0
+        b = ((i * 11) % 7 - 3) / 30.0  # small residue on dim 1
+        v = a * u
+        v[1] += b
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(
+        n_parts
+    )
+
+
+def test_pca_covariance_is_partitioning_invariant(spark):
+    from quanta_spark.operators.clustering import pca_covariance
+
+    emb = _planted_emb(spark, d=16)
+    one = sorted(map(tuple, pca_covariance(emb.repartition(1), in_dim=16).collect()))
+    many = sorted(map(tuple, pca_covariance(emb.repartition(7), in_dim=16).collect()))
+    assert one == many
+    assert len(one) == 256
+
+
+def test_pca_fit_recovers_planted_direction(spark):
+    import numpy as np
+
+    from quanta_spark.operators.clustering import pca_fit
+
+    emb = _planted_emb(spark, d=16)
+    comps, ratios = pca_fit(emb, k=3, in_dim=16)
+    c0 = np.array(comps[0], dtype=np.float64) / 1e6
+    u = np.zeros(16)
+    u[0], u[3] = 0.6, 0.8
+    assert abs(float(np.dot(c0, u))) > 0.999, c0
+    assert ratios[0] > 0.95 and ratios == sorted(ratios, reverse=True)
+    # orthonormal (within quantization): unit norms, near-zero dots
+    for c in comps:
+        v = np.array(c, dtype=np.float64) / 1e6
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    v1 = np.array(comps[1], dtype=np.float64) / 1e6
+    assert abs(float(np.dot(c0, v1))) < 1e-4
+    # sign fix: the largest-|coeff| entry is positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_project_matches_numpy_and_stays_jvm_side(spark):
+    import numpy as np
+
+    from quanta_spark.operators.clustering import pca_fit, pca_project
+
+    emb = _planted_emb(spark, d=16)
+    comps, _ = pca_fit(emb, k=2, in_dim=16)
+    out = pca_project(emb, comps, id_col="vec_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no shuffle of its own (the only Exchange is the test fixture's
+    # round-robin repartition) and no Python in the projection
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "mapInPandas" not in plan.lower(), plan
+    got = {(r["vec_id"], r["out_dim"]): r["y"] for r in out.collect()}
+    pdf = emb.orderBy("vec_id").toPandas()
+    W = np.array(comps, dtype=np.int64)
+    for _, row in pdf.head(20).iterrows():
+        q = np.floor(np.array(row["embedding"], dtype=np.float64) * 10_000 + 0.5).astype(
+            np.int64
+        )
+        for j in range(2):
+            assert got[(row["vec_id"], j)] == int((q * W[j]).sum())
+
+
+def test_pca_validation(spark):
+    import pytest as _pytest
+
+    from quanta_spark.operators.clustering import pca_covariance, pca_fit, pca_project
+
+    emb = _planted_emb(spark, n=1, d=16)
+    with _pytest.raises(ValueError, match="in_dim"):
+        pca_covariance(emb, in_dim=0)
+    with _pytest.raises(ValueError, match=">= 2 rows"):
+        pca_fit(emb, k=1, in_dim=16)
+    with _pytest.raises(ValueError, match="components"):
+        pca_project(emb, [])
