@@ -73,6 +73,12 @@ def _fuzzy_link_docs(docs):
     return fuzzy_link(m, v, "m_id", "v_id", "key", max_subs=2)
 
 
+def _pca_cov(emb, **kw):
+    from quanta_spark.operators.clustering import pca_covariance
+
+    return pca_covariance(emb, **kw)
+
+
 def _triangle_docs(docs):
     """triangle_count leg: the q147 planted graph scaled to n_docs
     vertices (ring + skip + chord families, ~2.2 edges/vertex)."""
@@ -452,6 +458,7 @@ def _ops():
             "q145_incremental_rollup"
         ](_SCALE_CTX["spark"], _SCALE_CTX["events_dir"]),
         "triangle_count": lambda docs, emb: _triangle_docs(docs),
+        "pca_covariance": lambda docs, emb: _pca_cov(emb, in_dim=64, scale=10_000),
     }
 
 

@@ -37,6 +37,11 @@ _RELATIONAL = [
     "q41_asof_join", "q42_approx_stats", "q53_unanswered_turns",
     "q54_redact_pii", "q55_pooled_embeddings",
     "q106_duplicate_spans", "q107_gopher_quality",
+    "q143_m4_downsample", "q145_incremental_rollup", "q147_triangle_count",
+    "q148_incremental_quantiles",
+    # q149_pca_covariance exempt: its one BroadcastNestedLoopJoin is the
+    # deliberate 1-row total-count crossJoin (same shape as q100's
+    # histogram total) — bounded by construction, not a plan accident
 ]
 
 
