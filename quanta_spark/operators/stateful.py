@@ -1238,3 +1238,189 @@ def stream_topk_terms(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _cusum_fold(sp, sn, vq, target_q, slack_q, h_q):
+    """Two-sided CUSUM over one ordered integer segment with
+    reset-on-alarm (Page 1954). Vectorized BETWEEN alarms via the
+    prefix-min identity S_i = max(0, C_i - min(-S_0, min_{j<i} C_j))
+    — the python loop runs once per ALARM, not per row. Returns
+    (sp, sn, [(pos, side, stat), ...])."""
+    import numpy as np
+
+    alarms: list = []
+    n = len(vq)
+    start = 0
+    while start < n:
+        seg = vq[start:]
+        cu = np.cumsum(seg - target_q - slack_q)
+        cd = np.cumsum(target_q - seg - slack_q)
+        mu = np.minimum.accumulate(np.concatenate(([np.int64(-sp)], cu[:-1])))
+        md = np.minimum.accumulate(np.concatenate(([np.int64(-sn)], cd[:-1])))
+        su = np.maximum(cu - mu, 0)
+        sd = np.maximum(cd - md, 0)
+        trip = (su > h_q) | (sd > h_q)
+        if not trip.any():
+            sp, sn = int(su[-1]), int(sd[-1])
+            break
+        a = int(trip.argmax())
+        pos = start + a
+        if su[a] > h_q:
+            alarms.append((pos, "up", int(su[a])))
+        if sd[a] > h_q:
+            alarms.append((pos, "down", int(sd[a])))
+        sp = sn = 0  # bidirectional restart after any alarm
+        start = pos + 1
+    return sp, sn, alarms
+
+
+def stream_cusum(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 1.0,
+    watermark: str = "1 hour",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key (Page 1954) —
+    the streaming drift alarm of the monitoring family (PSI drift is
+    the batch twin for distributions; this fires ONLINE when a key's
+    level shifts): S+ accumulates (v - target - slack), S- accumulates
+    (target - v - slack), both clamped at 0; crossing ``threshold``
+    emits an alarm row (key, ts, side, stat) and restarts both sides.
+
+    All arithmetic is fixed-point integer (floor(x*scale + 0.5)), and
+    rows fold in strict (ts, value) order — so any engine, any
+    partitioning, and any arrival jitter inside the watermark computes
+    the IDENTICAL alarm sequence (a SQL oracle replays the recursion
+    with a recursive CTE).
+
+    Streaming mechanics (the turn-order operator's ordered-replay
+    contract, applied to a running statistic): arrivals buffer in
+    state; when the event-time timer proves a prefix final
+    (ts <= watermark), exactly that prefix folds in order and its
+    alarms emit. The CUSUM carry (two ints) persists for the key's
+    lifetime — the continuous-monitor contract, same as the gap
+    filler's LOCF carry; buffered rows are watermark-bounded.
+
+    Batch input runs the identical fold per key in one pass.
+    """
+    import numpy as np
+
+    target_q = int(np.floor(target * scale + 0.5))
+    slack_q = int(np.floor(slack * scale + 0.5))
+    h_q = int(np.floor(threshold * scale + 0.5))
+    if slack_q < 0 or h_q <= 0:
+        raise ValueError(
+            f"need slack >= 0 and threshold > 0, got {slack}/{threshold}"
+        )
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("stat", T.LongType()),
+        ]
+    )
+
+    def _emit(key_val, ts_us, alarms):
+        return pd.DataFrame(
+            {
+                key_col: [key_val] * len(alarms),
+                "ts": pd.to_datetime([ts_us[p] for p, _, _ in alarms], unit="us"),
+                "side": [s for _, s, _ in alarms],
+                "stat": pd.array([st for _, _, st in alarms], dtype="int64"),
+            }
+        )
+
+    def _prep(pdf: pd.DataFrame):
+        ts_us = pdf[ts_col].astype("datetime64[us]").to_numpy().astype(np.int64)
+        vq = np.floor(
+            pdf[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+        ).astype(np.int64)
+        return ts_us, vq
+
+    if not df.isStreaming:
+
+        def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            ts_us, vq = _prep(pdf)
+            order = np.lexsort((vq, ts_us))
+            ts_us, vq = ts_us[order], vq[order]
+            _, _, alarms = _cusum_fold(0, 0, vq, target_q, slack_q, h_q)
+            return _emit(pdf[key_col].iloc[0], ts_us, alarms)
+
+        clean = df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        return clean.groupBy(key_col).applyInPandas(_batch, schema=out_schema)
+
+    state_schema = T.StructType(
+        [
+            T.StructField("sp", T.LongType()),
+            T.StructField("sn", T.LongType()),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_vq", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            sp, sn, buf_ts, buf_vq = state.get
+            buf_ts = np.asarray(buf_ts, dtype=np.int64)
+            buf_vq = np.asarray(buf_vq, dtype=np.int64)
+        else:
+            sp = sn = 0
+            buf_ts = buf_vq = np.empty(0, dtype=np.int64)
+
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            order = np.lexsort((buf_vq, buf_ts))
+            buf_ts, buf_vq = buf_ts[order], buf_vq[order]
+            ripe = buf_ts <= wm_us
+            n_ripe = int(ripe.sum())
+            if n_ripe:
+                r_ts, r_vq = buf_ts[:n_ripe], buf_vq[:n_ripe]
+                buf_ts, buf_vq = buf_ts[n_ripe:], buf_vq[n_ripe:]
+                sp, sn, alarms = _cusum_fold(sp, sn, r_vq, target_q, slack_q, h_q)
+                if alarms:
+                    yield _emit(key[0], r_ts, alarms)
+            # carry persists for the key's lifetime (two ints); timer
+            # re-arms only while rows are buffered
+            state.update((int(sp), int(sn), buf_ts.tolist(), buf_vq.tolist()))
+            if len(buf_ts):
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
+            return
+
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            new = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            n_ts, n_vq = _prep(new)
+            buf_ts = np.concatenate([buf_ts, n_ts])
+            buf_vq = np.concatenate([buf_vq, n_vq])
+        state.update((int(sp), int(sn), buf_ts.tolist(), buf_vq.tolist()))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
+
+    clean = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    return (
+        clean.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -6570,3 +6570,124 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").select("vec_id", "embedding")
     comps, _ = pca_fit(emb, k=8, in_dim=64, scale=10_000)
     return pca_project(emb, comps, scale=10_000)
+
+
+# q151 CUSUM params: target 50 / slack 10 / threshold 500 in e4
+# fixed-point (events value is heavy-tailed with mean ~50)
+_Q151_T, _Q151_K, _Q151_H = 500_000, 100_000, 5_000_000
+
+def _cusum_oracle(pre_cte: str, src: str, key: str, ts_expr: str, vq_expr: str,
+                  t: int, k: int, h: int) -> str:
+    """Recursive-CTE replay of the two-sided reset-on-alarm CUSUM
+    recursion (shared by q151/q152): base row rn=1, step joins rn+1,
+    alarms selected from the RAW (pre-reset) statistics."""
+    up_raw = f"greatest(0, c.sp + s.vq - {t} - {k})"
+    dn_raw = f"greatest(0, c.sn + {t} - s.vq - {k})"
+    up0 = f"greatest(0, vq - {t} - {k})"
+    dn0 = f"greatest(0, {t} - vq - {k})"
+    return f"""
+WITH RECURSIVE {pre_cte}q AS (
+  SELECT {key} AS key, {ts_expr} AS ts, {vq_expr} AS vq
+  FROM {src}
+  WHERE {key} IS NOT NULL AND {ts_expr} IS NOT NULL AND {vq_expr} IS NOT NULL
+),
+seq AS (
+  SELECT key, ts, vq,
+         row_number() OVER (PARTITION BY key ORDER BY ts, vq) AS rn
+  FROM q
+),
+c AS (
+  SELECT key, rn, ts, {up0} AS sp_raw, {dn0} AS sn_raw,
+         CASE WHEN {up0} > {h} OR {dn0} > {h} THEN 0 ELSE {up0} END AS sp,
+         CASE WHEN {up0} > {h} OR {dn0} > {h} THEN 0 ELSE {dn0} END AS sn
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.key, s.rn, s.ts, {up_raw} AS sp_raw, {dn_raw} AS sn_raw,
+         CASE WHEN {up_raw} > {h} OR {dn_raw} > {h} THEN 0 ELSE {up_raw} END,
+         CASE WHEN {up_raw} > {h} OR {dn_raw} > {h} THEN 0 ELSE {dn_raw} END
+  FROM c JOIN seq s ON s.key = c.key AND s.rn = c.rn + 1
+)
+SELECT key AS {{key_out}}, ts, 'up' AS side, CAST(sp_raw AS BIGINT) AS stat
+FROM c WHERE sp_raw > {h}
+UNION ALL
+SELECT key AS {{key_out}}, ts, 'down' AS side, CAST(sn_raw AS BIGINT) AS stat
+FROM c WHERE sn_raw > {h}
+"""
+
+
+_Q151_ORACLE = _cusum_oracle(
+    "", "events", "user_id", "ts",
+    "CAST(floor(CAST(value AS DOUBLE) * 10000 + 0.5) AS BIGINT)",
+    _Q151_T, _Q151_K, _Q151_H,
+).format(key_out="user_id")
+
+@query("q151_cusum_alarms", _Q151_ORACLE)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point alarms per user
+    (stateful.stream_cusum, batch path): fixed-point integer Page
+    recursion with reset-on-alarm over each user's (ts, value)-ordered
+    event stream. The operator folds each segment with the vectorized
+    prefix-min identity; the oracle replays the raw recursion row by
+    row through a recursive CTE — every alarm position, side, and
+    crossing statistic must match exactly."""
+    from quanta_spark.operators.stateful import stream_cusum
+
+    return stream_cusum(
+        spark.table("events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        target=50.0,
+        slack=10.0,
+        threshold=500.0,
+    )
+
+
+# q152: planted verbosity drift — turn length + 40 per 20-turn block,
+# so conversations past ~27 turns trip the CUSUM repeatedly
+_Q152_T, _Q152_K, _Q152_H = 160_000, 80_000, 2_000_000
+_Q152_VQ = (
+    "CAST((CAST(len(text) AS BIGINT) + 40 * (turn_idx // 20)) * 10000 AS BIGINT)"
+)
+
+
+@query(
+    "q152_stream_cusum",
+    _cusum_oracle(
+        f"{TRANSCRIPTS_CTE},\n", "transcripts", "conv_id", "ts", _Q152_VQ,
+        _Q152_T, _Q152_K, _Q152_H,
+    ).format(key_out="conv_id"),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM change-point detection (stateful.stream_cusum):
+    per-conversation verbosity monitor with a planted drift (+40 chars
+    per 20-turn block) — alarms must fire at exactly the oracle's
+    recursive-CTE positions despite jittered arrival, because the
+    operator folds each key's rows in strict (ts, value) order only
+    once the watermark proves the prefix final, and the carry persists
+    across micro-batches for the key's lifetime."""
+    from quanta_spark.operators.stateful import stream_cusum
+
+    return _run_stream_query(
+        spark,
+        lambda src: stream_cusum(
+            src.select(
+                "conv_id",
+                "ts",
+                (
+                    F.length("text").cast("long")
+                    + 40 * F.floor(F.col("turn_idx") / 20).cast("long")
+                ).cast("double").alias("value"),
+            ),
+            key_col="conv_id",
+            ts_col="ts",
+            value_col="value",
+            target=16.0,
+            slack=8.0,
+            threshold=200.0,
+        ),
+        jitter=True,
+        heartbeat_in_output=True,
+    )

@@ -841,3 +841,65 @@ def test_cep_stream_kleene_restart_matches_batch_greedy(spark, tmp_workdir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _cusum_naive(sp, sn, vals, t, k, h):
+    alarms = []
+    for i, v in enumerate(vals):
+        sp = max(0, sp + (v - t - k))
+        sn = max(0, sn + (t - v - k))
+        trip = sp > h or sn > h
+        if sp > h:
+            alarms.append((i, "up", sp))
+        if sn > h:
+            alarms.append((i, "down", sn))
+        if trip:
+            sp = sn = 0
+    return sp, sn, alarms
+
+
+def test_cusum_fold_matches_naive_recursion():
+    """The segment-vectorized prefix-min fold must equal the textbook
+    per-row recursion on adversarial sequences: drifts both ways,
+    immediate re-trips, nonzero carries, all-zero stretches."""
+    import numpy as np
+
+    from quanta_spark.operators.stateful import _cusum_fold
+
+    cases = [
+        (0, 0, [5, 5, 5, -20, 30, 30, 30, 0, 0, 30]),
+        (7, 2, [1, -1, 2, -2, 40, -40, 40, -40]),
+        (0, 0, [-30, -30, -30, 25, 25, 25, 25]),
+        (14, 0, [0] * 6),
+        (0, 0, []),
+        (0, 9, [100]),  # single-row trip with carry on the other side
+    ]
+    t, k, h = 3, 1, 25
+    for sp0, sn0, vals in cases:
+        arr = np.asarray(vals, dtype=np.int64)
+        got = _cusum_fold(sp0, sn0, arr, t, k, h)
+        want = _cusum_naive(sp0, sn0, vals, t, k, h)
+        assert got == want, (sp0, sn0, vals, got, want)
+    # pseudo-random long sequence (deterministic LCG, both signs)
+    x, seq = 1234567, []
+    for _ in range(500):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        seq.append((x % 41) - 20)
+    arr = __import__("numpy").asarray(seq, dtype="int64")
+    assert _cusum_fold(3, 4, arr, 0, 2, 30) == _cusum_naive(3, 4, seq, 0, 2, 30)
+
+
+def test_stream_cusum_validation(spark):
+    import pytest
+
+    from quanta_spark.operators.stateful import stream_cusum
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="slack"):
+        stream_cusum(df, threshold=1.0, slack=-1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        stream_cusum(df, threshold=0.0)

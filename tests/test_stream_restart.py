@@ -713,3 +713,95 @@ def test_stream_rollup_ingest_restart_folds_exactly_once(spark, tmp_workdir):
         F.hll_sketch_estimate("hll").alias("e")
     ).first()["e"]
     assert est == 5
+
+
+def test_stream_cusum_restart_carry_and_exactly_once_alarms(spark, tmp_workdir):
+    """Kill the CUSUM monitor mid-drift: the carry accumulated before
+    the crash must survive the checkpoint (the alarm that needs pre-
+    AND post-crash contributions fires at the right row), pre-crash
+    alarms must not re-emit, and the union equals the batch fold."""
+    from quanta_spark.operators.stateful import stream_cusum
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=10)
+    # target 0, slack 0, threshold 50 (x1e4): doc 1 trips at row 3
+    # (20+20+20 = 60 > 50) and resets; rows 4-5 accumulate a carry of
+    # 40 (no trip) BEFORE the crash; the post-crash row (+30 => 70)
+    # trips ONLY if the 40-unit carry survived the restart.
+    pre = pd.DataFrame(
+        {
+            "doc_id": [1] * 5,
+            "text": ["x"] * 5,
+            "ts": [t0 + i * m for i in range(5)],
+        }
+    ).assign(value=[20.0, 20.0, 20.0, 20.0, 20.0])
+    post = pd.DataFrame(
+        {"doc_id": [1, 1], "text": ["x", "x"], "ts": [t0 + 5 * m, t0 + 30 * m]}
+    ).assign(value=[30.0, 0.0])
+    hb = pd.DataFrame(
+        {"doc_id": [2], "text": ["hb"], "ts": [t0 + pd.Timedelta(days=30)]}
+    ).assign(value=[0.0])
+
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+
+    def _write(name, pdf):
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("text", pa.string()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("value", pa.float64()),
+            ]
+        )
+        p = os.path.join(d, name)
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p)
+        stamp_arrival_order([p])
+
+    def build():
+        src = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_cusum(
+            src,
+            key_col="doc_id",
+            ts_col="ts",
+            value_col="value",
+            target=0.0,
+            slack=0.0,
+            threshold=50.0,
+            watermark="10 minutes",
+        )
+
+    rows: list = []
+    _write("p0000.parquet", pre)
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    n_pre = len(rows)
+
+    _write("p0001.parquet", post)
+    _write("p0002.parquet", hb)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    run_to_completion(h2)
+
+    got = sorted((r["doc_id"], r["ts"], r["side"], r["stat"]) for r in rows)
+    assert len(got) == len(set(got)), "an alarm re-emitted across the restart"
+    once = pd.concat([pre, post], ignore_index=True)
+    batch = stream_cusum(
+        spark.createDataFrame(once),
+        key_col="doc_id",
+        ts_col="ts",
+        value_col="value",
+        target=0.0,
+        slack=0.0,
+        threshold=50.0,
+    )
+    want = sorted((r["doc_id"], r["ts"], r["side"], r["stat"]) for r in batch.collect())
+    assert got == want
+    # the second alarm needs the 40-unit carry from BEFORE the crash
+    assert (1, (t0 + 5 * m).to_pydatetime(), "up", 700_000) in got
+    assert len(got) > n_pre
