@@ -340,7 +340,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from quanta_spark.operators.stateful import stream_topk_terms
+    from quanta_spark.operators.stateful import stream_cusum, stream_topk_terms
     from quanta_spark.operators.timeseries import m4_downsample
 
     ops = {
@@ -348,6 +348,22 @@ def main() -> None:
         "stream_composite": lambda src: reply_session_stats(src, watermark="1 hour"),
         "stream_topk_terms": lambda src: stream_topk_terms(
             src, k=10, window="1 day", watermark="1 hour"
+        ),
+        "stream_cusum": lambda src: stream_cusum(
+            src.select(
+                "conv_id",
+                "ts",
+                (
+                    F.length("text").cast("long")
+                    + 40 * F.floor(F.col("turn_idx") / 20).cast("long")
+                ).cast("double").alias("value"),
+            ),
+            key_col="conv_id",
+            ts_col="ts",
+            value_col="value",
+            target=16.0,
+            slack=8.0,
+            threshold=200.0,
         ),
         "stream_m4": lambda src: m4_downsample(
             src.select("role", "ts", F.length("text").cast("double").alias("value")),

@@ -968,3 +968,70 @@ def rrf_fuse(
         *[F.col(f"rank_{i}") for i in range(len(sides))],
         F.floor(score * 1_000_000 + F.lit(0.5)).cast("long").alias("rrf_e6"),
     )
+
+
+def retrieval_gains_e6(k: int) -> list[int]:
+    """Binary-relevance DCG gains, PRE-QUANTIZED: gain(rank i) =
+    round(1e6 / log2(i+1)) computed once in python and embedded as
+    integer literals on BOTH engine sides — libm log2 may differ by an
+    ulp between engines, so the quantization must happen in exactly
+    one place."""
+    import math
+
+    return [int(round(1_000_000 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def retrieval_metrics(approx: DataFrame, truth: DataFrame, k: int = 5) -> DataFrame:
+    """Retrieval evaluation — recall@k, MRR and binary-relevance
+    nDCG@k of an approximate top-k result against an exact one (the
+    operator form of the ANN recall harness, so index quality is a
+    QUERY over two result tables, not a python script): both inputs
+    carry (query_id, rank, vec_id). All metrics are integer-exact —
+    reciprocal ranks via integer division (1e6 div rank), DCG over the
+    pre-quantized gain table, nDCG/recall as floor basis points — so a
+    SQL oracle reproduces every value bit-for-bit.
+
+    The base set is TRUTH's queries: a query the index returned
+    nothing for scores zero instead of vanishing. One (query_id,
+    vec_id) equi-join + two bounded aggregates; both inputs are top-k
+    tables (O(queries x k) rows), so this costs nothing at any corpus
+    scale."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gains = retrieval_gains_e6(k)
+    prefix = [sum(gains[: i + 1]) for i in range(k)]
+    gain_col = F.element_at(
+        F.array(*[F.lit(g) for g in gains]), F.col("rank").cast("int")
+    )
+    t = truth.select("query_id", "vec_id", F.lit(1).alias("_rel"))
+    tn = truth.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("truth_n"))
+    j = (
+        approx.select("query_id", "rank", "vec_id")
+        .filter(F.col("rank") <= k)
+        .join(t, ["query_id", "vec_id"], "left")
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_rel"), F.lit(0))).cast("long").alias("hits"),
+        F.sum(
+            F.when(F.col("_rel") == 1, gain_col).otherwise(F.lit(0))
+        ).cast("long").alias("dcg_e6"),
+        F.min(F.when(F.col("_rel") == 1, F.col("rank"))).cast("long").alias("_fr"),
+    )
+    idcg_col = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        F.least(F.col("truth_n"), F.lit(k)).cast("int"),
+    ).cast("long")
+    out = tn.join(per_q, "query_id", "left").select(
+        "query_id",
+        "truth_n",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.expr("coalesce(hits, 0) * 10000 div truth_n").alias("recall_bp"),
+        F.coalesce(
+            F.expr("1000000 div _fr"), F.lit(0)
+        ).cast("long").alias("mrr_e6"),
+        F.coalesce(F.col("dcg_e6"), F.lit(0)).cast("long").alias("dcg_e6"),
+        idcg_col.alias("idcg_e6"),
+    )
+    return out.withColumn(
+        "ndcg_bp", F.expr("dcg_e6 * 10000 div idcg_e6").cast("long")
+    )

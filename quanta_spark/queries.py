@@ -6691,3 +6691,60 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter=True,
         heartbeat_in_output=True,
     )
+
+
+def _q153_oracle() -> str:
+    from quanta_spark.operators.similarity import retrieval_gains_e6
+
+    g = retrieval_gains_e6(5)
+    pref = [sum(g[: i + 1]) for i in range(5)]
+    gl = "[" + ", ".join(str(x) for x in g) + "]"
+    pl = "[" + ", ".join(str(x) for x in pref) + "]"
+    return f"""
+WITH approx AS ({ORACLES["q30_lsh_cosine_topk"]}),
+truth AS ({ORACLES["q27_cosine_topk"]}),
+j AS (
+  SELECT a.query_id, a.rank,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM approx a
+  LEFT JOIN truth t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+),
+tn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS truth_n FROM truth GROUP BY 1),
+pq AS (
+  SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+         CAST(sum(CASE WHEN rel = 1 THEN {gl}[rank] ELSE 0 END) AS BIGINT) AS dcg_e6,
+         min(CASE WHEN rel = 1 THEN rank END) AS fr
+  FROM j GROUP BY 1
+)
+SELECT tn.query_id, tn.truth_n,
+       CAST(coalesce(pq.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(pq.hits, 0) * 10000 // tn.truth_n AS BIGINT) AS recall_bp,
+       CAST(coalesce(1000000 // pq.fr, 0) AS BIGINT) AS mrr_e6,
+       CAST(coalesce(pq.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       CAST({pl}[CAST(least(tn.truth_n, 5) AS INT)] AS BIGINT) AS idcg_e6,
+       CAST(coalesce(pq.dcg_e6, 0) * 10000
+            // {pl}[CAST(least(tn.truth_n, 5) AS INT)] AS BIGINT) AS ndcg_bp
+FROM tn LEFT JOIN pq USING (query_id)
+"""
+
+
+@query("q153_retrieval_metrics", _q153_oracle())
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query
+    (similarity.retrieval_metrics): recall@5, MRR and binary nDCG@5 of
+    the axis-LSH index (q30) against the brute-force exact top-5
+    (q27), per query, all integer-exact (1e6-quantized gains computed
+    once in python and embedded as literals on both engine sides;
+    reciprocal ranks and ratios via integer division) — the ANN recall
+    harness productized into an oracle-checkable operator."""
+    from quanta_spark.operators.similarity import (
+        axis_lsh_cosine_topk,
+        brute_force_cosine_topk,
+        retrieval_metrics,
+    )
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+    approx = axis_lsh_cosine_topk(emb, queries_df, k=5)
+    truth = brute_force_cosine_topk(emb, queries_df, k=5)
+    return retrieval_metrics(approx, truth, k=5)

@@ -1051,3 +1051,35 @@ def test_fuzzy_link_plan_has_no_cartesian(spark):
 
     with _pytest.raises(ValueError):
         fuzzy_link(df, v, max_subs=-1)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import pytest as _pytest
+
+    from quanta_spark.operators.similarity import retrieval_gains_e6, retrieval_metrics
+
+    g = retrieval_gains_e6(5)  # [1000000, 630930, 500000, 430677, 386853]
+    truth = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 6)]
+        + [(2, r, 200 + r) for r in range(1, 6)]
+        + [(3, 1, 301), (3, 2, 302)],  # truth_n = 2
+        "query_id long, rank int, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: perfect; q2: hits at ranks 2 and 5 only; q3: no rows
+        [(1, r, 100 + r) for r in range(1, 6)]
+        + [(2, 1, 999), (2, 2, 201), (2, 3, 998), (2, 4, 997), (2, 5, 202)],
+        "query_id long, rank int, vec_id long",
+    )
+    out = {r["query_id"]: r for r in retrieval_metrics(approx, truth, k=5).collect()}
+    assert out[1]["recall_bp"] == 10_000 and out[1]["ndcg_bp"] == 10_000
+    assert out[1]["mrr_e6"] == 1_000_000 and out[1]["hits"] == 5
+    assert out[2]["hits"] == 2 and out[2]["recall_bp"] == 4_000
+    assert out[2]["mrr_e6"] == 500_000  # first hit at rank 2
+    assert out[2]["dcg_e6"] == g[1] + g[4]
+    assert out[2]["ndcg_bp"] == (g[1] + g[4]) * 10_000 // sum(g)
+    # q3 never retrieved: present with zero metrics, idcg from truth_n=2
+    assert out[3]["hits"] == 0 and out[3]["recall_bp"] == 0 and out[3]["mrr_e6"] == 0
+    assert out[3]["idcg_e6"] == g[0] + g[1] and out[3]["ndcg_bp"] == 0
+    with _pytest.raises(ValueError, match="k must be"):
+        retrieval_metrics(approx, truth, k=0)
