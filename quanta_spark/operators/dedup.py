@@ -1336,3 +1336,94 @@ def fuzzy_link(
         .filter(F.col("dist") <= max_subs)
         .select(left_id, right_id, "dist")
     )
+
+
+def edit_link(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "m_id",
+    right_id: str = "v_id",
+    key_col: str = "key",
+    max_edits: int = 2,
+) -> DataFrame:
+    """Blocked record linkage under EDIT distance (insert/delete/
+    substitute) <= ``max_edits`` — the indel-tolerant sibling of
+    :func:`fuzzy_link` (which is Hamming-only), built on PassJoin's
+    partition scheme (Li, Deng, Feng — VLDB'11).
+
+    Recall is EXACT by the shifted pigeonhole: cut the LEFT key
+    (length n) into k+1 contiguous pieces; <= k edits leave at least
+    one piece untouched, and that piece appears verbatim in the RIGHT
+    key shifted by at most k positions (the net indels before it).
+    The RIGHT side therefore enumerates, for every plausible left
+    length n in [len(t)-k, len(t)+k], every piece index, every shift
+    in [-k, k] — a bounded (2k+1)^2 (k+1) fan-out per row, k tiny —
+    and candidates come from an equi-join on
+    (piece_idx, piece_text, left_len). Verification is exact
+    ``levenshtein() <= k`` (built-in in Spark and every SQL oracle
+    engine, so the gate proves the blocked plan loses nothing against
+    a brute-force all-pairs join).
+
+    Plan shape at 100 TB: both sides stay O(rows * k^2) exploded rows;
+    the join is a shuffle equi-join on high-entropy piece blocks;
+    never a cross join (plan-asserted in tests).
+    """
+    if max_edits < 0:
+        raise ValueError(f"max_edits must be >= 0, got {max_edits}")
+    k = max_edits
+    nc = k + 1
+
+    lkey = f"cast({key_col} AS STRING)"
+    lc = left.select(
+        F.col(left_id),
+        F.col(key_col).alias("l_key"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {nc - 1}), i -> struct("
+                f"i AS piece_idx, "
+                f"substring({lkey}, CAST(floor(i * length({lkey}) / {nc}) AS INT) + 1, "
+                f"CAST(floor((i + 1) * length({lkey}) / {nc}) AS INT) "
+                f"- CAST(floor(i * length({lkey}) / {nc}) AS INT)) AS piece, "
+                f"length({lkey}) AS left_len))"
+            )
+        ).alias("c"),
+    ).select(left_id, "l_key", "c.piece_idx", "c.piece", "c.left_len")
+
+    rkey = f"cast({key_col} AS STRING)"
+    # every (left_len, piece_idx, shift) cell that could hide the
+    # untouched piece, deduplicated per row before the join
+    probe_expr = f"""
+    array_distinct(transform(
+      filter(
+        flatten(flatten(
+          transform(sequence(greatest(length({rkey}) - {k}, {nc}), length({rkey}) + {k}), n ->
+            transform(sequence(0, {k}), i ->
+              transform(sequence(-{k}, {k}), d ->
+                struct(
+                  i AS piece_idx,
+                  CAST(floor(i * n / {nc}) AS INT) + d AS start0,
+                  CAST(floor((i + 1) * n / {nc}) AS INT)
+                    - CAST(floor(i * n / {nc}) AS INT) AS plen,
+                  n AS left_len)))))),
+        s -> s.start0 >= 0 AND s.plen > 0
+             AND s.start0 + s.plen <= length({rkey})),
+      s -> struct(s.piece_idx AS piece_idx,
+                  substring({rkey}, s.start0 + 1, s.plen) AS piece,
+                  s.left_len AS left_len)))
+    """
+    rc = right.select(
+        F.col(right_id),
+        F.col(key_col).alias("r_key"),
+        F.explode(F.expr(probe_expr)).alias("c"),
+    ).select(right_id, "r_key", "c.piece_idx", "c.piece", "c.left_len")
+
+    cand = (
+        lc.join(rc, ["piece_idx", "piece", "left_len"])
+        .select(left_id, right_id, "l_key", "r_key")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("l_key", "r_key").cast("int"))
+        .filter(F.col("dist") <= k)
+        .select(left_id, right_id, "dist")
+    )

@@ -6748,3 +6748,60 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = axis_lsh_cosine_topk(emb, queries_df, k=5)
     truth = brute_force_cosine_topk(emb, queries_df, k=5)
     return retrieval_metrics(approx, truth, k=5)
+
+
+# q154 seed: 12-hex registry keys with planted EDIT corruption — one
+# substitution (ids%3==1), one DELETION (ids%3==2, length 11), one
+# insertion + one substitution (else, length 13, distance 2), and an
+# unlinkable 3-substitution 'zzz' prefix (ids%10==0; hex never
+# contains z/q, so distances are exact)
+_Q154_MASTER = (
+    "SELECT c_custkey AS m_id, "
+    "substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS key FROM customer"
+)
+_Q154_VARIANT = """
+SELECT m_id AS v_id,
+  CASE
+    WHEN m_id % 10 = 0 THEN concat('zzz', substr(key, 4, 9))
+    WHEN m_id % 3 = 1 THEN concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1))
+    WHEN m_id % 3 = 2 THEN concat(substr(key, 1, p1 - 1), substr(key, p1 + 1, 12 - p1))
+    ELSE concat(substr(ins, 1, p2 - 1), 'z', substr(ins, p2 + 1, 13 - p2))
+  END AS key
+FROM (
+  SELECT m_id, key, p1,
+         CAST((m_id // 7) % 13 AS INT) + 1 AS p2,
+         concat(substr(key, 1, p1 - 1), 'q', substr(key, p1, 13 - p1)) AS ins
+  FROM (SELECT m_id, key, CAST(m_id % 12 AS INT) + 1 AS p1 FROM m) t
+) t2
+"""
+
+
+@query(
+    "q154_edit_link",
+    f"""
+WITH m AS ({_Q154_MASTER}),
+v AS ({_Q154_VARIANT})
+SELECT_SENTINEL
+""".replace(
+        "SELECT_SENTINEL",
+        "SELECT m.m_id, v.v_id, CAST(levenshtein(m.key, v.key) AS INT) AS dist\n"
+        "FROM m, v WHERE levenshtein(m.key, v.key) <= 2",
+    ),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage (dedup.edit_link,
+    PassJoin partition scheme — Li/Deng/Feng VLDB'11): reconcile a
+    corrupted replica whose keys suffered <= 2 INSERT/DELETE/
+    SUBSTITUTE edits — the cases Hamming blocking (q141) cannot see.
+    The operator blocks on (piece, shifted position, source length)
+    equi-joins with exact pigeonhole recall and verifies built-in
+    levenshtein; the oracle brute-forces all pairs, so the gate proves
+    the blocked plan loses nothing. Planted: 1-sub, 1-del (len 11),
+    ins+sub (len 13, dist 2), and a 3-sub negative that must NOT
+    link."""
+    from quanta_spark.operators.dedup import edit_link
+
+    m = spark.sql(_Q154_MASTER.replace("VARCHAR", "STRING"))
+    m.createOrReplaceTempView("m")
+    v = spark.sql(_Q154_VARIANT.replace("//", "div"))
+    return edit_link(m, v, "m_id", "v_id", "key", max_edits=2)

@@ -1083,3 +1083,57 @@ def test_retrieval_metrics_hand_computed(spark):
     assert out[3]["idcg_e6"] == g[0] + g[1] and out[3]["ndcg_bp"] == 0
     with _pytest.raises(ValueError, match="k must be"):
         retrieval_metrics(approx, truth, k=0)
+
+
+def test_edit_link_handles_indels_and_matches_bruteforce(spark):
+    """The cases Hamming blocking cannot see: deletions and insertions
+    shift every later position. Blocked candidates + levenshtein
+    verify must equal the brute-force all-pairs answer exactly."""
+    import pytest as _pytest
+
+    from quanta_spark.operators.dedup import edit_link
+
+    masters = {
+        1: "abcdef012345",
+        2: "0123456789ab",
+        3: "fedcba987654",
+    }
+    variants = {
+        11: ("abcdef12345", 1),  # deletion of '0' -> dist 1 to m1
+        12: ("abcqdef012345", 1),  # insertion of 'q' -> dist 1 to m1
+        13: ("zbcdef01234z", 2),  # two substitutions -> dist 2 to m1
+        14: ("zzzdef012345", 3),  # three edits -> must NOT link at k=2
+        15: ("0123z56789ab", 1),  # substitution mid-key -> m2
+    }
+    m = spark.createDataFrame(
+        [(i, k) for i, k in masters.items()], "m_id long, key string"
+    )
+    v = spark.createDataFrame(
+        [(i, k) for i, (k, _) in variants.items()], "v_id long, key string"
+    )
+    out = edit_link(m, v, max_edits=2)
+    got = {(r["m_id"], r["v_id"]): r["dist"] for r in out.collect()}
+    # brute force in python
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (mi, vi): lev(mk, vk)
+        for mi, mk in masters.items()
+        for vi, (vk, _) in variants.items()
+        if lev(mk, vk) <= 2
+    }
+    assert got == want
+    assert (1, 11) in got and got[(1, 11)] == 1
+    assert (1, 12) in got and got[(1, 12)] == 1
+    assert (1, 13) in got and got[(1, 13)] == 2
+    assert all(vid != 14 for _, vid in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    with _pytest.raises(ValueError, match="max_edits"):
+        edit_link(m, v, max_edits=-1)
