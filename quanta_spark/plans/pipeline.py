@@ -23,10 +23,11 @@ Spec (YAML or dict), mirroring the reference vocabulary:
       operator:                     # optional terminal operator
         kind: sessionize            # | tumbling | sliding | turn_order | user_replies | cep
                                     # | user_replies_outer | user_replies_full
-                                    # | reply_sessions | stream_dedup | none
+                                    # | reply_sessions | stream_dedup | neardup_gate
+                                    # | dq_monitor | cusum | m4 | none
         gap: 30 minutes
       sink:
-        kind: idempotent-parquet    # ≙ sink adapter registry
+        kind: idempotent-parquet    # | console | kafka | rollup
         path: /out/run1
       checkpoint: /out/run1/_ckpt
       trigger: available_now        # | processing_time: 5 seconds
@@ -296,6 +297,62 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
             watermark=watermark,
             ts_col=op.get("ts_col", "ts"),
         )
+    if kind == "cusum":
+        # declarative streaming change-point monitor:
+        #   operator:
+        #     kind: cusum
+        #     key_col: conv_id
+        #     value: "CAST(length(text) AS DOUBLE)"   # SQL expr
+        #     target: 16.0
+        #     slack: 8.0
+        #     threshold: 200.0
+        from pyspark.sql import functions as F
+
+        from quanta_spark.operators.stateful import stream_cusum
+
+        value = op.get("value")
+        if not value:
+            raise ValueError("cusum operator needs a value expression")
+        key_col = op.get("key_col", "conv_id")
+        ts_col = op.get("ts_col", "ts")
+        src = df.select(
+            F.col(key_col), F.col(ts_col), F.expr(value).alias("value")
+        )
+        return stream_cusum(
+            src,
+            key_col=key_col,
+            ts_col=ts_col,
+            value_col="value",
+            target=float(op.get("target", 0.0)),
+            slack=float(op.get("slack", 0.0)),
+            threshold=float(op.get("threshold", 1.0)),
+            watermark=watermark,
+        )
+    if kind == "m4":
+        # declarative streaming M4 downsampling (live dashboard feed):
+        #   operator:
+        #     kind: m4
+        #     key_col: role
+        #     value: "CAST(length(text) AS DOUBLE)"
+        #     bucket: 6 hours
+        from pyspark.sql import functions as F
+
+        from quanta_spark.operators.timeseries import m4_downsample
+
+        value = op.get("value")
+        if not value:
+            raise ValueError("m4 operator needs a value expression")
+        key_col = op.get("key_col", "role")
+        ts_col = op.get("ts_col", "ts")
+        src = df.select(F.col(key_col), F.col(ts_col), F.expr(value).alias("value"))
+        return m4_downsample(
+            src,
+            key_col=key_col,
+            ts_col=ts_col,
+            value_col="value",
+            bucket=op.get("bucket", "6 hours"),
+            watermark=watermark,
+        )
     raise ValueError(f"unknown operator kind {kind!r}")
 
 
@@ -367,6 +424,27 @@ def compile_pipeline(spark: SparkSession, spec: str | dict) -> CompiledPipeline:
             )
         elif kind == "kafka":
             writers.append(kafka_batch_writer(s["bootstrap"], s["topic"]))
+        elif kind == "rollup":
+            # continuous-aggregate sink (exactly-once generation fold):
+            #   sinks:
+            #     - kind: rollup
+            #       path: /path/to/rollup
+            #       keys: [role]
+            #       value_col: value
+            #       distinct_col: conv_id     # optional HLL
+            #       hist: [0, 512, 128]       # optional percentiles
+            from quanta_spark.sinks.rollup import RollupSink
+
+            hist = s.get("hist")
+            writers.append(
+                RollupSink(
+                    base_dir=s["path"],
+                    keys=tuple(s.get("keys", ("role",))),
+                    value_col=s.get("value_col", "value"),
+                    distinct_col=s.get("distinct_col"),
+                    hist=tuple(hist) if hist else None,
+                )
+            )
         else:
             raise ValueError(f"unknown sink kind {kind!r}")
     if dlq_df is not None and sink is not None:

@@ -425,3 +425,132 @@ def test_dq_monitor_kind_requires_checks(spark, transcripts_dir, tmp_workdir):
     }
     with _pytest.raises(ValueError, match="checks"):
         compile_pipeline(spark, spec)
+
+
+def test_cusum_kind_compiles_and_runs(spark, transcripts_dir, small_spec, tmp_workdir):
+    """`kind: cusum` wires stream_cusum from pure YAML (value is a SQL
+    expression) and the drained alarms equal the operator's batch fold
+    over the same data."""
+    import shutil as _sh
+
+    import pandas as pd
+
+    from quanta_spark.datagen import generate, write_heartbeat_file
+    from quanta_spark.operators.stateful import stream_cusum
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    private_dir = os.path.join(tmp_workdir, "cusum_in")
+    _sh.copytree(transcripts_dir, private_dir)
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "cusum",
+            "source": {"kind": "parquet-stream", "path": private_dir},
+            "watermark": "1 hour",
+            "operator": {
+                "kind": "cusum",
+                "key_col": "conv_id",
+                "value": "CAST(length(text) AS DOUBLE)",
+                "target": 10.0,
+                "slack": 2.0,
+                "threshold": 60.0,
+            },
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out_cusum"),
+                "key_cols": ["conv_id", "ts", "side"],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_cusum"),
+        },
+    }
+    compiled = compile_pipeline(spark, spec)
+    assert compiled.df.isStreaming
+    assert set(compiled.df.columns) == {"conv_id", "ts", "side", "stat"}
+    rows: list = []
+    h = start_pipeline(
+        compiled.df, lambda b, i: rows.extend(b.collect()), spec["pipeline"]["checkpoint"]
+    )
+    h.process_all_available()
+    pdf_all = generate(small_spec)
+    write_heartbeat_file(private_dir, pdf_all["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h)
+    got = sorted(
+        (r["conv_id"], r["ts"], r["side"], r["stat"])
+        for r in rows
+        if not r["conv_id"].startswith("hb")
+    )
+    batch = stream_cusum(
+        spark.read.parquet(private_dir).selectExpr(
+            "conv_id", "ts", "CAST(length(text) AS DOUBLE) AS value"
+        ),
+        key_col="conv_id",
+        ts_col="ts",
+        value_col="value",
+        target=10.0,
+        slack=2.0,
+        threshold=60.0,
+    )
+    want = sorted(
+        (r["conv_id"], r["ts"], r["side"], r["stat"])
+        for r in batch.collect()
+        if not r["conv_id"].startswith("hb")
+    )
+    assert got and got == want
+
+
+def test_rollup_sink_kind_maintains_continuous_aggregate(
+    spark, transcripts_dir, small_spec, tmp_workdir
+):
+    """`sinks: [kind: rollup]` folds every micro-batch into the
+    generation-committed rollup; the final table equals a one-shot
+    batch rollup of the same rows."""
+    from quanta_spark.operators.rollup import rollup_aggregate
+    from quanta_spark.sinks.rollup import RollupSink
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    out = os.path.join(tmp_workdir, "rollup_out")
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "rollup",
+            "source": {"kind": "parquet-stream", "path": transcripts_dir},
+            "watermark": "1 hour",
+            "transformers": [{"name": "with_turn_length"}],
+            "sinks": [
+                {
+                    "kind": "rollup",
+                    "path": out,
+                    "keys": ["role"],
+                    "value_col": "value",
+                    "distinct_col": "conv_id",
+                }
+            ],
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_rollup"),
+        },
+    }
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.stages import Stage, register
+
+    register(
+        Stage(
+            name="with_turn_length",
+            map_cols=lambda: {"value": F.length("text").cast("double")},
+        )
+    )
+    compiled = compile_pipeline(spark, spec)
+    h = start_pipeline(compiled.df, compiled.sink_fn, spec["pipeline"]["checkpoint"])
+    run_to_completion(h)
+    sink = RollupSink(base_dir=out, keys=("role",), value_col="value", distinct_col="conv_id")
+    got = sorted(
+        (r["role"], r["n"], r["sum_e6"], r["min_v"], r["max_v"])
+        for r in sink.read_rollup(spark).collect()
+    )
+    src = spark.read.parquet(transcripts_dir).selectExpr(
+        "role", "conv_id", "CAST(length(text) AS DOUBLE) AS value"
+    )
+    want = sorted(
+        (r["role"], r["n"], r["sum_e6"], r["min_v"], r["max_v"])
+        for r in rollup_aggregate(src, ["role"], "value", distinct_col="conv_id").collect()
+    )
+    assert got == want
