@@ -6805,3 +6805,94 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.createOrReplaceTempView("m")
     v = spark.sql(_Q154_VARIANT.replace("//", "div"))
     return edit_link(m, v, "m_id", "v_id", "key", max_edits=2)
+
+
+# q155: two corrupted replicas per master — A: 1 substitution,
+# B: 1 deletion — plus unlinkable 3-edit negatives for ids%10==0
+# (both replicas, mutually >2 edits apart too), so entities are
+# {master, A, B} stars except the negatives, which stay singletons
+_Q155_DERIVE = f"""
+m AS ({_Q154_MASTER}),
+pos AS (SELECT m_id, key, CAST(m_id % 12 AS INT) + 1 AS p1 FROM m),
+va AS (
+  SELECT m_id + 10000000 AS v_id,
+         CASE WHEN m_id % 10 = 0 THEN concat('zzz', substr(key, 4, 9))
+              ELSE concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1))
+         END AS key
+  FROM pos
+),
+vb AS (
+  SELECT m_id + 20000000 AS v_id,
+         CASE WHEN m_id % 10 = 0 THEN concat('qqq', substr(key, 4, 9))
+              ELSE concat(substr(key, 1, p1 - 1), substr(key, p1 + 1, 12 - p1))
+         END AS key
+  FROM pos
+),
+v AS (SELECT * FROM va UNION ALL SELECT * FROM vb)
+"""
+
+
+@query(
+    "q155_entity_resolution",
+    f"""
+WITH RECURSIVE {_Q155_DERIVE},
+nodes AS (SELECT m_id AS node FROM m UNION ALL SELECT v_id FROM v),
+links AS (
+  SELECT m.m_id AS a, v.v_id AS b FROM m, v
+  WHERE levenshtein(m.key, v.key) <= 2
+),
+edges AS (SELECT a, b FROM links UNION ALL SELECT b, a FROM links),
+reach AS (
+  SELECT node AS src, node AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+ent AS (SELECT src AS node_id, min(dst) AS entity_id FROM reach GROUP BY 1)
+SELECT e.node_id, e.entity_id, CAST(s.size AS BIGINT) AS size
+FROM ent e
+JOIN (SELECT entity_id, count(*) AS size FROM ent GROUP BY 1) s USING (entity_id)
+""",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end (edit_link -> dedup_components ->
+    canonical ids): two independently corrupted replicas of each
+    master record (one substitution; one deletion) must collapse with
+    their master into ONE entity keyed by the minimum id, while 3-edit
+    negatives stay singleton entities. The oracle brute-forces the
+    link graph and resolves components by recursive-CTE transitive
+    closure — every (node, entity, cluster size) row must match, so
+    the gate proves blocking recall AND star-contraction correctness
+    compose."""
+    from quanta_spark.operators.dedup import dedup_components, edit_link
+
+    m = spark.sql(_Q154_MASTER.replace("VARCHAR", "STRING"))
+    m.createOrReplaceTempView("m")
+    # same derivation the oracle's _Q155_DERIVE CTEs perform
+    spark.sql(
+        "SELECT m_id, key, CAST(m_id % 12 AS INT) + 1 AS p1 FROM m"
+    ).createOrReplaceTempView("pos")
+    va = spark.sql(
+        "SELECT m_id + 10000000 AS v_id, "
+        "CASE WHEN m_id % 10 = 0 THEN concat('zzz', substr(key, 4, 9)) "
+        "ELSE concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1)) END AS key "
+        "FROM pos"
+    )
+    vb = spark.sql(
+        "SELECT m_id + 20000000 AS v_id, "
+        "CASE WHEN m_id % 10 = 0 THEN concat('qqq', substr(key, 4, 9)) "
+        "ELSE concat(substr(key, 1, p1 - 1), substr(key, p1 + 1, 12 - p1)) END AS key "
+        "FROM pos"
+    )
+    v = va.unionByName(vb)
+    links = edit_link(m, v, "m_id", "v_id", "key", max_edits=2)
+    pairs = links.select(F.col("m_id").alias("doc_a"), F.col("v_id").alias("doc_b"))
+    comp = dedup_components(pairs)
+    nodes = m.select(F.col("m_id").alias("node_id")).unionByName(
+        v.select(F.col("v_id").alias("node_id"))
+    )
+    ent = nodes.join(comp, nodes["node_id"] == comp["doc_id"], "left").select(
+        "node_id",
+        F.coalesce(F.col("component_id"), F.col("node_id")).alias("entity_id"),
+    )
+    sizes = ent.groupBy("entity_id").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    return ent.join(sizes, "entity_id").select("node_id", "entity_id", "size")
