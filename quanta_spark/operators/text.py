@@ -919,3 +919,60 @@ def pmi_collocations(
         .orderBy(F.col("pmi_bp").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+#: Unicode script ranges as LITERAL character classes — defined once
+#: and imported by the gate oracle so both engines count with the
+#: byte-identical pattern (Java regex and RE2 both accept literal
+#: range endpoints; \\u escapes differ between them).
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cyrillic": "[\u0400-\u04ff]",
+    "greek": "[\u0370-\u03ff]",
+    "arabic": "[\u0600-\u06ff]",
+    "cjk": "[\u4e00-\u9fff]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script profile — the multilingual-triage
+    signal a web-scale corpus needs before language-specific filters
+    (the n-gram language ID here only separates latin-script
+    languages): counts of characters per major script block plus the
+    dominant script (most characters; ties break by the fixed
+    priority latin > digit > cyrillic > greek > arabic > cjk >
+    ``other``). Pure regexp_count Column expressions — scan-speed,
+    zero shuffle, zero Python — and the range patterns are literal
+    characters shared with the SQL oracle, so both engines count the
+    same classes.
+
+    ``other`` counts everything outside the six blocks and
+    whitespace; a document of pure punctuation is dominant-``other``,
+    the junk signal."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    ws = F.regexp_count(t, F.lit("\\s")).cast("long")
+    n_chars = F.length(t).cast("long")
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    other = (n_chars - known - ws).alias("n_other")
+    cols = [F.col("doc_id"), n_chars.alias("n_chars")] + [
+        c.alias(f"n_{name}") for name, c in counts.items()
+    ] + [other]
+    out = df.select(*cols)
+    dominant = F.lit("other")
+    # reverse priority: later WHEN wins only by being checked FIRST,
+    # so build from lowest priority upward with >= on the running max
+    best = F.col("n_other")
+    for name in ["cjk", "arabic", "greek", "cyrillic", "digit", "latin"]:
+        c = F.col(f"n_{name}")
+        dominant = F.when(c >= best, F.lit(name)).otherwise(dominant)
+        best = F.greatest(c, best)
+    # empty / all-whitespace documents carry no script signal at all
+    dominant = F.when(best == 0, F.lit("other")).otherwise(dominant)
+    return out.withColumn("dominant", dominant)

@@ -6896,3 +6896,72 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = ent.groupBy("entity_id").agg(F.count(F.lit(1)).cast("long").alias("size"))
     return ent.join(sizes, "entity_id").select("node_id", "entity_id", "size")
+
+
+def _q156_parts() -> tuple[str, str, str]:
+    """Shared q156 fragments: the multilingual seed expression, the
+    per-script count list, and the dominant-script CASE — built from
+    text.SCRIPT_RANGES so both engines count byte-identical classes."""
+    from quanta_spark.operators.text import SCRIPT_RANGES
+
+    seed = (
+        "concat(text,"
+        " CASE WHEN doc_id % 3 = 0 THEN ' Привет мир' ELSE '' END,"
+        " CASE WHEN doc_id % 4 = 0 THEN ' 中文文本' ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN ' مرحبا 42' ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN ' αβγδ !!' ELSE '' END)"
+    )
+    order = ["latin", "digit", "cyrillic", "greek", "arabic", "cjk"]
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{SCRIPT_RANGES[n]}')) AS BIGINT) AS n_{n}"
+        for n in order
+    )
+    prio = ["latin", "digit", "cyrillic", "greek", "arabic", "cjk", "other"]
+    all_counts = ", ".join(f"n_{m}" for m in prio)
+    whens = [f"WHEN greatest({all_counts}) = 0 THEN 'other'"]
+    for i, n in enumerate(prio[:-1]):
+        rest = ", ".join(f"n_{m}" for m in prio[i + 1 :])
+        cmp = f"greatest({rest})" if "," in rest else rest
+        whens.append(f"WHEN n_{n} >= {cmp} THEN '{n}'")
+    dominant = "CASE " + " ".join(whens) + " ELSE 'other' END"
+    return seed, counts, dominant
+
+
+_Q156_SEED, _Q156_COUNTS, _Q156_DOMINANT = _q156_parts()
+
+
+@query(
+    "q156_script_profile",
+    f"""
+WITH seeded AS (SELECT doc_id, {_Q156_SEED} AS text FROM documents),
+c AS (
+  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, {_Q156_COUNTS},
+         CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_ws
+  FROM seeded
+),
+p AS (
+  SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_greek, n_arabic, n_cjk,
+         n_chars - n_latin - n_digit - n_cyrillic - n_greek - n_arabic - n_cjk - n_ws
+           AS n_other
+  FROM c
+)
+SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_greek, n_arabic, n_cjk,
+       n_other, {_Q156_DOMINANT} AS dominant
+FROM p
+""",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profile (text.script_profile) — multilingual
+    corpus triage: per-document character counts for six major script
+    blocks plus a deterministic dominant-script label (fixed priority
+    on ties). The fixture corpus is pure ASCII, so the gate seeds
+    Cyrillic/CJK/Arabic/Greek snippets by doc_id arithmetic; the range
+    patterns are LITERAL characters defined once (text.SCRIPT_RANGES)
+    and embedded in both engines' queries. Pure regexp_count scan —
+    zero shuffle, zero Python."""
+    from quanta_spark.operators.text import script_profile
+
+    seeded = spark.table("documents").selectExpr(
+        "doc_id", _Q156_SEED.replace("len(", "length(") + " AS text"
+    )
+    return script_profile(seeded)

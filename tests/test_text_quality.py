@@ -292,3 +292,32 @@ def test_pmi_min_count_and_validation(spark):
         pmi_collocations(df, min_count=0)
     with pytest.raises(ValueError):
         pmi_collocations(df, top_n=0)
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from quanta_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),               # latin dominant
+        (2, "Привет мир!"),               # cyrillic dominant
+        (3, "中文 abc"),                   # latin 3 > cjk 2
+        (4, "中文中文 ab"),                # cjk 4 > latin 2
+        (5, "!!! ???"),                   # punctuation -> other
+        (6, "abc 123"),                   # latin ties... 3 vs 3 digits
+        (7, "مرحبا"),                     # arabic
+        (8, ""),                          # empty -> all zero, other wins ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["dominant"] == "latin" and out[1]["n_latin"] == 10
+    assert out[2]["dominant"] == "cyrillic" and out[2]["n_cyrillic"] == 9
+    assert out[2]["n_other"] == 1  # the '!'
+    assert out[3]["dominant"] == "latin"
+    assert out[4]["dominant"] == "cjk"
+    assert out[5]["dominant"] == "other" and out[5]["n_other"] == 6
+    # tie latin=3 digit=3 -> fixed priority: latin
+    assert out[6]["dominant"] == "latin"
+    assert out[7]["dominant"] == "arabic" and out[7]["n_arabic"] == 5
+    assert out[8]["dominant"] == "other" and out[8]["n_chars"] == 0
+    # whitespace never counts toward any script or other
+    assert out[1]["n_other"] == 0
