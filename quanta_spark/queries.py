@@ -6965,3 +6965,85 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _Q156_SEED.replace("len(", "length(") + " AS text"
     )
     return script_profile(seeded)
+
+
+@query(
+    "q157_stream_latency_slo",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+u AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user'),
+r AS (
+  SELECT conv_id, turn_idx, role, ts FROM transcripts
+  WHERE role IN ('assistant', 'tool')
+),
+j AS (
+  SELECT r.role AS reply_role,
+         (epoch_us(r.ts) - epoch_us(u.ts)) // 1000000 AS vl
+  FROM u
+  JOIN r ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx + 1
+        AND r.ts >= u.ts AND r.ts <= u.ts + INTERVAL 30 MINUTE
+),
+b AS (
+  SELECT reply_role, (greatest(least(vl, 1799), 0) * 60) // 1800 AS bin_idx FROM j
+),
+h AS (SELECT reply_role, bin_idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+tot AS (SELECT reply_role, count(*) AS total_cnt FROM b GROUP BY 1),
+cum AS (
+  SELECT reply_role, bin_idx, cnt,
+         sum(cnt) OVER (PARTITION BY reply_role ORDER BY bin_idx) AS cum_cnt
+  FROM h
+),
+qs AS (SELECT unnest([5000, 9500, 9900]) AS q_bp),
+sel AS (
+  SELECT c.reply_role, q.q_bp, t.total_cnt, min(c.bin_idx) AS bin_idx
+  FROM cum c
+  JOIN tot t USING (reply_role)
+  CROSS JOIN qs q
+  WHERE c.cum_cnt >= (q.q_bp * t.total_cnt + 9999) // 10000
+  GROUP BY 1, 2, 3
+)
+SELECT s.reply_role, CAST(s.q_bp AS INT) AS q_bp, CAST(s.bin_idx AS INT) AS bin_idx,
+       CAST(((s.bin_idx + 1) * 1800) // 60 AS BIGINT) AS bin_upper,
+       CAST(c.cum_cnt AS BIGINT) AS cum_cnt,
+       CAST(s.total_cnt AS BIGINT) AS total_cnt
+FROM sel s
+JOIN cum c ON c.reply_role = s.reply_role AND c.bin_idx = s.bin_idx
+""",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING reply-latency SLO percentiles — the round's streaming
+    families COMPOSED: the stateful stream-stream user/reply join
+    feeds per-reply latencies (integer seconds) into the
+    continuous-aggregate RollupSink with a 60-bin mergeable histogram;
+    p50/p95/p99 per reply role read off the committed O(roles)
+    generation with rollup_quantiles and must equal the oracle's
+    full-scan histogram quantiles exactly, despite jittered arrival
+    and micro-batch folding."""
+    from quanta_spark.operators.rollup import rollup_quantiles
+    from quanta_spark.operators.stateful import join_user_replies
+    from quanta_spark.sinks.rollup import RollupSink
+    from quanta_spark.sources.readers import stream_transcripts_files
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    data_dir = _write_transcript_stream(spark, jitter=True)
+    ckpt = tempfile.mkdtemp(prefix="qs_slo_ckpt_")
+    hist = (0, 1800, 60)
+    sink = RollupSink(
+        base_dir=tempfile.mkdtemp(prefix="qs_slo_sink_"),
+        keys=("reply_role",),
+        value_col="value",
+        hist=hist,
+    )
+    src = stream_transcripts_files(
+        spark, data_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    joined = join_user_replies(src, watermark="1 hour", max_reply_delay="30 minutes")
+    val = joined.select(
+        "reply_role",
+        F.expr("(unix_micros(reply_ts) - unix_micros(user_ts)) div 1000000")
+        .cast("double")
+        .alias("value"),
+    )
+    h = start_pipeline(val, sink, ckpt)
+    run_to_completion(h)
+    return rollup_quantiles(sink.read_rollup(spark), [5000, 9500, 9900], *hist)
