@@ -36,6 +36,7 @@ __all__ = [
     "train_pq_codebooks",
     "class_centroid_accuracy",
     "pca_covariance",
+    "pca_cov_merge",
     "pca_fit",
     "pca_project",
 ]
@@ -642,4 +643,33 @@ def pca_project(
     return wide.select(
         F.col(id_col),
         F.expr(f"stack({k}, {stack_args}) AS (out_dim, y)"),
+    )
+
+
+def pca_cov_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two :func:`pca_covariance` tables — the mergeable-state
+    pair that makes PCA statistics a CONTINUOUS aggregate (FoldSink):
+    n, S_ij, m_i, m_j are plain integer sums per (i, j) cell
+    (associative/commutative/exact), and the covariance numerator is
+    recomputed from the merged sums. cov(history + delta) ==
+    merge(cov(history), cov(delta)) by linearity of all four sums."""
+    cols = ["i", "j", "n", "s", "mi", "mj"]
+    u = a.select(*cols).unionByName(b.select(*cols))
+    return (
+        u.groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("mi").alias("mi"),
+            F.sum("mj").alias("mj"),
+        )
+        .select(
+            "i",
+            "j",
+            F.col("n").cast("long"),
+            F.col("s").cast("long"),
+            F.col("mi").cast("long"),
+            F.col("mj").cast("long"),
+            (F.col("n") * F.col("s") - F.col("mi") * F.col("mj")).alias("cov_num"),
+        )
     )

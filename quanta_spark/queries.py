@@ -7047,3 +7047,58 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = start_pipeline(val, sink, ckpt)
     run_to_completion(h)
     return rollup_quantiles(sink.read_rollup(spark), [5000, 9500, 9900], *hist)
+
+
+@query("q158_stream_pca_covariance", ORACLES.get("q149_pca_covariance"))
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PCA statistics ingest (FoldSink + clustering
+    pca_covariance/pca_cov_merge): embeddings arrive as a real file
+    stream and each micro-batch's integer covariance partials fold
+    into the committed generation — no watermark, no vector retained;
+    state is the d^2 table. The final committed covariance must equal
+    q149's one-shot batch answer cell for cell (same oracle), because
+    all four sums are linear — the property that lets a 100 TB corpus
+    keep PCA statistics CONTINUOUSLY fresh at O(new vectors)/day."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators.clustering import pca_cov_merge, pca_covariance
+    from quanta_spark.sinks.rollup import FoldSink
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    pdf = spark.table("embeddings").select("vec_id", "embedding").toPandas()
+    _guard_gate_rows(len(pdf), "embedding stream input")
+    pdf = pdf.sort_values("vec_id")
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["vec_id"], unit="s")
+    d = tempfile.mkdtemp(prefix="qs_covstream_")
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            path,
+        )
+        paths.append(path)
+    stamp_arrival_order(paths)
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sink = FoldSink(
+        base_dir=tempfile.mkdtemp(prefix="qs_covstream_sink_"),
+        aggregate_fn=lambda b: pca_covariance(b, in_dim=64, scale=10_000),
+        merge_fn=pca_cov_merge,
+    )
+    h = start_pipeline(src, sink, tempfile.mkdtemp(prefix="qs_covstream_ckpt_"))
+    run_to_completion(h)
+    return sink.read_state(spark)

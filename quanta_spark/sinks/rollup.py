@@ -1,14 +1,15 @@
-"""Streaming continuous-aggregate sink: fold every micro-batch into a
-persisted rollup, exactly once, without ever rescanning raw history.
+"""Streaming continuous-aggregate sinks: fold every micro-batch into
+a persisted mergeable-state table, exactly once, without ever
+rescanning raw history.
 
-``foreachBatch`` + :mod:`quanta_spark.operators.rollup`: each batch is
-reduced to a delta rollup (O(batch rows) work, map-side partials) and
-merged into the previous generation's table (O(groups) work). Because
-the merge is associative/commutative and keyed only by the group
-columns, this sink needs NO watermark and never drops late rows — a
-turn arriving a month late simply folds into its group, which is the
-semantics a corpus-statistics rollup wants (contrast the windowed
-operators, where lateness must be bounded to retire state).
+``foreachBatch`` + any (aggregate, merge) pair where merge is
+associative/commutative: each batch is reduced to a delta table
+(O(batch rows) work) and merged into the previous generation
+(O(state rows) work). Because the fold is order-independent and keyed
+only by content, these sinks need NO watermark and never drop late
+rows — a turn arriving a month late simply folds in, which is the
+semantics corpus statistics want (contrast the windowed operators,
+where lateness must be bounded to retire state).
 
 Exactly-once under replay (Structured Streaming re-runs the last
 uncommitted batch after a crash) comes from a generation protocol, the
@@ -25,11 +26,14 @@ A replayed batch id <= the marker is skipped entirely; a crash between
 overwrites the orphan directory. Either way every batch folds exactly
 once.
 
-Scale: the rollup table is O(groups), not O(rows) — per-batch cost is
-one aggregate of the delta plus one O(groups) join-rewrite (with the
-generation written bucketed on the keys the join side of the next fold
-would be exchange-free too; at this table size a plain parquet rewrite
-is already cheap). Raw history is never touched after its batch folds.
+:class:`FoldSink` is the general machine (bring your own
+aggregate/merge — covariance stats, sketch tables, anything
+mergeable); :class:`RollupSink` specializes it to the
+operators.rollup count/sum/min/max/HLL/histogram state.
+
+Scale: the state table is O(state rows), not O(input rows) — per-batch
+cost is one delta aggregate plus one O(state) join-rewrite; raw
+history is never touched after its batch folds.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,19 +50,20 @@ from quanta_spark.operators.rollup import rollup_aggregate, rollup_merge
 
 
 @dataclass
-class RollupSink:
-    """foreachBatch callable maintaining a continuous rollup at
-    ``base_dir`` grouped by ``keys`` over ``value_col`` (and an
-    optional HLL of ``distinct_col``)."""
+class FoldSink:
+    """foreachBatch callable folding batches through a user-supplied
+    mergeable-aggregate pair:
+
+    - ``aggregate_fn(batch_df) -> DataFrame``: reduce one micro-batch
+      to a delta state table;
+    - ``merge_fn(prev_state_df, delta_df) -> DataFrame``: combine two
+      state tables (must be associative + commutative so replay
+      boundaries and arrival order cannot change the result).
+    """
 
     base_dir: str
-    keys: tuple[str, ...] = ("role",)
-    value_col: str = "value"
-    distinct_col: str | None = None
-    lg_k: int = 12
-    #: (lo, hi, n_bins) — maintain a mergeable per-group histogram so
-    #: rollup_quantiles() answers live percentiles off the rollup
-    hist: tuple[int, int, int] | None = None
+    aggregate_fn: Callable[[DataFrame], DataFrame]
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame]
     keep_gens: int = 2
     batches_folded: list[int] = field(default_factory=list)
     batches_skipped: list[int] = field(default_factory=list)
@@ -83,19 +89,10 @@ class RollupSink:
             self.batches_skipped.append(batch_id)
             return
         spark = batch_df.sparkSession
-        delta = rollup_aggregate(
-            batch_df,
-            list(self.keys),
-            self.value_col,
-            distinct_col=self.distinct_col,
-            lg_k=self.lg_k,
-            hist=self.hist,
-        )
+        state = self.aggregate_fn(batch_df)
         if latest is not None:
             prev = spark.read.parquet(self._gen_dir(latest))
-            state = rollup_merge(prev, delta)
-        else:
-            state = delta
+            state = self.merge_fn(prev, state)
         state.write.mode("overwrite").parquet(self._gen_dir(batch_id))
         tmp = self._marker + ".tmp"
         os.makedirs(self.base_dir, exist_ok=True)
@@ -111,9 +108,43 @@ class RollupSink:
             if g not in kept and g <= batch_id - self.keep_gens:
                 shutil.rmtree(os.path.join(self.base_dir, name), ignore_errors=True)
 
-    def read_rollup(self, spark: SparkSession) -> DataFrame:
-        """The committed rollup (latest published generation)."""
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """The committed state (latest published generation)."""
         gen = self.latest_gen()
         if gen is None:
-            raise FileNotFoundError(f"no committed rollup under {self.base_dir}")
+            raise FileNotFoundError(f"no committed state under {self.base_dir}")
         return spark.read.parquet(self._gen_dir(gen))
+
+
+@dataclass
+class RollupSink(FoldSink):
+    """FoldSink specialized to the operators.rollup mergeable state
+    (count / fixed-point sum / min / max, optional HLL distinct and
+    per-group histogram) grouped by ``keys`` over ``value_col``."""
+
+    aggregate_fn: Callable[[DataFrame], DataFrame] | None = None
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None
+    keys: tuple[str, ...] = ("role",)
+    value_col: str = "value"
+    distinct_col: str | None = None
+    lg_k: int = 12
+    #: (lo, hi, n_bins) — maintain a mergeable per-group histogram so
+    #: rollup_quantiles() answers live percentiles off the rollup
+    hist: tuple[int, int, int] | None = None
+
+    def __post_init__(self) -> None:
+        if self.aggregate_fn is None:
+            self.aggregate_fn = lambda df: rollup_aggregate(
+                df,
+                list(self.keys),
+                self.value_col,
+                distinct_col=self.distinct_col,
+                lg_k=self.lg_k,
+                hist=self.hist,
+            )
+        if self.merge_fn is None:
+            self.merge_fn = rollup_merge
+
+    def read_rollup(self, spark: SparkSession) -> DataFrame:
+        """The committed rollup (latest published generation)."""
+        return self.read_state(spark)

@@ -302,3 +302,19 @@ def test_pca_validation(spark):
         pca_fit(emb, k=1, in_dim=16)
     with _pytest.raises(ValueError, match="components"):
         pca_project(emb, [])
+
+
+def test_pca_cov_merge_is_linear_and_order_invariant(spark):
+    """cov(a ∪ b) == merge(cov(a), cov(b)), in any fold order — the
+    property that makes PCA statistics a continuous aggregate."""
+    from quanta_spark.operators.clustering import pca_cov_merge, pca_covariance
+
+    emb = _planted_emb(spark, n=120, d=16)
+    a = emb.filter("vec_id < 40")
+    b = emb.filter("vec_id >= 40 AND vec_id < 90")
+    c = emb.filter("vec_id >= 90")
+    cov = lambda df: pca_covariance(df, in_dim=16)  # noqa: E731
+    full = sorted(map(tuple, cov(emb).collect()))
+    fwd = sorted(map(tuple, pca_cov_merge(pca_cov_merge(cov(a), cov(b)), cov(c)).collect()))
+    rev = sorted(map(tuple, pca_cov_merge(cov(c), pca_cov_merge(cov(b), cov(a))).collect()))
+    assert fwd == full and rev == full
