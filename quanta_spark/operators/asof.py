@@ -158,3 +158,39 @@ def interval_join(
         & (F.col(point_ts) <= F.col(end_col))
     )
     return joined.drop("_b")
+
+
+def scd2_asof_join(
+    points: DataFrame,
+    history: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time-correct enrichment against an SCD Type-2 history
+    (timeseries.scd2_history output): each point row picks up the
+    version valid AT its event time — ``valid_from <= ts < valid_to``
+    with a NULL ``valid_to`` meaning the open current version. Points
+    before the key's first version keep NULL attributes (``how='left'``,
+    the audit-friendly default: enrichment never drops events).
+
+    Works identically on a batch points side and on a STREAMING points
+    side (stream-static join — stateless, no watermark needed: the
+    history is a bounded dimension). At warehouse scale the history is
+    O(changes), usually broadcastable; if not, the equi half of the
+    condition (the key) still drives a shuffle hash join and the range
+    predicates evaluate as join residuals — never a cross product.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    h = history.select(
+        F.col(key_col).alias("_h_key"),
+        *[c for c in history.columns if c != key_col],
+    )
+    ts = F.col(ts_col).cast("timestamp")
+    cond = (
+        (F.col("_h_key") == F.col(key_col))
+        & (ts >= F.col("valid_from").cast("timestamp"))
+        & (F.col("valid_to").isNull() | (ts < F.col("valid_to").cast("timestamp")))
+    )
+    return points.join(h, cond, how).drop("_h_key")

@@ -7102,3 +7102,54 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = start_pipeline(src, sink, tempfile.mkdtemp(prefix="qs_covstream_ckpt_"))
     run_to_completion(h)
     return sink.read_state(spark)
+
+
+@query(
+    "q159_stream_scd2_enrich",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+hist AS ({ORACLES["q135_scd2_history"]})
+SELECT t.conv_id, t.turn_idx, t.ts,
+       h.event_type AS attr_at_ts,
+       CAST(h.version AS INT) AS version
+FROM transcripts t
+LEFT JOIN hist h
+  ON h.user_id = CAST(substr(t.conv_id, 6, 8) AS BIGINT)
+ AND t.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR t.ts < h.valid_to)
+""",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time SCD2 enrichment (asof.scd2_asof_join):
+    transcript turns arriving on the stream pick up the dimension
+    version valid AT their event time from the q135 history — the
+    warehouse stream-static pattern (stateless, no watermark: the
+    history is a bounded dimension; the equi key drives the join, the
+    validity range evaluates as a residual). Left join: turns before a
+    user's first version keep NULL attributes instead of dropping.
+    Oracle replays the same history build + point-in-time join in
+    SQL."""
+    from quanta_spark.operators.asof import scd2_asof_join
+    from quanta_spark.operators.timeseries import scd2_history
+
+    hist = scd2_history(spark.table("events"), attr_cols=("event_type",))
+
+    def op(src):
+        pts = src.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            # try_cast: the watermark heartbeat's conv_id is not
+            # numeric; it enriches to NULL and is stripped post-hoc
+            F.expr("TRY_CAST(substr(conv_id, 6, 8) AS BIGINT)").alias("user_id"),
+        )
+        out = scd2_asof_join(pts, hist, key_col="user_id", ts_col="ts")
+        return out.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.col("event_type").alias("attr_at_ts"),
+            F.col("version").cast("int").alias("version"),
+        )
+
+    return _run_stream_query(spark, op, jitter=True, heartbeat_in_output=True)

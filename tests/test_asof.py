@@ -135,3 +135,43 @@ def test_interval_join_rejects_unknown_bucket_unit(spark):
     points, intervals = _mk(spark)
     with pytest.raises(ValueError, match="unsupported bucket unit"):
         interval_join(points, intervals, bucket="1 week")
+
+
+def test_scd2_asof_join_picks_version_at_event_time(spark):
+    from datetime import datetime
+
+    from quanta_spark.operators.asof import scd2_asof_join
+
+    d = lambda day: datetime(2024, 1, day)  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", d(1), d(10), 1, False),
+            (1, "gold", d(10), None, 2, True),
+            (2, "silver", d(5), None, 1, True),
+        ],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp, "
+        "version int, is_current boolean",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, d(2)),   # inside v1
+            (1, d(10)),  # boundary: valid_from inclusive -> v2
+            (1, d(20)),  # open current version
+            (2, d(1)),   # before user 2's first version -> NULLs
+            (3, d(2)),   # unknown key -> NULLs
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(r["user_id"], r["ts"]): (r["tier"], r["version"])
+           for r in scd2_asof_join(pts, hist).collect()}
+    assert out[(1, d(2))] == ("bronze", 1)
+    assert out[(1, d(10))] == ("gold", 2)  # half-open intervals
+    assert out[(1, d(20))] == ("gold", 2)
+    assert out[(2, d(1))] == (None, None)
+    assert out[(3, d(2))] == (None, None)
+    inner = scd2_asof_join(pts, hist, how="inner").count()
+    assert inner == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how"):
+        scd2_asof_join(pts, hist, how="full")
