@@ -1035,3 +1035,76 @@ def retrieval_metrics(approx: DataFrame, truth: DataFrame, k: int = 5) -> DataFr
     return out.withColumn(
         "ndcg_bp", F.expr("dcg_e6 * 10000 div idcg_e6").cast("long")
     )
+
+
+def tokenize_vectors(
+    df: DataFrame,
+    n_tokens: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Slice each d-dim vector into ``n_tokens`` contiguous sub-vectors
+    — the long-format (id, token_idx, tvec) table multi-vector
+    retrieval runs on. Pure Catalyst slice/posexplode (zero Python);
+    real token embeddings drop in with the same shape."""
+    if n_tokens < 1:
+        raise ValueError(f"n_tokens must be >= 1, got {n_tokens}")
+    toks = F.expr(
+        f"transform(sequence(0, {n_tokens - 1}), i -> "
+        f"slice({vec_col}, i * (size({vec_col}) div {n_tokens}) + 1, "
+        f"size({vec_col}) div {n_tokens}))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(toks).alias("token_idx", "tvec")
+    )
+
+
+def maxsim_topk(
+    corpus_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT MaxSim —
+    Khattab & Zaharia, SIGIR'20): score(q, d) = sum over q's tokens of
+    the MAX cosine against any of d's tokens. This is the EXACT
+    brute-force baseline of the family (the multi-vector q27): per
+    query-token cosines quantize to integer basis points FIRST, then
+    max, then sum — so the score is engine- and partitioning-exact and
+    the top-k (score desc, id asc) is a total order.
+
+    Inputs are long-format token tables from :func:`tokenize_vectors`
+    (or any (id, token_idx, tvec) source). The query token table is
+    broadcast under the shared MAX_BROADCAST_QUERIES budget; the
+    corpus streams through one scan — no shuffle before the per-query
+    top-k. Candidate pruning at 100 TB composes upstream: filter the
+    corpus-token side with any blocking family (LSH buckets, IVF
+    cells) before calling; MaxSim itself is the verify stage.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _enforce_query_budget(query_tokens.select("query_id").distinct())
+    q = query_tokens.select(
+        "query_id", F.col("token_idx").alias("q_token_idx"), F.col("tvec").alias("qvec")
+    )
+    c = corpus_tokens.select("vec_id", F.col("tvec").alias("cvec"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        "q_token_idx",
+        _cosine_bp("qvec", "cvec").alias("sim_bp"),
+    )
+    per_qtok = scored.groupBy("query_id", "vec_id", "q_token_idx").agg(
+        F.max("sim_bp").alias("m")
+    )
+    per_pair = per_qtok.groupBy("query_id", "vec_id").agg(
+        F.sum("m").cast("long").alias("maxsim_bp")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.col("maxsim_bp").desc(), F.col("vec_id"))
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "maxsim_bp")
+    )

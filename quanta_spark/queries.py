@@ -7153,3 +7153,55 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_stream_query(spark, op, jitter=True, heartbeat_in_output=True)
+
+
+@query(
+    "q160_maxsim_topk",
+    """
+WITH tok AS (
+  SELECT vec_id, i AS token_idx,
+         list_slice(embedding, i * 16 + 1, i * 16 + 16) AS tvec
+  FROM embeddings, generate_series(0, 3) g(i)
+),
+q AS (
+  SELECT vec_id AS query_id, token_idx AS q_token_idx, tvec AS qvec
+  FROM tok WHERE vec_id % 50 = 0 AND vec_id < 2500
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id, q.q_token_idx,
+         CAST(round(list_cosine_similarity(CAST(c.tvec AS DOUBLE[]),
+                                           CAST(q.qvec AS DOUBLE[])) * 10000)
+              AS BIGINT) AS sim_bp
+  FROM q, tok c WHERE c.vec_id <> q.query_id
+),
+m AS (
+  SELECT query_id, vec_id, q_token_idx, max(sim_bp) AS m
+  FROM pairs GROUP BY 1, 2, 3
+),
+s AS (SELECT query_id, vec_id, CAST(sum(m) AS BIGINT) AS maxsim_bp FROM m GROUP BY 1, 2)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, maxsim_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY maxsim_bp DESC, vec_id ASC) AS rk
+  FROM s
+) t
+WHERE rk <= 5
+""",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector MaxSim retrieval (similarity.maxsim_topk —
+    ColBERT late interaction, Khattab & Zaharia SIGIR'20): each
+    embedding sliced into four 16-dim token vectors
+    (similarity.tokenize_vectors); score = sum over query tokens of
+    the max per-token cosine (quantized to basis points BEFORE
+    max/sum, so the score is engine-exact); top-5 on the
+    (score desc, id asc) total order against the same fixed 50-query
+    budget as q27/q30. The exact multi-vector baseline — blocking
+    families compose upstream as candidate filters."""
+    from quanta_spark.operators.similarity import maxsim_topk, tokenize_vectors
+
+    toks = tokenize_vectors(spark.table("embeddings"), n_tokens=4)
+    qtoks = toks.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)).select(
+        F.col("vec_id").alias("query_id"), "token_idx", "tvec"
+    )
+    return maxsim_topk(toks, qtoks, k=5)

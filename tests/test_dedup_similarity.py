@@ -1137,3 +1137,41 @@ def test_edit_link_handles_indels_and_matches_bruteforce(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     with _pytest.raises(ValueError, match="max_edits"):
         edit_link(m, v, max_edits=-1)
+
+
+def test_maxsim_hand_computed_and_tokenizer_shape(spark):
+    """MaxSim on hand-built token tables: per-query-token MAX then SUM,
+    integer-exact; tokenizer slices contiguously."""
+    import numpy as np
+    import pytest as _pytest
+
+    from quanta_spark.operators.similarity import maxsim_topk, tokenize_vectors
+
+    # corpus doc 1: tokens aligned with query tokens (perfect 1.0 each)
+    # corpus doc 2: one matching token, one orthogonal
+    q = spark.createDataFrame(
+        [(100, 0, [1.0, 0.0]), (100, 1, [0.0, 1.0])],
+        "query_id long, token_idx int, tvec array<float>",
+    )
+    c = spark.createDataFrame(
+        [
+            (1, 0, [2.0, 0.0]), (1, 1, [0.0, 3.0]),
+            (2, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0]),
+        ],
+        "vec_id long, token_idx int, tvec array<float>",
+    )
+    out = {r["vec_id"]: r for r in maxsim_topk(c, q, k=5).collect()}
+    assert out[1]["maxsim_bp"] == 20_000 and out[1]["rank"] == 1
+    # doc 2: q-token0 max = 1.0 (10000), q-token1 max = 0.0
+    assert out[2]["maxsim_bp"] == 10_000 and out[2]["rank"] == 2
+    toks = tokenize_vectors(
+        spark.createDataFrame([(7, [float(i) for i in range(8)])],
+                              "vec_id long, embedding array<float>"),
+        n_tokens=4,
+    ).collect()
+    got = {r["token_idx"]: r["tvec"] for r in toks}
+    assert got == {0: [0.0, 1.0], 1: [2.0, 3.0], 2: [4.0, 5.0], 3: [6.0, 7.0]}
+    with _pytest.raises(ValueError, match="n_tokens"):
+        tokenize_vectors(spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>"), n_tokens=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        maxsim_topk(c, q, k=0)
