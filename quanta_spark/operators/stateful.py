@@ -1424,3 +1424,179 @@ def stream_cusum(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_temporal_join(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    is_dim_col: str = "is_dim",
+    attr_col: str = "attr",
+    seq_col: str = "seq",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Temporal table join — Flink's ``FOR SYSTEM_TIME AS OF`` /
+    changelog-versioned enrichment, which Spark lacks natively: one
+    stream carries BOTH dimension updates (``is_dim`` true, with
+    ``attr``) and events; every event is enriched with the latest
+    dimension value at-or-before its event time and emitted exactly
+    once, even when the dimension update arrives in a later
+    micro-batch than the event it must enrich.
+
+    Correctness contract (the q159 stream-STATIC join cannot give
+    this): an event may only emit once the watermark passes its
+    timestamp — before that, an earlier-timestamped dim update could
+    still arrive; after it, any such update would be watermark-dropped
+    anyway, so the enrichment is FINAL. Rows fold in strict
+    (ts, dim-first, seq) order at timer fire, the same ordered-replay
+    machinery as turn-order/CUSUM. State per key: the current
+    dimension value (two scalars, kept for the key's lifetime — the
+    continuous-monitor contract) plus the watermark-bounded arrival
+    buffer.
+
+    Batch input runs the identical fold per key in one pass (the
+    oracle path: last non-null attr over the ordered union).
+    """
+    import numpy as np
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("attr_at_ts", T.StringType()),
+        ]
+    )
+
+    def _prep(pdf: pd.DataFrame):
+        ts_us = pdf[ts_col].astype("datetime64[us]").to_numpy().astype(np.int64)
+        seq = pdf[seq_col].to_numpy(dtype=np.int64)
+        is_dim = pdf[is_dim_col].to_numpy(dtype=bool)
+        attr = pdf[attr_col].where(pdf[attr_col].notna(), None).to_numpy(dtype=object)
+        return ts_us, seq, is_dim, attr
+
+    def _fold(cur_attr, ts_us, seq, is_dim, attr):
+        """Ordered fold over one ripe segment, fully vectorized: each
+        event takes the attr of the last dim row before it (prefix-max
+        of dim positions), falling back to the carried value."""
+        n = len(ts_us)
+        if n == 0:
+            return cur_attr, [], [], []
+        pos = np.where(is_dim, np.arange(n), -1)
+        last_dim = np.maximum.accumulate(pos)
+        ev = ~is_dim
+        ld = last_dim[ev]
+        looked_up = attr[np.maximum(ld, 0)]
+        out_attr = np.where(ld >= 0, looked_up, cur_attr).tolist()
+        new_cur = attr[last_dim[-1]] if last_dim[-1] >= 0 else cur_attr
+        return new_cur, seq[ev].tolist(), ts_us[ev].tolist(), out_attr
+
+    def _emit(key_val, out_seq, out_ts, out_attr):
+        return pd.DataFrame(
+            {
+                key_col: [key_val] * len(out_seq),
+                seq_col: pd.array(out_seq, dtype="int64"),
+                "ts": pd.to_datetime(out_ts, unit="us"),
+                "attr_at_ts": out_attr,
+            }
+        )
+
+    def _order(ts_us, seq, is_dim, attr):
+        # (ts, dim-first, seq): a dim update timestamped exactly at an
+        # event applies to it; seq (unique per key) totalizes ties
+        order = np.lexsort((seq, ~is_dim, ts_us))
+        return ts_us[order], seq[order], is_dim[order], attr[order]
+
+    if not df.isStreaming:
+
+        def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            arrs = _order(*_prep(pdf))
+            _, out_seq, out_ts, out_attr = _fold(None, *arrs)
+            return _emit(pdf[key_col].iloc[0], out_seq, out_ts, out_attr)
+
+        clean = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        return clean.groupBy(key_col).applyInPandas(_batch, schema=out_schema)
+
+    state_schema = T.StructType(
+        [
+            T.StructField("cur_attr", T.StringType()),
+            T.StructField("has_cur", T.BooleanType()),
+            T.StructField("b_ts", T.ArrayType(T.LongType())),
+            T.StructField("b_seq", T.ArrayType(T.LongType())),
+            T.StructField("b_dim", T.ArrayType(T.BooleanType())),
+            T.StructField("b_attr", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cur_attr, has_cur, b_ts, b_seq, b_dim, b_attr = state.get
+            if not has_cur:
+                cur_attr = None
+            b_ts = np.asarray(b_ts, dtype=np.int64)
+            b_seq = np.asarray(b_seq, dtype=np.int64)
+            b_dim = np.asarray(b_dim, dtype=bool)
+            b_attr = np.asarray(b_attr, dtype=object)
+        else:
+            cur_attr = None
+            b_ts = b_seq = np.empty(0, dtype=np.int64)
+            b_dim = np.empty(0, dtype=bool)
+            b_attr = np.empty(0, dtype=object)
+
+        def _save():
+            state.update(
+                (
+                    cur_attr,
+                    cur_attr is not None,
+                    b_ts.tolist(),
+                    b_seq.tolist(),
+                    b_dim.tolist(),
+                    [a if a is None else str(a) for a in b_attr],
+                )
+            )
+            wm = state.getCurrentWatermarkMs()
+            if len(b_ts):
+                state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
+
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            b_ts, b_seq, b_dim, b_attr = _order(b_ts, b_seq, b_dim, b_attr)
+            n_ripe = int((b_ts <= wm_us).sum())
+            if n_ripe:
+                cur_attr, out_seq, out_ts, out_attr = _fold(
+                    cur_attr, b_ts[:n_ripe], b_seq[:n_ripe], b_dim[:n_ripe],
+                    b_attr[:n_ripe],
+                )
+                b_ts, b_seq, b_dim, b_attr = (
+                    b_ts[n_ripe:], b_seq[n_ripe:], b_dim[n_ripe:], b_attr[n_ripe:]
+                )
+                _save()
+                if out_seq:
+                    yield _emit(key[0], out_seq, out_ts, out_attr)
+            else:
+                _save()
+            return
+
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            new = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            n_ts, n_seq, n_dim, n_attr = _prep(new)
+            b_ts = np.concatenate([b_ts, n_ts])
+            b_seq = np.concatenate([b_seq, n_seq])
+            b_dim = np.concatenate([b_dim, n_dim])
+            b_attr = np.concatenate([b_attr, n_attr])
+        _save()
+
+    clean = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    return (
+        clean.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

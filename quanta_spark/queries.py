@@ -7205,3 +7205,60 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "token_idx", "tvec"
     )
     return maxsim_topk(toks, qtoks, k=5)
+
+
+@query(
+    "q161_stream_temporal_join",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+u AS (
+  SELECT conv_id, ts, turn_idx AS seq, role = 'user' AS is_dim,
+         CASE WHEN role = 'user' THEN string_split(text, ' ')[1] END AS attr
+  FROM transcripts
+),
+enr AS (
+  SELECT conv_id, seq, ts, is_dim,
+         last_value(attr IGNORE NULLS) OVER (
+           PARTITION BY conv_id
+           ORDER BY ts, (CASE WHEN is_dim THEN 0 ELSE 1 END), seq
+           ROWS UNBOUNDED PRECEDING
+         ) AS attr_at_ts
+  FROM u
+)
+SELECT conv_id, CAST(seq AS BIGINT) AS seq, ts, attr_at_ts
+FROM enr WHERE NOT is_dim
+""",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING temporal table join (stateful.stream_temporal_join —
+    Flink's FOR SYSTEM_TIME AS OF, absent from Spark natively): user
+    turns act as dimension updates declaring the conversation's
+    current topic (their first token); every assistant/tool turn is
+    enriched with the topic in force AT its event time and emitted
+    exactly once — even under jittered arrival where the dim update
+    lands in a LATER micro-batch than the event it must enrich (the
+    case the stream-static q159 cannot handle). Oracle: last_value
+    IGNORE NULLS over the (ts, dim-first, seq) ordered union."""
+    from quanta_spark.operators.stateful import stream_temporal_join
+
+    def op(src):
+        tagged = src.select(
+            "conv_id",
+            "ts",
+            (F.col("role") == "user").alias("is_dim"),
+            F.when(
+                F.col("role") == "user", F.split(F.col("text"), " ").getItem(0)
+            ).alias("attr"),
+            F.col("turn_idx").cast("long").alias("seq"),
+        )
+        return stream_temporal_join(
+            tagged,
+            key_col="conv_id",
+            ts_col="ts",
+            is_dim_col="is_dim",
+            attr_col="attr",
+            seq_col="seq",
+            watermark="1 hour",
+        )
+
+    return _run_stream_query(spark, op, jitter=True, heartbeat_in_output=True)

@@ -805,3 +805,96 @@ def test_stream_cusum_restart_carry_and_exactly_once_alarms(spark, tmp_workdir):
     # the second alarm needs the 40-unit carry from BEFORE the crash
     assert (1, (t0 + 5 * m).to_pydatetime(), "up", 700_000) in got
     assert len(got) > n_pre
+
+
+def test_stream_temporal_join_restart_carries_dim_value(spark, tmp_workdir):
+    """Kill the temporal join mid-stream: the dimension value set
+    BEFORE the crash must enrich a post-crash event (carry spans the
+    checkpoint), a pre-crash event still buffered at crash time must
+    emit exactly once with a dim update that only ARRIVES after the
+    restart (but is inside the watermark horizon), and the union
+    equals the batch fold."""
+    from quanta_spark.operators.stateful import stream_temporal_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=10)
+    # dim alpha @0m; evt seq1 @+10m (ripe pre-crash -> 'alpha');
+    # dim beta @+20m (folds pre-crash, becomes the CARRY);
+    # evt seq2 @+80m (buffered: wm after wave1 = 80-30 = +50m)
+    wave1 = pd.DataFrame(
+        {
+            "seq": [0, 1, 2, 9],
+            "is_dim": [True, False, False, True],
+            "attr": ["alpha", None, None, "beta"],
+            "ts": [t0, t0 + m, t0 + 8 * m, t0 + 2 * m],
+        }
+    )
+    # post-restart, all inside the +50m watermark horizon:
+    # evt seq5 @+55m -> needs the carried 'beta';
+    # dim gamma @+60m -> must apply to the BUFFERED pre-crash seq2;
+    # evt seq4 @+90m -> 'gamma'
+    wave2 = pd.DataFrame(
+        {
+            "seq": [5, 3, 4],
+            "is_dim": [False, True, False],
+            "attr": [None, "gamma", None],
+            "ts": [t0 + 5.5 * m, t0 + 6 * m, t0 + 9 * m],
+        }
+    )
+    hb = pd.DataFrame(
+        {"seq": [99], "is_dim": [False], "attr": [None], "ts": [t0 + pd.Timedelta(days=30)]}
+    )
+
+    d = os.path.join(tmp_workdir, "in")
+    ckpt = os.path.join(tmp_workdir, "ckpt")
+    os.makedirs(d)
+
+    def _write(name, pdf):
+        pdf = pdf.assign(conv_id="c1")
+        schema = pa.schema(
+            [
+                pa.field("seq", pa.int64()),
+                pa.field("is_dim", pa.bool_()),
+                pa.field("attr", pa.string()),
+                pa.field("ts", pa.timestamp("us")),
+                pa.field("conv_id", pa.string()),
+            ]
+        )
+        p = os.path.join(d, name)
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p)
+        stamp_arrival_order([p])
+
+    def build():
+        src = (
+            spark.readStream.schema(
+                "seq long, is_dim boolean, attr string, ts timestamp, conv_id string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return stream_temporal_join(src, watermark="30 minutes")
+
+    rows: list = []
+    _write("p0000.parquet", wave1)
+    h1 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    h1.process_all_available()
+    h1.stop()
+    assert sorted((r["seq"], r["attr_at_ts"]) for r in rows) == [(1, "alpha")]
+
+    _write("p0001.parquet", wave2)
+    _write("p0002.parquet", hb)
+    h2 = start_pipeline(build(), lambda b, i: rows.extend(b.collect()), ckpt)
+    run_to_completion(h2)
+
+    got = sorted((r["seq"], r["attr_at_ts"]) for r in rows if r["seq"] < 90)
+    assert len(got) == len(set(r[0] for r in got)), "an event emitted twice"
+    once = pd.concat([wave1, wave2], ignore_index=True).assign(conv_id="c1")
+    batch = stream_temporal_join(spark.createDataFrame(once))
+    want = sorted((r["seq"], r["attr_at_ts"]) for r in batch.collect())
+    assert got == want
+    d_got = dict(got)
+    assert d_got[1] == "alpha"
+    assert d_got[5] == "beta"   # the pre-crash carry enriched it
+    assert d_got[2] == "gamma"  # post-crash dim applied to the
+    #                             buffered pre-crash event
+    assert d_got[4] == "gamma"
