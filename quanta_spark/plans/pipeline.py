@@ -24,7 +24,7 @@ Spec (YAML or dict), mirroring the reference vocabulary:
         kind: sessionize            # | tumbling | sliding | turn_order | user_replies | cep
                                     # | user_replies_outer | user_replies_full
                                     # | reply_sessions | stream_dedup | neardup_gate
-                                    # | dq_monitor | cusum | m4 | none
+                                    # | dq_monitor | cusum | m4 | temporal_join | none
         gap: 30 minutes
       sink:
         kind: idempotent-parquet    # | console | kafka | rollup
@@ -326,6 +326,41 @@ def _apply_operator(df: DataFrame, op: dict | None, watermark: str) -> DataFrame
             target=float(op.get("target", 0.0)),
             slack=float(op.get("slack", 0.0)),
             threshold=float(op.get("threshold", 1.0)),
+            watermark=watermark,
+        )
+    if kind == "temporal_join":
+        # declarative temporal table join (FOR SYSTEM_TIME AS OF):
+        #   operator:
+        #     kind: temporal_join
+        #     key_col: conv_id
+        #     is_dim: "role = 'user'"           # SQL predicate
+        #     attr: "split(text, ' ')[0]"       # SQL expr (dim rows)
+        #     seq_col: turn_idx
+        from pyspark.sql import functions as F
+
+        from quanta_spark.operators.stateful import stream_temporal_join
+
+        is_dim = op.get("is_dim")
+        attr = op.get("attr")
+        if not is_dim or not attr:
+            raise ValueError("temporal_join operator needs is_dim and attr expressions")
+        key_col = op.get("key_col", "conv_id")
+        ts_col = op.get("ts_col", "ts")
+        seq_col = op.get("seq_col", "turn_idx")
+        src = df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.expr(is_dim).alias("is_dim"),
+            F.when(F.expr(is_dim), F.expr(attr)).alias("attr"),
+            F.col(seq_col).cast("long").alias("seq"),
+        )
+        return stream_temporal_join(
+            src,
+            key_col=key_col,
+            ts_col=ts_col,
+            is_dim_col="is_dim",
+            attr_col="attr",
+            seq_col="seq",
             watermark=watermark,
         )
     if kind == "m4":

@@ -554,3 +554,70 @@ def test_rollup_sink_kind_maintains_continuous_aggregate(
         for r in rollup_aggregate(src, ["role"], "value", distinct_col="conv_id").collect()
     )
     assert got == want
+
+
+def test_temporal_join_kind_compiles_and_runs(
+    spark, transcripts_dir, small_spec, tmp_workdir
+):
+    """`kind: temporal_join` wires stream_temporal_join from pure YAML
+    (is_dim / attr are SQL expressions) and the drained enrichments
+    equal the operator's batch fold."""
+    import shutil as _sh
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from quanta_spark.datagen import HEARTBEAT_CONV, generate, write_heartbeat_file
+    from quanta_spark.operators.stateful import stream_temporal_join
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    private_dir = os.path.join(tmp_workdir, "tj_in")
+    _sh.copytree(transcripts_dir, private_dir)
+    spec = {
+        "schema_version": "v1",
+        "pipeline": {
+            "name": "tj",
+            "source": {"kind": "parquet-stream", "path": private_dir},
+            "watermark": "1 hour",
+            "operator": {
+                "kind": "temporal_join",
+                "is_dim": "role = 'user'",
+                "attr": "split(text, ' ')[0]",
+                "seq_col": "turn_idx",
+            },
+            "sink": {
+                "kind": "idempotent-parquet",
+                "path": os.path.join(tmp_workdir, "out_tj"),
+                "key_cols": ["conv_id", "seq"],
+            },
+            "checkpoint": os.path.join(tmp_workdir, "ckpt_tj"),
+        },
+    }
+    compiled = compile_pipeline(spark, spec)
+    assert set(compiled.df.columns) == {"conv_id", "seq", "ts", "attr_at_ts"}
+    rows: list = []
+    h = start_pipeline(
+        compiled.df, lambda b, i: rows.extend(b.collect()), spec["pipeline"]["checkpoint"]
+    )
+    h.process_all_available()
+    pdf_all = generate(small_spec)
+    write_heartbeat_file(private_dir, pdf_all["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h)
+    got = sorted(
+        (r["conv_id"], r["seq"], r["attr_at_ts"])
+        for r in rows
+        if r["conv_id"] != HEARTBEAT_CONV
+    )
+    batch_src = spark.read.parquet(private_dir).select(
+        "conv_id",
+        "ts",
+        F.expr("role = 'user'").alias("is_dim"),
+        F.when(F.expr("role = 'user'"), F.expr("split(text, ' ')[0]")).alias("attr"),
+        F.col("turn_idx").cast("long").alias("seq"),
+    )
+    want = sorted(
+        (r["conv_id"], r["seq"], r["attr_at_ts"])
+        for r in stream_temporal_join(batch_src).collect()
+        if r["conv_id"] != HEARTBEAT_CONV
+    )
+    assert got and got == want
