@@ -73,6 +73,48 @@ def _fuzzy_link_docs(docs):
     return fuzzy_link(m, v, "m_id", "v_id", "key", max_subs=2)
 
 
+def _edit_link_docs(docs):
+    """edit_link leg: md5-derived 12-hex master keys with the q154
+    corruption pattern (1 sub / 1 del / ins+sub / 3-sub negative)."""
+    from quanta_spark.operators.dedup import edit_link
+
+    m = docs.selectExpr(
+        "doc_id AS m_id", "substr(md5(CAST(doc_id AS STRING)), 1, 12) AS key"
+    )
+    v = m.selectExpr(
+        "m_id", "key", "CAST(m_id % 12 AS INT) + 1 AS p1",
+        "CAST((m_id div 7) % 13 AS INT) + 1 AS p2",
+    ).selectExpr(
+        "m_id", "key", "p1", "p2",
+        "concat(substr(key, 1, p1 - 1), 'q', substr(key, p1, 13 - p1)) AS ins",
+    ).selectExpr(
+        "m_id AS v_id",
+        """CASE
+             WHEN m_id % 10 = 0 THEN concat('zzz', substr(key, 4, 9))
+             WHEN m_id % 3 = 1 THEN concat(substr(key, 1, p1 - 1), 'z', substr(key, p1 + 1, 12 - p1))
+             WHEN m_id % 3 = 2 THEN concat(substr(key, 1, p1 - 1), substr(key, p1 + 1, 12 - p1))
+             ELSE concat(substr(ins, 1, p2 - 1), 'z', substr(ins, p2 + 1, 13 - p2))
+           END AS key""",
+    )
+    return edit_link(m, v, "m_id", "v_id", "key", max_edits=2)
+
+
+def _maxsim(emb):
+    from quanta_spark.operators.similarity import maxsim_topk, tokenize_vectors
+
+    toks = tokenize_vectors(emb, n_tokens=4)
+    qtoks = toks.filter(F.col("vec_id") % 50 == 0).filter(F.col("vec_id") < 2500).select(
+        F.col("vec_id").alias("query_id"), "token_idx", "tvec"
+    )
+    return maxsim_topk(toks, qtoks, k=5)
+
+
+def _script_profile(docs):
+    from quanta_spark.operators.text import script_profile
+
+    return script_profile(docs)
+
+
 def _pca_cov(emb, **kw):
     from quanta_spark.operators.clustering import pca_covariance
 
@@ -459,6 +501,9 @@ def _ops():
         ](_SCALE_CTX["spark"], _SCALE_CTX["events_dir"]),
         "triangle_count": lambda docs, emb: _triangle_docs(docs),
         "pca_covariance": lambda docs, emb: _pca_cov(emb, in_dim=64, scale=10_000),
+        "edit_link": lambda docs, emb: _edit_link_docs(docs),
+        "maxsim_topk": lambda docs, emb: _maxsim(emb),
+        "script_profile": lambda docs, emb: _script_profile(docs),
     }
 
 

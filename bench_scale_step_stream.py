@@ -340,7 +340,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from quanta_spark.operators.stateful import stream_cusum, stream_topk_terms
+    from quanta_spark.operators.stateful import stream_cusum, stream_temporal_join, stream_topk_terms
     from quanta_spark.operators.timeseries import m4_downsample
 
     ops = {
@@ -364,6 +364,18 @@ def main() -> None:
             target=16.0,
             slack=8.0,
             threshold=200.0,
+        ),
+        "stream_temporal_join": lambda src: stream_temporal_join(
+            src.select(
+                "conv_id",
+                "ts",
+                (F.col("role") == "user").alias("is_dim"),
+                F.when(
+                    F.col("role") == "user", F.split(F.col("text"), " ").getItem(0)
+                ).alias("attr"),
+                F.col("turn_idx").cast("long").alias("seq"),
+            ),
+            watermark="1 hour",
         ),
         "stream_m4": lambda src: m4_downsample(
             src.select("role", "ts", F.length("text").cast("double").alias("value")),
