@@ -299,3 +299,77 @@ def histogram_quantiles(
             F.col("total_cnt").cast("long"),
         )
     )
+
+
+def corpus_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    value: Column | str = "fingerprint",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sketch-speed corpus overlap: |A ∩ B| estimated by
+    inclusion-exclusion over HLL sketches — est(A) + est(B) −
+    est(A ∪ B) — the 100 TB TRIAGE for cross-corpus contamination
+    (the exact decontamination paths confirm what this flags; at
+    corpus scale you run the sketch first, everywhere, and the exact
+    join only where overlap_est > 0).
+
+    One aggregate per side plus one union-sketch merge: each corpus is
+    read ONCE, the driver sees three sketches. Returns one row:
+    est_a, est_b, est_union, overlap_est (clamped at >= 0 —
+    inclusion-exclusion noise can go slightly negative on disjoint
+    corpora), jaccard_bp (floor of overlap/union in basis points).
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    sa = a.agg(F.hll_sketch_agg(value, F.lit(lg_k)).alias("sk"))
+    sb = b.agg(F.hll_sketch_agg(value, F.lit(lg_k)).alias("sk"))
+    both = sa.select(F.col("sk").alias("sk_a")).crossJoin(
+        sb.select(F.col("sk").alias("sk_b"))
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    overlap = F.greatest(est_a + est_b - est_u, F.lit(0))
+    return both.select(
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        overlap.alias("overlap_est"),
+        F.floor(overlap * 10_000 / F.greatest(est_u, F.lit(1)))
+        .cast("long")
+        .alias("jaccard_bp"),
+    )
+
+
+def histogram_ks(h1: DataFrame, h2: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance from two (bin_idx, cnt)
+    histogram tables (histogram_counts / the rollup's hist column
+    exploded): D = max over bins of |cdf1 − cdf2|, reported in
+    integer basis points with EXACT rational arithmetic —
+    |cum1*n2 − cum2*n1| * 10000 div (n1*n2) — so two engines agree
+    bit-for-bit. The distribution-drift complement of PSI (q126): KS
+    is threshold-free and sensitive to location shifts PSI's binned
+    ratios can smear. Runs on <= n_bins rows; the heavy lifting
+    happened in the mergeable histogram maintenance."""
+    c1 = h1.select(F.col("bin_idx"), F.col("cnt").alias("c1"))
+    c2 = h2.select(F.col("bin_idx"), F.col("cnt").alias("c2"))
+    j = c1.join(c2, "bin_idx", "full_outer").select(
+        "bin_idx",
+        F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+    )
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        "bin_idx",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = j.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    # den is constant across rows, so max of per-bin floors equals the
+    # floor at the max numerator (floor is monotone at fixed den)
+    d = cum.crossJoin(tot).select(
+        F.expr(
+            "abs(cum1 * n2 - cum2 * n1) * 10000 div (n1 * n2)"
+        ).alias("ks_bin")
+    )
+    return d.agg(F.max("ks_bin").cast("long").alias("ks_bp"))

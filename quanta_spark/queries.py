@@ -7262,3 +7262,107 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_stream_query(spark, op, jitter=True, heartbeat_in_output=True)
+
+
+@query(
+    "q162_corpus_overlap",
+    f"""
+WITH fa AS (
+  SELECT DISTINCT md5({DUCK_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+fb AS (
+  SELECT DISTINCT md5({DUCK_NORM}) AS fp FROM documents WHERE doc_id % 3 = 0
+)
+SELECT CAST((SELECT count(*) FROM fa) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM fb) AS BIGINT) AS n_b,
+       CAST((SELECT count(*) FROM fa JOIN fb USING (fp)) AS BIGINT) AS n_overlap,
+       TRUE AS a_ok, TRUE AS b_ok, TRUE AS overlap_ok
+""",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-speed corpus overlap (sketches.corpus_overlap_estimate):
+    HLL inclusion-exclusion estimates the contamination between two
+    content-fingerprinted corpora in ONE scan each — the 100 TB triage
+    the exact decontamination joins run behind. The gate splits
+    documents into two overlapping corpora (doc_id %2 / %3 ⇒ overlap
+    = %6), outputs the EXACT sizes (oracle-checkable) and asserts
+    Spark-side that each estimate lands within 5% + 10 of exact (the
+    q42 boolean-bound trick — estimates themselves are engine-
+    specific)."""
+    from quanta_spark.operators.dedup import normalized
+    from quanta_spark.operators.sketches import corpus_overlap_estimate
+
+    docs = spark.table("documents").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("fp")
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("fp").distinct()
+    est = corpus_overlap_estimate(a, b, value="fp")
+    exact = (
+        a.join(b, "fp")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    ok = lambda e, x: F.abs(F.col(e) - F.col(x)) <= F.lit(0.05) * F.col(x) + 10  # noqa: E731
+    return est.crossJoin(exact).select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("n_overlap").cast("long"),
+        ok("est_a", "n_a").alias("a_ok"),
+        ok("est_b", "n_b").alias("b_ok"),
+        ok("overlap_est", "n_overlap").alias("overlap_ok"),
+    )
+
+
+@query(
+    "q163_histogram_ks",
+    """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+b1 AS (SELECT (greatest(least(CAST(floor(v) AS BIGINT), 511), 0) * 128) // 512 AS bin_idx FROM v),
+b2 AS (SELECT (greatest(least(CAST(floor(v * 1.3) AS BIGINT), 511), 0) * 128) // 512 AS bin_idx FROM v),
+h1 AS (SELECT bin_idx, count(*) AS c1 FROM b1 GROUP BY 1),
+h2 AS (SELECT bin_idx, count(*) AS c2 FROM b2 GROUP BY 1),
+j AS (
+  SELECT coalesce(h1.bin_idx, h2.bin_idx) AS bin_idx,
+         coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+  FROM h1 FULL OUTER JOIN h2 ON h1.bin_idx = h2.bin_idx
+),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY bin_idx) AS cum1,
+         sum(c2) OVER (ORDER BY bin_idx) AS cum2
+  FROM j
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM j),
+drift AS (
+  SELECT max(abs(cum1 * n2 - cum2 * n1) * 10000 // (n1 * n2)) AS ks
+  FROM cum, tot
+)
+SELECT 'drift' AS case_name, CAST(ks AS BIGINT) AS ks_bp FROM drift
+UNION ALL
+SELECT 'identical', 0
+""",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift from mergeable histograms
+    (sketches.histogram_ks) — the threshold-free complement of PSI
+    (q126), computed entirely on the <= n_bins histogram tables the
+    rollup family already maintains: D in exact rational basis points
+    (|cum1·n2 − cum2·n1|·10⁴ div n1·n2). Planted drift (value×1.3)
+    must read the oracle's exact KS; an identical pair must read 0."""
+    from quanta_spark.operators.sketches import histogram_counts, histogram_ks
+
+    ev = spark.table("events").select(F.col("value").cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    h1 = histogram_counts(ev, F.col("v"), 0, 512, 128)
+    h2 = histogram_counts(ev.select((F.col("v") * 1.3).alias("v")), F.col("v"), 0, 512, 128)
+    drift = histogram_ks(h1, h2).select(
+        F.lit("drift").alias("case_name"), F.col("ks_bp")
+    )
+    same = histogram_ks(h1, h1).select(
+        F.lit("identical").alias("case_name"), F.col("ks_bp")
+    )
+    return drift.unionByName(same)

@@ -134,3 +134,35 @@ def test_histogram_param_contracts(spark):
         histogram_counts(df, "v", 0, 10, 0)
     with pytest.raises(ValueError, match="2\\^52"):
         histogram_counts(df, "v", 0, 1 << 40, 1 << 20)
+
+
+def test_histogram_ks_hand_computed_and_zero_on_identical(spark):
+    from quanta_spark.operators.sketches import histogram_ks
+
+    h1 = spark.createDataFrame([(0, 5), (1, 5)], "bin_idx int, cnt long")
+    h2 = spark.createDataFrame([(0, 1), (1, 9)], "bin_idx int, cnt long")
+    # cdf1 = (0.5, 1.0), cdf2 = (0.1, 1.0) -> D = 0.4 exactly
+    assert histogram_ks(h1, h2).first()["ks_bp"] == 4000
+    assert histogram_ks(h1, h1).first()["ks_bp"] == 0
+    # disjoint bin support: D = 1.0
+    h3 = spark.createDataFrame([(5, 7)], "bin_idx int, cnt long")
+    assert histogram_ks(h1, h3).first()["ks_bp"] == 10_000
+
+
+def test_corpus_overlap_estimate_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from quanta_spark.operators.sketches import corpus_overlap_estimate
+
+    a = spark.range(0, 2000).select(F.concat(F.lit("k"), "id").alias("v"))
+    b = spark.range(1000, 3000).select(F.concat(F.lit("k"), "id").alias("v"))
+    r = corpus_overlap_estimate(a, b, value="v").first()
+    assert abs(r["est_a"] - 2000) <= 100 and abs(r["est_b"] - 2000) <= 100
+    assert abs(r["overlap_est"] - 1000) <= 150
+    assert 2500 <= r["jaccard_bp"] <= 4300  # true jaccard = 1/3
+    disjoint = corpus_overlap_estimate(
+        a, spark.range(90_000, 92_000).select(F.concat(F.lit("k"), "id").alias("v")),
+        value="v",
+    ).first()
+    assert disjoint["overlap_est"] >= 0  # clamped: never negative
+    assert disjoint["overlap_est"] <= 200
