@@ -1600,3 +1600,145 @@ def stream_temporal_join(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_ks_monitor(
+    df: DataFrame,
+    baseline: list[int],
+    lo: int,
+    hi: int,
+    n_bins: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING distribution-drift monitor: per event-time tumbling
+    window, a fixed-bin histogram of ``value_col`` accumulates in
+    state; when the watermark proves the window final, its
+    Kolmogorov-Smirnov distance against the ``baseline`` histogram
+    (a list of n_bins counts — e.g. last month's rollup) emits exactly
+    once in exact rational basis points (|cumW·nB − cumB·nW|·10⁴ div
+    nW·nB — engine-exact, the sketches.histogram_ks arithmetic).
+
+    The live twin of the batch PSI (q126) / KS (q163) drift checks:
+    state is ONE n_bins-long count array per open window — bounded by
+    construction, independent of stream volume — and the alarm
+    surface is one row per window. Batch input computes the same
+    per-window KS relationally.
+    """
+    import numpy as np
+
+    if len(baseline) != n_bins:
+        raise ValueError(
+            f"baseline must have n_bins={n_bins} counts, got {len(baseline)}"
+        )
+    if hi <= lo or n_bins < 1:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got ({lo}, {hi}, {n_bins})")
+    base = np.asarray(baseline, dtype=np.int64)
+    if base.sum() <= 0:
+        raise ValueError("baseline histogram is empty")
+    base_cum = np.cumsum(base)
+    n_base = int(base.sum())
+    win_us = _bucket_to_us_shared(window)
+
+    def _ks(counts: np.ndarray) -> tuple[int, int]:
+        n_w = int(counts.sum())
+        if n_w == 0:
+            return 0, 0
+        cum_w = np.cumsum(counts)
+        num = np.abs(cum_w * n_base - base_cum * n_w) * 10_000
+        return int((num // (n_w * n_base)).max()), n_w
+
+    def _bin(vals: "np.ndarray") -> "np.ndarray":
+        vl = np.floor(vals).astype(np.int64)
+        vl = np.clip(vl, lo, hi - 1)
+        return (vl - lo) * n_bins // (hi - lo)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("ks_bp", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    if not df.isStreaming:
+        import pandas as pd_  # noqa: F401
+
+        def _batch(pdf):
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            counts = np.bincount(_bin(vals), minlength=n_bins)[:n_bins]
+            ks, n_w = _ks(counts.astype(np.int64))
+            return pd.DataFrame(
+                {
+                    "window_start": [pdf["_w"].iloc[0]],
+                    "ks_bp": pd.array([ks], dtype="int64"),
+                    "n": pd.array([n_w], dtype="int64"),
+                }
+            )
+
+        keyed = df.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        ).withColumn(
+            "_w",
+            F.timestamp_micros(
+                (F.unix_micros(F.col(ts_col).cast("timestamp")) / win_us).cast("long")
+                * win_us
+            ),
+        )
+        return keyed.groupBy("_w").applyInPandas(_batch, schema=out_schema)
+
+    state_schema = T.StructType([T.StructField("counts", T.ArrayType(T.LongType()))])
+
+    def _fn(key, pdf_iter, state: GroupState):
+        win_start = int(key[0])
+        counts = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_bins, dtype=np.int64)
+        )
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                vals = pdf[value_col].to_numpy(dtype=np.float64)
+                counts += np.bincount(_bin(vals), minlength=n_bins)[:n_bins]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        win_end_us = win_start + win_us
+        if wm_us >= win_end_us:
+            ks, n_w = _ks(counts)
+            state.remove()
+            if n_w:
+                yield pd.DataFrame(
+                    {
+                        "window_start": pd.to_datetime([win_start], unit="us"),
+                        "ks_bp": pd.array([ks], dtype="int64"),
+                        "n": pd.array([n_w], dtype="int64"),
+                    }
+                )
+        else:
+            state.update((counts.tolist(),))
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(win_end_us // 1000, wm // 1000 + 1) + 1)
+
+    clean = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))  # cast BEFORE watermark
+    keyed = clean.withWatermark(ts_col, watermark).withColumn(
+        "_win_us",
+        (F.unix_micros(F.col(ts_col)) / win_us).cast("long") * win_us,
+    )
+    return keyed.groupBy("_win_us").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _bucket_to_us_shared(bucket: str) -> int:
+    from quanta_spark.operators.timeseries import _bucket_to_us
+
+    return _bucket_to_us(bucket)

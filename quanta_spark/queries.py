@@ -7366,3 +7366,98 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("identical").alias("case_name"), F.col("ks_bp")
     )
     return drift.unionByName(same)
+
+
+@query(
+    "q164_stream_ks_monitor",
+    f"""
+WITH {TRANSCRIPTS_CTE},
+v AS (
+  SELECT ts, greatest(least(CAST(len(text) AS BIGINT), 31), 0) AS bin_idx
+  FROM transcripts WHERE text IS NOT NULL
+),
+bins AS (SELECT i AS bin_idx FROM generate_series(0, 31) g(i)),
+bl AS (SELECT bin_idx, count(*) AS cb FROM v GROUP BY 1),
+blf AS (
+  SELECT b.bin_idx, coalesce(cb, 0) AS cb FROM bins b LEFT JOIN bl USING (bin_idx)
+),
+bcum AS (SELECT bin_idx, sum(cb) OVER (ORDER BY bin_idx) AS cumb FROM blf),
+nb AS (SELECT sum(cb) AS nb FROM blf),
+w AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000)
+           AS window_start,
+         bin_idx
+  FROM v
+),
+wc AS (SELECT window_start, bin_idx, count(*) AS cw FROM w GROUP BY 1, 2),
+wcf AS (
+  SELECT ws.window_start, b.bin_idx, coalesce(wc.cw, 0) AS cw
+  FROM (SELECT DISTINCT window_start FROM wc) ws
+  CROSS JOIN bins b
+  LEFT JOIN wc ON wc.window_start = ws.window_start AND wc.bin_idx = b.bin_idx
+),
+cum AS (
+  SELECT window_start, bin_idx,
+         sum(cw) OVER (PARTITION BY window_start ORDER BY bin_idx) AS cumw
+  FROM wcf
+),
+nw AS (SELECT window_start, sum(cw) AS nwv FROM wcf GROUP BY 1)
+SELECT c.window_start,
+       CAST(max(abs(c.cumw * nb.nb - bc.cumb * n.nwv) * 10000
+                // (n.nwv * nb.nb)) AS BIGINT) AS ks_bp,
+       CAST(n.nwv AS BIGINT) AS n
+FROM cum c
+JOIN bcum bc USING (bin_idx)
+JOIN nw n USING (window_start)
+CROSS JOIN nb
+GROUP BY 1, n.nwv
+""",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KS drift monitor (stateful.stream_ks_monitor): per
+    6h window a 32-bin turn-length histogram accumulates in state (one
+    bounded array per OPEN window); at watermark finality the window's
+    exact-rational KS distance against the whole-corpus baseline
+    emits exactly once. Jittered arrival must not move a single basis
+    point. The live twin of PSI (q126) / batch KS (q163)."""
+    import pandas as pd
+
+    from quanta_spark.operators.sketches import histogram_counts
+    from quanta_spark.operators.stateful import stream_ks_monitor
+
+    lo, hi, n_bins = 0, 32, 32
+    base_rows = {
+        r["bin_idx"]: r["cnt"]
+        for r in histogram_counts(
+            spark.sql(
+                f"WITH {TRANSCRIPTS_CTE} SELECT length(text) AS vl "
+                "FROM transcripts WHERE text IS NOT NULL"
+            ),
+            F.col("vl"),
+            lo,
+            hi,
+            n_bins,
+        ).collect()
+    }
+    baseline = [int(base_rows.get(i, 0)) for i in range(n_bins)]
+    max_ts = pd.Timestamp(
+        spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT max(ts) m FROM transcripts").first()["m"]
+    )
+
+    def strip(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pd.to_datetime(pdf["window_start"]) <= max_ts]
+
+    return _run_stream_query(
+        spark,
+        lambda src: stream_ks_monitor(
+            src.select("ts", F.length("text").cast("double").alias("value")),
+            baseline,
+            lo,
+            hi,
+            n_bins,
+            window="6 hours",
+            watermark="1 hour",
+        ),
+        jitter=True,
+        strip_heartbeat=strip,
+    )

@@ -903,3 +903,34 @@ def test_stream_cusum_validation(spark):
         stream_cusum(df, threshold=1.0, slack=-1.0)
     with pytest.raises(ValueError, match="threshold"):
         stream_cusum(df, threshold=0.0)
+
+
+def test_stream_ks_monitor_batch_twin_flags_planted_drift(spark):
+    """Batch path: a window drawn from the baseline distribution reads
+    ~0 bp; a window shifted by +10 reads a large KS."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from quanta_spark.operators.stateful import stream_ks_monitor
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # window A (hour 0-6): values 0..9 uniform -> identical to baseline
+    for i in range(100):
+        rows.append((t0 + timedelta(minutes=i), float(i % 10)))
+    # window B (hour 6-12): values shifted +10 -> hard drift
+    for i in range(100):
+        rows.append((t0 + timedelta(hours=6, minutes=i), float(i % 10 + 10)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    baseline = [10] * 10 + [0] * 22  # uniform mass on bins 0..9
+    out = {
+        r["window_start"]: r
+        for r in stream_ks_monitor(df, baseline, 0, 32, 32, window="6 hours").collect()
+    }
+    assert out[t0]["ks_bp"] == 0 and out[t0]["n"] == 100
+    assert out[datetime(2024, 1, 1, 6)]["ks_bp"] == 10_000  # disjoint support
+    with pytest.raises(ValueError, match="n_bins"):
+        stream_ks_monitor(df, [1, 2], 0, 32, 32)
+    with pytest.raises(ValueError, match="empty"):
+        stream_ks_monitor(df, [0] * 32, 0, 32, 32)
