@@ -115,6 +115,27 @@ class FoldSink:
             raise FileNotFoundError(f"no committed state under {self.base_dir}")
         return spark.read.parquet(self._gen_dir(gen))
 
+    def generations(self) -> list[int]:
+        """Retained generation ids (ascending) — the time-travel
+        surface, same contract as IdempotentSink.snapshots(): raise
+        ``keep_gens`` to retain deeper history."""
+        if not os.path.isdir(self.base_dir):
+            return []
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.base_dir)
+            if n.startswith("gen=")
+        )
+
+    def read_state_as_of(self, spark: SparkSession, gen: int) -> DataFrame:
+        """The state as of a RETAINED generation (time travel)."""
+        if gen not in self.generations():
+            raise FileNotFoundError(
+                f"generation {gen} not retained under {self.base_dir} "
+                f"(have {self.generations()}; raise keep_gens to keep more)"
+            )
+        return spark.read.parquet(self._gen_dir(gen))
+
 
 @dataclass
 class RollupSink(FoldSink):

@@ -155,3 +155,33 @@ def test_systematic_weighted_sample_equals_naive_cumsum(spark, seed, stride):
         if picks > 0:
             want[i] = (cum, picks)
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), max_size=40),
+    sp0=st.integers(min_value=0, max_value=30),
+    sn0=st.integers(min_value=0, max_value=30),
+    t=st.integers(min_value=-5, max_value=5),
+    k=st.integers(min_value=0, max_value=5),
+    h=st.integers(min_value=1, max_value=60),
+)
+def test_cusum_fold_equals_textbook_recursion(vals, sp0, sn0, t, k, h):
+    """The segment-vectorized prefix-min CUSUM fold must equal the
+    per-row textbook recursion on arbitrary integer sequences, carries
+    and thresholds (the identity the q151/q152 oracles rely on)."""
+    from quanta_spark.operators.stateful import _cusum_fold
+
+    sp, sn, alarms = sp0, sn0, []
+    for i, v in enumerate(vals):
+        sp = max(0, sp + (v - t - k))
+        sn = max(0, sn + (t - v - k))
+        trip = sp > h or sn > h
+        if sp > h:
+            alarms.append((i, "up", sp))
+        if sn > h:
+            alarms.append((i, "down", sn))
+        if trip:
+            sp = sn = 0
+    got = _cusum_fold(sp0, sn0, np.asarray(vals, dtype=np.int64), t, k, h)
+    assert got == (sp, sn, alarms)

@@ -263,3 +263,18 @@ def test_rollup_sink_maintains_streaming_percentiles(spark, tmp_path):
     )
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(got) == key(want)
+
+
+def test_fold_sink_time_travel_generations(spark, tmp_path):
+    from quanta_spark.sinks.rollup import RollupSink
+
+    sink = RollupSink(
+        base_dir=str(tmp_path / "r"), keys=("k",), value_col="value", keep_gens=10
+    )
+    for i in range(4):
+        sink(_rows(spark, [("x", float(i + 1), i)]), i)
+    assert sink.generations() == [0, 1, 2, 3]
+    assert sink.read_state_as_of(spark, 1).first()["n"] == 2
+    assert sink.read_state_as_of(spark, 3).first()["n"] == 4
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        sink.read_state_as_of(spark, 99)
