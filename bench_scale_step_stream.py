@@ -340,7 +340,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from quanta_spark.operators.stateful import stream_cusum, stream_temporal_join, stream_topk_terms
+    from quanta_spark.operators.stateful import stream_cusum, stream_ks_monitor, stream_temporal_join, stream_topk_terms
     from quanta_spark.operators.timeseries import m4_downsample
 
     ops = {
@@ -375,6 +375,15 @@ def main() -> None:
                 ).alias("attr"),
                 F.col("turn_idx").cast("long").alias("seq"),
             ),
+            watermark="1 hour",
+        ),
+        "stream_ks_monitor": lambda src: stream_ks_monitor(
+            src.select("ts", F.length("text").cast("double").alias("value")),
+            [1] * 32,  # flat reference: per-window KS vs uniform
+            0,
+            32,
+            32,
+            window="6 hours",
             watermark="1 hour",
         ),
         "stream_m4": lambda src: m4_downsample(
