@@ -43,6 +43,8 @@ __all__ = [
     "rollup_aggregate",
     "rollup_merge",
     "rollup_quantiles",
+    "latest_aggregate",
+    "latest_merge",
     "ROLLUP_METRICS",
 ]
 
@@ -222,3 +224,94 @@ def rollup_quantiles(
         F.col("cum_cnt").cast("long"),
         F.col("total_cnt").cast("long"),
     )
+
+
+def latest_aggregate(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    payload_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Last-writer-wins snapshot of a changelog: one row per key
+    carrying the payload of its latest upsert, ordered by
+    ``(ts, seq)`` — seq (a unique changelog id) totalizes ts ties, so
+    any engine and any partitioning picks the identical winner. The
+    CDC serving-table reducer: with :func:`latest_merge` it is
+    mergeable state, so FoldSink materializes a continuously-fresh
+    snapshot at O(batch + keys)/batch — the dependency-free analog of
+    an Iceberg/Delta MERGE-on-key (build_merge_sql is the jar-gated
+    twin)."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("latest_aggregate: keys must be non-empty")
+    cond = F.lit(True)
+    for k in keys + [ts_col, seq_col]:
+        cond = cond & F.col(k).isNotNull()
+    ordk = F.struct(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    return (
+        df.filter(cond)
+        .groupBy(*keys)
+        .agg(
+            F.max(ordk).alias("_ord"),
+            F.max_by(payload, ordk).alias("_p"),
+            F.count(F.lit(1)).cast("long").alias("n_upserts"),
+        )
+        .select(
+            *keys,
+            F.col("_ord.ts").alias(ts_col),
+            F.col("_ord.seq").alias(seq_col),
+            *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
+            "n_upserts",
+        )
+    )
+
+
+def latest_merge(
+    history: DataFrame,
+    delta: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Merge two last-writer-wins snapshots (latest_aggregate outputs
+    with the same keys/columns): per key keep the side with the
+    greater (ts, seq); n_upserts adds. Associative and commutative —
+    replay boundaries and arrival order cannot change the winner."""
+    if set(history.columns) != set(delta.columns):
+        raise ValueError(
+            "latest_merge: history and delta schemas differ: "
+            f"{sorted(history.columns)} vs {sorted(delta.columns)}"
+        )
+    if "n_upserts" not in history.columns:
+        raise ValueError("latest_merge: inputs must come from latest_aggregate")
+    keys = list(keys)
+    h, d = history.alias("h"), delta.alias("d")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"h.{k}") == F.col(f"d.{k}"))
+    h_ord = F.struct(F.col(f"h.{ts_col}"), F.col(f"h.{seq_col}"))
+    d_ord = F.struct(F.col(f"d.{ts_col}"), F.col(f"d.{seq_col}"))
+    h_wins = F.col(f"d.{ts_col}").isNull() | (
+        F.col(f"h.{ts_col}").isNotNull() & (h_ord >= d_ord)
+    )
+    out = [F.coalesce(F.col(f"h.{k}"), F.col(f"d.{k}")).alias(k) for k in keys]
+    for c in history.columns:
+        if c in keys:
+            continue
+        if c == "n_upserts":
+            out.append(
+                (
+                    F.coalesce(F.col("h.n_upserts"), F.lit(0))
+                    + F.coalesce(F.col("d.n_upserts"), F.lit(0))
+                ).cast("long").alias("n_upserts")
+            )
+        else:
+            out.append(
+                F.when(h_wins, F.col(f"h.{c}")).otherwise(F.col(f"d.{c}")).alias(c)
+            )
+    return h.join(d, cond, "full_outer").select(*out)

@@ -7461,3 +7461,85 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter=True,
         strip_heartbeat=strip,
     )
+
+
+@query(
+    "q165_stream_cdc_snapshot",
+    """
+SELECT user_id, ts, CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(n AS BIGINT) AS n_upserts
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+) t
+WHERE rk = 1
+""",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC snapshot materialization (FoldSink +
+    rollup.latest_aggregate/latest_merge): the events changelog
+    arrives as a real file stream and every micro-batch folds into a
+    last-writer-wins per-user serving table — the dependency-free
+    analog of a continuous Iceberg/Delta MERGE-on-key. (ts, event_id)
+    totalizes ordering, so replay boundaries and arrival order cannot
+    change a winner; the committed generation must equal the oracle's
+    one-shot row_number()-desc snapshot exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.operators.rollup import latest_aggregate, latest_merge
+    from quanta_spark.sinks.rollup import FoldSink
+    from quanta_spark.streaming.engine import run_to_completion, start_pipeline
+
+    pdf = (
+        spark.table("events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type")
+        .toPandas()
+    )
+    _guard_gate_rows(len(pdf), "changelog stream input")
+    # arrival order = changelog order (event_id); the fold must be
+    # order-insensitive anyway, which the merge proves
+    pdf = pdf.sort_values("event_id")
+    d = tempfile.mkdtemp(prefix="qs_cdcstream_")
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+        ]
+    )
+    paths = []
+    for k, ix in enumerate(np.array_split(np.arange(len(pdf)), 6)):
+        path = os.path.join(d, f"part-{k:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[ix], schema=schema, preserve_index=False),
+            path,
+        )
+        paths.append(path)
+    stamp_arrival_order(paths)
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    sink = FoldSink(
+        base_dir=tempfile.mkdtemp(prefix="qs_cdcstream_sink_"),
+        aggregate_fn=lambda b: latest_aggregate(
+            b, ["user_id"], ts_col="ts", seq_col="event_id",
+            payload_cols=("event_type",),
+        ),
+        merge_fn=lambda h, dd: latest_merge(
+            h, dd, keys=["user_id"], ts_col="ts", seq_col="event_id"
+        ),
+    )
+    h = start_pipeline(src, sink, tempfile.mkdtemp(prefix="qs_cdcstream_ckpt_"))
+    run_to_completion(h)
+    return sink.read_state(spark).select(
+        "user_id", "ts", F.col("event_id").cast("long"), "event_type",
+        F.col("n_upserts").cast("long").alias("n_upserts"),
+    )

@@ -278,3 +278,37 @@ def test_fold_sink_time_travel_generations(spark, tmp_path):
     assert sink.read_state_as_of(spark, 3).first()["n"] == 4
     with pytest.raises(FileNotFoundError, match="not retained"):
         sink.read_state_as_of(spark, 99)
+
+
+def test_latest_snapshot_merge_order_invariant_and_tie_break(spark):
+    """Last-writer-wins: merge equals one-shot aggregate in any fold
+    order; ts ties break by seq; n_upserts counts every changelog row."""
+    from datetime import datetime
+
+    from quanta_spark.operators.rollup import latest_aggregate, latest_merge
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 10, "a"), (1, t(5), 11, "b"), (1, t(5), 12, "c"),  # tie -> seq 12
+        (2, t(3), 20, "x"),
+    ]
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    agg = lambda df: latest_aggregate(  # noqa: E731
+        df, ["user_id"], payload_cols=("event_type",)
+    )
+    mrg = lambda a, b: latest_merge(a, b, keys=["user_id"])  # noqa: E731
+    full = {r["user_id"]: r for r in agg(mk(rows)).collect()}
+    assert full[1]["event_type"] == "c" and full[1]["n_upserts"] == 3
+    fwd = mrg(mrg(agg(mk(rows[:1])), agg(mk(rows[1:2]))), agg(mk(rows[2:])))
+    rev = mrg(agg(mk(rows[2:])), mrg(agg(mk(rows[1:2])), agg(mk(rows[:1]))))
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(fwd) == key(rev) == key(agg(mk(rows)))
+    # disjoint keys pass through
+    m = mrg(agg(mk(rows[:1])), agg(mk([(9, t(1), 90, "z")])))
+    assert {r["user_id"]: r["event_type"] for r in m.collect()} == {1: "a", 9: "z"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys"):
+        latest_aggregate(mk(rows), [])
