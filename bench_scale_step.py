@@ -115,6 +115,13 @@ def _script_profile(docs):
     return script_profile(docs)
 
 
+def _cdc_snapshot(spark, events_dir):
+    from quanta_spark.operators.rollup import latest_aggregate
+
+    ev = spark.read.parquet(os.path.join(events_dir, "events.parquet"))
+    return latest_aggregate(ev, ["user_id"], payload_cols=("event_type",))
+
+
 def _pca_cov(emb, **kw):
     from quanta_spark.operators.clustering import pca_covariance
 
@@ -502,6 +509,9 @@ def _ops():
         "triangle_count": lambda docs, emb: _triangle_docs(docs),
         "pca_covariance": lambda docs, emb: _pca_cov(emb, in_dim=64, scale=10_000),
         "edit_link": lambda docs, emb: _edit_link_docs(docs),
+        "cdc_snapshot": lambda docs, emb: _cdc_snapshot(
+            _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
+        ),
         "maxsim_topk": lambda docs, emb: _maxsim(emb),
         "script_profile": lambda docs, emb: _script_profile(docs),
     }
