@@ -109,6 +109,13 @@ def _maxsim(emb):
     return maxsim_topk(toks, qtoks, k=5)
 
 
+def _maxsim_blocked(emb):
+    from quanta_spark.operators.similarity import maxsim_topk_blocked
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0).filter(F.col("vec_id") < 2500)
+    return maxsim_topk_blocked(emb, queries, k=5)
+
+
 def _script_profile(docs):
     from quanta_spark.operators.text import script_profile
 
@@ -513,6 +520,7 @@ def _ops():
             _SCALE_CTX["spark"], _SCALE_CTX["events_dir"]
         ),
         "maxsim_topk": lambda docs, emb: _maxsim(emb),
+        "maxsim_blocked": lambda docs, emb: _maxsim_blocked(emb),
         "script_profile": lambda docs, emb: _script_profile(docs),
     }
 

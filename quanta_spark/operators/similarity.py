@@ -1108,3 +1108,65 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "maxsim_bp")
     )
+
+
+def maxsim_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tokens: int = 4,
+) -> DataFrame:
+    """LSH-blocked MaxSim — the composition :func:`maxsim_topk`'s
+    docstring promises, materialized: document-level axis-LSH buckets
+    (the q30 family, one float comparison per bit) prune the corpus to
+    same-bucket candidates per query, and the late-interaction MaxSim
+    score runs ONLY on (query, candidate) token pairs. The verify-
+    after-blocking shape of the whole dedup/ANN family, applied to
+    multi-vector retrieval: candidate work shrinks by ~2^bits while
+    the scoring arithmetic (and its oracle) stays byte-identical to
+    the exact baseline's.
+
+    Inputs are (id, embedding) tables — tokenization happens inside so
+    the doc-level bucket and the token slices derive from the same
+    vector. Same MAX_BROADCAST_QUERIES budget; same integer-exact
+    scoring and (score desc, id asc) total order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _enforce_query_budget(queries)
+    bucket = axis_bucket_expr()
+    c_b = corpus.select(F.col("vec_id"), bucket.alias("bucket"))
+    q_b = queries.select(F.col("vec_id").alias("query_id"), bucket.alias("bucket"))
+    cand = c_b.join(F.broadcast(q_b), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    c_tok = tokenize_vectors(corpus, n_tokens=n_tokens)
+    q_tok = tokenize_vectors(queries, n_tokens=n_tokens).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("token_idx").alias("q_token_idx"),
+        F.col("tvec").alias("qvec"),
+    )
+    pairs = (
+        cand.join(c_tok, "vec_id")
+        .join(F.broadcast(q_tok), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "q_token_idx",
+            _cosine_bp("qvec", "tvec").alias("sim_bp"),
+        )
+    )
+    per_qtok = pairs.groupBy("query_id", "vec_id", "q_token_idx").agg(
+        F.max("sim_bp").alias("m")
+    )
+    per_pair = per_qtok.groupBy("query_id", "vec_id").agg(
+        F.sum("m").cast("long").alias("maxsim_bp")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.col("maxsim_bp").desc(), F.col("vec_id"))
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "maxsim_bp")
+    )

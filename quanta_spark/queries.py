@@ -7543,3 +7543,62 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").cast("long"), "event_type",
         F.col("n_upserts").cast("long").alias("n_upserts"),
     )
+
+
+def _q166_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i * 8 + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, bucket FROM b
+  WHERE vec_id % 50 = 0 AND vec_id < 2500
+),
+cand AS (
+  SELECT q.query_id, c.vec_id
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+tok AS (
+  SELECT vec_id, i AS token_idx,
+         list_slice(embedding, i * 16 + 1, i * 16 + 16) AS tvec
+  FROM embeddings, generate_series(0, 3) g(i)
+),
+pairs AS (
+  SELECT cd.query_id, cd.vec_id, qt.token_idx AS q_token_idx,
+         CAST(round(list_cosine_similarity(CAST(ct.tvec AS DOUBLE[]),
+                                           CAST(qt.tvec AS DOUBLE[])) * 10000)
+              AS BIGINT) AS sim_bp
+  FROM cand cd
+  JOIN tok ct ON ct.vec_id = cd.vec_id
+  JOIN tok qt ON qt.vec_id = cd.query_id
+),
+m AS (
+  SELECT query_id, vec_id, q_token_idx, max(sim_bp) AS m
+  FROM pairs GROUP BY 1, 2, 3
+),
+s AS (SELECT query_id, vec_id, CAST(sum(m) AS BIGINT) AS maxsim_bp FROM m GROUP BY 1, 2)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, maxsim_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY maxsim_bp DESC, vec_id ASC) AS rk
+  FROM s
+) t
+WHERE rk <= 5
+"""
+
+
+@query("q166_maxsim_blocked", _q166_oracle())
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked MaxSim (similarity.maxsim_topk_blocked): q160's
+    exact late-interaction scoring preceded by the q30 doc-level
+    axis-LSH bucket join, so candidate token pairs shrink by ~2^8
+    while scores stay byte-identical on survivors — the composition
+    the exact baseline's docstring promises, oracle-checked end to
+    end (bucket pruning + maxsim arithmetic in one SQL replay)."""
+    from quanta_spark.operators.similarity import maxsim_topk_blocked
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500))
+    return maxsim_topk_blocked(emb, queries_df, k=5)

@@ -1175,3 +1175,37 @@ def test_maxsim_hand_computed_and_tokenizer_shape(spark):
         tokenize_vectors(spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>"), n_tokens=0)
     with _pytest.raises(ValueError, match="k must be"):
         maxsim_topk(c, q, k=0)
+
+
+def test_maxsim_blocked_scores_match_exact_on_candidates(spark):
+    """Blocked MaxSim must produce EXACTLY the exact baseline's scores
+    for every (query, doc) pair that survives bucket pruning — pruning
+    changes the candidate set, never the arithmetic."""
+    from quanta_spark.operators.similarity import (
+        maxsim_topk,
+        maxsim_topk_blocked,
+        tokenize_vectors,
+    )
+
+    rng_vals = [
+        [((i * 37 + j * 11) % 21 - 10) / 10.0 for j in range(64)] for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vals)], "vec_id long, embedding array<float>"
+    )
+    queries = emb.filter("vec_id % 20 = 0")
+    blocked = {
+        (r["query_id"], r["vec_id"]): r["maxsim_bp"]
+        for r in maxsim_topk_blocked(emb, queries, k=50).collect()
+    }
+    toks = tokenize_vectors(emb)
+    qtoks = tokenize_vectors(queries).selectExpr(
+        "vec_id AS query_id", "token_idx", "tvec"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["maxsim_bp"]
+        for r in maxsim_topk(toks, qtoks, k=1000).collect()
+    }
+    assert blocked, "bucket pruning left zero candidates on the fixture"
+    for pair, score in blocked.items():
+        assert exact[pair] == score, pair
