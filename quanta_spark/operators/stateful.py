@@ -57,10 +57,13 @@ ORDERED_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# state: next expected idx + parallel arrays of buffered turns
+# state: one BUCKET of conversations (see enforce_turn_order) — per-conv
+# cursors (tombstones included) + parallel arrays of buffered turns.
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("next_idx", T.IntegerType(), False),
+        T.StructField("cur_conv", T.ArrayType(T.StringType()), True),
+        T.StructField("cur_next", T.ArrayType(T.IntegerType()), True),
+        T.StructField("buf_conv", T.ArrayType(T.StringType()), True),
         T.StructField("buf_idx", T.ArrayType(T.IntegerType()), True),
         T.StructField("buf_role", T.ArrayType(T.StringType()), True),
         T.StructField("buf_text", T.ArrayType(T.StringType()), True),
@@ -71,19 +74,15 @@ _STATE_SCHEMA = T.StructType(
 
 _US = 1_000_000
 
+# column bundle order used by the helpers below
+_B_CONV, _B_IDX, _B_ROLE, _B_TEXT, _B_TOOL, _B_TS = range(6)
 
-def _emit_pdf(
-    conv_id: str,
-    idx: "np.ndarray",
-    role: "np.ndarray",
-    text: "np.ndarray",
-    tool: "np.ndarray",
-    ts_us: "np.ndarray",
-    flushed: bool,
-) -> pd.DataFrame:
+
+def _emit_pdf(bufs: tuple, flushed: "np.ndarray | bool") -> pd.DataFrame:
+    conv, idx, role, text, tool, ts_us = bufs
     return pd.DataFrame(
         {
-            "conv_id": conv_id,
+            "conv_id": conv,
             "turn_idx": pd.array(idx.astype("int32"), dtype="int32"),
             "role": role,
             "text": text,
@@ -94,88 +93,162 @@ def _emit_pdf(
     )
 
 
-def _order_fn(
-    key: Tuple[str], pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Fully vectorized (numpy) — the per-row itertuples version measured
-    2-4x slower at 2M turns; this function is the per-group hot loop."""
+def _take(bufs: tuple, mask_or_index) -> tuple:
+    return tuple(a[mask_or_index] for a in bufs)
+
+
+def _seg_bounds(conv: "np.ndarray") -> tuple:
+    """First-row mask + per-row segment id for a (conv)-sorted array."""
     import numpy as np
 
-    conv_id = key[0]
+    if not len(conv):
+        return np.empty(0, dtype=bool), np.empty(0, dtype=np.int64)
+    first = np.concatenate([[True], conv[1:] != conv[:-1]])
+    return first, np.cumsum(first) - 1
+
+
+def _contiguous_prefix(bufs: tuple, nxt: dict) -> tuple:
+    """Given (conv, idx)-sorted, deduped, stale-free buffers, split off
+    the per-conversation contiguous prefix starting at nxt[conv].
+    Advances ``nxt`` in place. Returns (emit_bufs, keep_bufs)."""
+    import numpy as np
+
+    conv, idx = bufs[_B_CONV], bufs[_B_IDX]
+    if not len(conv):
+        return bufs, bufs
+    first, seg = _seg_bounds(conv)
+    seg_starts = np.flatnonzero(first)
+    start_next = np.array([nxt[c] for c in conv[seg_starts]], dtype=np.int64)
+    pos = np.arange(len(conv)) - seg_starts[seg]
+    ok = idx == (start_next[seg] + pos)
+    bad = np.cumsum(~ok)
+    bad_before_seg = (bad - (~ok).astype(np.int64))[seg_starts]
+    emit = (bad - bad_before_seg[seg]) == 0
+    if emit.any():
+        e_conv, counts = np.unique(conv[emit], return_counts=True)
+        for c, n in zip(e_conv.tolist(), counts.tolist()):
+            nxt[c] += int(n)
+    return _take(bufs, emit), _take(bufs, ~emit)
+
+
+def _sorted_dedup_live(bufs: tuple, nxt: dict) -> tuple:
+    """Stable-sort by (conv, idx), drop stale rows (idx < nxt[conv],
+    i.e. already-emitted replays/duplicates), dedup keep-first."""
+    import numpy as np
+
+    conv, idx = bufs[_B_CONV], bufs[_B_IDX]
+    order = np.lexsort((idx, conv))
+    bufs = _take(bufs, order)
+    conv, idx = bufs[_B_CONV], bufs[_B_IDX]
+    nxt_per_row = np.array([nxt[c] for c in conv], dtype=np.int64)
+    live = idx >= nxt_per_row
+    bufs = _take(bufs, live)
+    conv, idx = bufs[_B_CONV], bufs[_B_IDX]
+    if len(conv):
+        keep = np.concatenate(
+            [[True], (conv[1:] != conv[:-1]) | (idx[1:] != idx[:-1])]
+        )
+        bufs = _take(bufs, keep)
+    return bufs
+
+
+def _load_state(state: GroupState) -> tuple:
+    import numpy as np
 
     if state.exists:
-        next_idx, b_idx, b_role, b_text, b_tool, b_ts = state.get
-        b_idx = np.asarray(b_idx, dtype=np.int64)
-        b_role = np.asarray(b_role, dtype=object)
-        b_text = np.asarray(b_text, dtype=object)
-        b_tool = np.asarray(b_tool, dtype=object)
-        b_ts = np.asarray(b_ts, dtype=np.int64)
-    else:
-        next_idx = 0
-        b_idx = np.empty(0, dtype=np.int64)
-        b_role = b_text = b_tool = np.empty(0, dtype=object)
-        b_ts = np.empty(0, dtype=np.int64)
-
-    def _save(idx, role, text, tool, ts):
-        state.update(
-            (
-                int(next_idx),
-                idx.astype("int64").tolist(),
-                role.tolist(),
-                text.tolist(),
-                tool.tolist(),
-                ts.tolist(),
-            )
+        c_conv, c_next, b_conv, b_idx, b_role, b_text, b_tool, b_ts = state.get
+        nxt = dict(zip(c_conv, (int(v) for v in c_next)))
+        bufs = (
+            np.asarray(b_conv, dtype=object),
+            np.asarray(b_idx, dtype=np.int64),
+            np.asarray(b_role, dtype=object),
+            np.asarray(b_text, dtype=object),
+            np.asarray(b_tool, dtype=object),
+            np.asarray(b_ts, dtype=np.int64),
         )
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
+    else:
+        nxt = {}
+        bufs = (
+            np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object), np.empty(0, dtype=object),
+            np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+        )
+    return nxt, bufs
+
+
+def _save_state(state: GroupState, nxt: dict, bufs: tuple) -> None:
+    state.update(
+        (
+            list(nxt.keys()),
+            [int(v) for v in nxt.values()],
+            bufs[_B_CONV].tolist(),
+            bufs[_B_IDX].astype("int64").tolist(),
+            bufs[_B_ROLE].tolist(),
+            bufs[_B_TEXT].tolist(),
+            bufs[_B_TOOL].tolist(),
+            bufs[_B_TS].tolist(),
+        )
+    )
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(wm + 1 if wm > 0 else 1)
+
+
+def _order_fn(
+    key: Tuple[int], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-BUCKET hot loop, fully vectorized (numpy) across every
+    conversation in the bucket. Semantics per conversation are
+    identical to the original one-group-per-conv formulation (pinned by
+    test_stateful + test_turn_order_bucketing); the bucketing exists
+    because applyInPandasWithState pays a measured ~100 µs framework
+    floor per GROUP-call (Arrow slice -> pandas DataFrame, state
+    round-trip) — grouping by conv_id made that 3x37.5k calls on the
+    bench input where buckets make it 3xn_buckets (sampled worker
+    stacks: >70%% of busy time in per-group serde, <10%% in this
+    function's logic)."""
+    import numpy as np
+
+    nxt, bufs = _load_state(state)
 
     if state.hasTimedOut:
-        # Evict exactly the turns the watermark has passed: a flushed
-        # row's missing predecessor has an even older ts (ts is
-        # monotone in turn_idx per conversation), so Spark's late-data
-        # filter would drop it anyway — the gap is provably permanent.
-        # Turns with ts ahead of the watermark stay buffered. Explicit
-        # availability-over-completeness, the reference's stance on
-        # retry exhaustion (runner.go:147-156), but watermark-correct.
+        # Evict exactly the turns the watermark has passed, per
+        # conversation: a flushed row's missing predecessor has an even
+        # older ts (ts is monotone in turn_idx per conversation), so
+        # Spark's late-data filter would drop it anyway — the gap is
+        # provably permanent. Turns with ts ahead of the watermark stay
+        # buffered. Explicit availability-over-completeness, the
+        # reference's stance on retry exhaustion (runner.go:147-156),
+        # but watermark-correct. Conversations whose buffer was ALREADY
+        # empty at this timeout drop their tombstone cursor (it existed
+        # to dedup stale replays; bounded: two watermark horizons max).
         wm_us = state.getCurrentWatermarkMs() * 1000
-        order = np.argsort(b_idx, kind="stable")
-        b_idx, b_role, b_text, b_tool, b_ts = (
-            a[order] for a in (b_idx, b_role, b_text, b_tool, b_ts)
-        )
-        ripe_mask = b_ts <= wm_us
-        n_ripe = int(ripe_mask.sum())
-        if n_ripe:
-            ripe = (b_idx[ripe_mask], b_role[ripe_mask], b_text[ripe_mask],
-                    b_tool[ripe_mask], b_ts[ripe_mask])
-            keep_mask = ~ripe_mask
-            b_idx, b_role, b_text, b_tool, b_ts = (
-                a[keep_mask] for a in (b_idx, b_role, b_text, b_tool, b_ts)
-            )
-            next_idx = max(next_idx, int(ripe[0][-1]) + 1)
+        order = np.lexsort((bufs[_B_IDX], bufs[_B_CONV]))
+        bufs = _take(bufs, order)
+        ripe_mask = bufs[_B_TS] <= wm_us
+        buffered_convs = set(bufs[_B_CONV].tolist())
+        # tombstone eviction: convs with no buffered rows at entry
+        nxt = {c: v for c, v in nxt.items() if c in buffered_convs}
+        if ripe_mask.any():
+            ripe = _take(bufs, ripe_mask)
+            bufs = _take(bufs, ~ripe_mask)
+            # advance each flushing conv past its last ripe turn
+            r_conv = ripe[_B_CONV]
+            first, _seg = _seg_bounds(r_conv)
+            seg_last = np.concatenate([np.flatnonzero(first)[1:] - 1, [len(r_conv) - 1]])
+            for c, last_idx in zip(r_conv[np.flatnonzero(first)].tolist(),
+                                   ripe[_B_IDX][seg_last].tolist()):
+                nxt[c] = max(nxt[c], int(last_idx) + 1)
             # drop now-stale survivors, then emit any unblocked
             # contiguous successors as normal rows
-            live = b_idx >= next_idx
-            b_idx, b_role, b_text, b_tool, b_ts = (
-                a[live] for a in (b_idx, b_role, b_text, b_tool, b_ts)
-            )
-            contig = b_idx == (next_idx + np.arange(len(b_idx)))
-            n_emit = int(contig.argmin()) if not contig.all() else len(contig)
-            unblocked = (b_idx[:n_emit], b_role[:n_emit], b_text[:n_emit],
-                         b_tool[:n_emit], b_ts[:n_emit])
-            b_idx, b_role, b_text, b_tool, b_ts = (
-                a[n_emit:] for a in (b_idx, b_role, b_text, b_tool, b_ts)
-            )
-            next_idx += n_emit
-            # keep state even when the buffer drained: the tombstone's
-            # next_idx dedups stale replays; it is evicted at the NEXT
-            # timeout (bounded: two watermark horizons max)
-            _save(b_idx, b_role, b_text, b_tool, b_ts)
-            yield _emit_pdf(conv_id, *ripe, flushed=True)
-            if n_emit:
-                yield _emit_pdf(conv_id, *unblocked, flushed=False)
-        elif len(b_idx):
-            _save(b_idx, b_role, b_text, b_tool, b_ts)
+            nxt_per_row = np.array([nxt[c] for c in bufs[_B_CONV]], dtype=np.int64)
+            bufs = _take(bufs, bufs[_B_IDX] >= nxt_per_row)
+            unblocked, bufs = _contiguous_prefix(bufs, nxt)
+            _save_state(state, nxt, bufs)
+            yield _emit_pdf(ripe, flushed=True)
+            if len(unblocked[_B_CONV]):
+                yield _emit_pdf(unblocked, flushed=False)
+        elif nxt:
+            _save_state(state, nxt, bufs)
         else:
             state.remove()
         return
@@ -183,46 +256,49 @@ def _order_fn(
     parts = [p for p in pdf_iter if len(p)]
     if parts:
         new = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        n_idx = new["turn_idx"].to_numpy(dtype=np.int64)
-        n_ts = new["ts"].astype("datetime64[us]").to_numpy().astype(np.int64)
-        n_role = new["role"].to_numpy(dtype=object)
-        n_text = new["text"].to_numpy(dtype=object)
-        n_tool = new["tool"].where(new["tool"].notna(), None).to_numpy(dtype=object)
-        b_idx = np.concatenate([b_idx, n_idx])
-        b_role = np.concatenate([b_role, n_role])
-        b_text = np.concatenate([b_text, n_text])
-        b_tool = np.concatenate([b_tool, n_tool])
-        b_ts = np.concatenate([b_ts, n_ts])
-
-    # drop stale (already emitted), sort by idx, dedup keep-first
-    live = b_idx >= next_idx
-    order = np.argsort(b_idx[live], kind="stable")
-    b_idx, b_role, b_text, b_tool, b_ts = (
-        a[live][order] for a in (b_idx, b_role, b_text, b_tool, b_ts)
-    )
-    if len(b_idx):
-        first = np.concatenate([[True], b_idx[1:] != b_idx[:-1]])
-        b_idx, b_role, b_text, b_tool, b_ts = (
-            a[first] for a in (b_idx, b_role, b_text, b_tool, b_ts)
+        n_conv = new["conv_id"].to_numpy(dtype=object)
+        for c in set(n_conv.tolist()):
+            nxt.setdefault(c, 0)
+        bufs = tuple(
+            np.concatenate([old, add])
+            for old, add in zip(
+                bufs,
+                (
+                    n_conv,
+                    new["turn_idx"].to_numpy(dtype=np.int64),
+                    new["role"].to_numpy(dtype=object),
+                    new["text"].to_numpy(dtype=object),
+                    new["tool"].where(new["tool"].notna(), None).to_numpy(dtype=object),
+                    new["ts"].astype("datetime64[us]").to_numpy().astype(np.int64),
+                ),
+            )
         )
 
-    # emit the contiguous prefix starting at next_idx
-    contig = b_idx == (next_idx + np.arange(len(b_idx)))
-    n_emit = int(contig.argmin()) if not contig.all() else len(contig)
-    emit = (b_idx[:n_emit], b_role[:n_emit], b_text[:n_emit],
-            b_tool[:n_emit], b_ts[:n_emit])
-    b_idx, b_role, b_text, b_tool, b_ts = (
-        a[n_emit:] for a in (b_idx, b_role, b_text, b_tool, b_ts)
-    )
-    next_idx += n_emit
+    # drop stale (already emitted), sort by (conv, idx), dedup
+    # keep-first, then emit each conversation's contiguous prefix
+    bufs = _sorted_dedup_live(bufs, nxt)
+    emit, bufs = _contiguous_prefix(bufs, nxt)
 
-    _save(b_idx, b_role, b_text, b_tool, b_ts)
-    if n_emit:
-        yield _emit_pdf(conv_id, *emit, flushed=False)
+    _save_state(state, nxt, bufs)
+    if len(emit[_B_CONV]):
+        yield _emit_pdf(emit, flushed=False)
+
+
+def turn_order_buckets(df: DataFrame) -> int:
+    """Scale-adaptive bucket count for enforce_turn_order: enough
+    buckets that no single group-call sees a meaningful fraction of a
+    partition's rows (32 per core, like shuffle salting), overridable
+    via QS_TURN_ORDER_BUCKETS for cluster tuning."""
+    import os
+
+    env = os.environ.get("QS_TURN_ORDER_BUCKETS")
+    if env:
+        return int(env)
+    return df.sparkSession.sparkContext.defaultParallelism * 32
 
 
 def enforce_turn_order(
-    df: DataFrame, watermark: str = "1 hour"
+    df: DataFrame, watermark: str = "1 hour", n_buckets: int | None = None
 ) -> DataFrame:
     """Streaming turn-order enforcement keyed by ``conv_id``.
 
@@ -230,6 +306,15 @@ def enforce_turn_order(
     ``ORDER BY conv_id, turn_idx`` with duplicates dropped — streaming
     output must equal it as a set, with per-conversation emission order
     contiguous in ``turn_idx``.
+
+    The stateful group key is a deterministic hash BUCKET of conv_id
+    (``pmod(xxhash64(conv_id), n_buckets)``), not conv_id itself: the
+    per-conversation logic is vectorized ACROSS the bucket inside
+    _order_fn, so the applyInPandasWithState per-group-call framework
+    cost is paid per bucket instead of per conversation (measured
+    21s -> ~8s on the 651k-turn bench leg). State stays
+    watermark-bounded and skew stays hash-spread; one conversation
+    still never spans buckets, so per-conv ordering is preserved.
     """
     if not df.isStreaming:
         return (
@@ -237,9 +322,11 @@ def enforce_turn_order(
             .withColumn("flushed", F.lit(False))
             .select([f.name for f in ORDERED_OUTPUT_SCHEMA.fields])
         )
+    n = n_buckets or turn_order_buckets(df)
     return (
         df.withWatermark("ts", watermark)
-        .groupBy("conv_id")
+        .withColumn("_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n)))
+        .groupBy("_bucket")
         .applyInPandasWithState(
             _order_fn,
             outputStructType=ORDERED_OUTPUT_SCHEMA,

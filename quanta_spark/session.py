@@ -46,6 +46,34 @@ def get_spark(
     master = f"local[{cores}]" if cores else "local[*]"
     n_par = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
 
+    # Local-mode package shipping via PYTHONPATH instead of addPyFile:
+    # every Python worker TASK calls importlib.invalidate_caches()
+    # (pyspark worker_util.setup_spark_files), which rescans the central
+    # directory of every cached zipimporter — with the addPyFile'd
+    # package zip that measured ~11% of worker wall time on the
+    # turn-order leg (sampled stacks: zipimport._read_directory).
+    # Exporting the real package dir on PYTHONPATH before the JVM forks
+    # gives workers a plain directory import with nothing to rescan.
+    # Only possible when THIS call launches the JVM (env is inherited at
+    # launch) and the master is local (a remote executor does not share
+    # this filesystem) — otherwise _ship_package falls back to the zip.
+    from pyspark import SparkContext
+
+    jvm_preexisting = SparkContext._active_spark_context is not None
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ship_via_env = (
+        not jvm_preexisting
+        and "SPARK_SUBMIT_MASTER" not in os.environ
+        and master.startswith("local")
+        and os.path.isdir(pkg_parent)
+    )
+    if ship_via_env:
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + pp if pp else "")
+            )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_par))
@@ -66,6 +94,22 @@ def get_spark(
         .config(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
+        )
+        # Spark 4.1's checkpoint-file checksum layer
+        # (ChecksumCheckpointFileManager) wraps EVERY checkpoint file
+        # write/read in a 2-thread pool + synchronous awaitResult; with
+        # 32 partitions x up to 4 state stores per stateful operator it
+        # measured 2-3s of pure wait per micro-batch (jstack: all 32
+        # tasks parked in ChecksumCheckpointFileManager$.awaitResult,
+        # ~1,100 idle pool threads) — reply_join leg 14.5s -> 8.1s,
+        # composite 18.4s -> 8.7s with it off. On file:// and HDFS
+        # checkpoints it is also REDUNDANT: Hadoop's ChecksumFileSystem
+        # already CRCs every file (the checkpoint held *.crc.crc
+        # files). Re-enable via QS_CHECKPOINT_CHECKSUM=true for object
+        # stores without native integrity checks.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("QS_CHECKPOINT_CHECKSUM", "false"),
         )
         # parquet scan tuning: at 100 TB the scan must split well.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -97,6 +141,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if ship_via_env:
+        # workers import from pkg_parent via the inherited PYTHONPATH
+        spark.sparkContext._quanta_pkg_shipped = True
     _ship_package(spark)
     return spark
 

@@ -934,3 +934,76 @@ def test_stream_ks_monitor_batch_twin_flags_planted_drift(spark):
         stream_ks_monitor(df, [1, 2], 0, 32, 32)
     with pytest.raises(ValueError, match="empty"):
         stream_ks_monitor(df, [0] * 32, 0, 32, 32)
+
+
+def test_turn_order_bucketed_single_group(spark, tmp_workdir):
+    """Focused test for the r07 bucketing optimization: force EVERY
+    conversation through ONE state bucket (n_buckets=1), so the
+    vectorized multi-conversation path inside _order_fn carries the
+    whole load — per-conv contiguous emission, no dup, no loss must
+    hold exactly as with per-conv groups."""
+    batches = _run_stream(
+        spark,
+        tmp_workdir,
+        lambda src: enforce_turn_order(src, watermark="1 hour", n_buckets=1),
+        per_trigger=2,
+    )
+    emitted: dict[str, list[int]] = {}
+    for _bid, rows in batches:
+        for r in rows:
+            if r["conv_id"] != HEARTBEAT_CONV:
+                emitted.setdefault(r["conv_id"], []).append(r["turn_idx"])
+
+    want = generate(SPEC)
+    sizes = want.groupby("conv_id").size()
+    assert set(emitted) == set(sizes.index.astype(str))
+    for conv, idxs in emitted.items():
+        assert idxs == list(range(len(idxs))), f"{conv}: out of order {idxs[:10]}"
+        assert len(idxs) == sizes[conv]
+
+
+def test_turn_order_bucketed_gap_flush_single_group(spark, tmp_workdir):
+    """Permanent-gap flush semantics with every conversation in one
+    bucket: successors of a dropped turn arrive via the watermark flush
+    (flushed=True), exactly once, never before the gap is permanent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quanta_spark.datagen import _ARROW_SCHEMA
+
+    spec = GenSpec(n_convs=10, mean_turns=12, seed=46, late_frac=0.0, shuffle_frac=0.0)
+    pdf = generate(spec).drop(columns=["arrival_ts"])
+    victim = pdf.groupby("conv_id").size().idxmax()
+    drop_mask = (pdf.conv_id == victim) & (pdf.turn_idx == 3)
+    kept = (
+        pdf[~drop_mask]
+        .sort_values("ts", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    data_dir = os.path.join(tmp_workdir, "in")
+    os.makedirs(data_dir)
+    for k in range(4):
+        chunk = kept.iloc[k * len(kept) // 4 : (k + 1) * len(kept) // 4]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=_ARROW_SCHEMA, preserve_index=False),
+            os.path.join(data_dir, f"part-{k:05d}.parquet"),
+        )
+    batches = []
+    src = stream_transcripts_files(spark, data_dir, max_files_per_trigger=1, with_lineage=False)
+    h = start_pipeline(
+        enforce_turn_order(src, watermark="10 minutes", n_buckets=1),
+        lambda b, i: batches.append(b.collect()),
+        os.path.join(tmp_workdir, "ckpt"),
+    )
+    h.process_all_available()
+    write_heartbeat_file(data_dir, pdf["ts"].max() + pd.Timedelta(days=30))
+    run_to_completion(h)
+
+    rows = [r for bs in batches for r in bs if r["conv_id"] != HEARTBEAT_CONV]
+    got = pd.DataFrame([r.asDict() for r in rows])
+    assert len(got) == len(kept), "loss or duplication around the gap"
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    vic = got[got.conv_id == victim].sort_values("turn_idx")
+    assert list(vic.turn_idx) == [i for i in range(len(vic) + 1) if i != 3]
+    assert not vic[vic.turn_idx < 3]["flushed"].any()
+    assert vic[vic.turn_idx == 4]["flushed"].iloc[0]
