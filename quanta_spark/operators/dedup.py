@@ -113,12 +113,19 @@ def _grams_of_norm(norm: Column, n: int) -> Column:
     )
 
 
-def _norm_grams_df(df: DataFrame, text_col: str, n: int) -> DataFrame:
+def _norm_grams_df(
+    df: DataFrame, text_col: str, n: int, only_ids: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, grams) with the normalization materialized behind an
     exchange barrier: Catalyst's CollapseProject would otherwise inline
     the regexp_replace into the per-element lambda. The repartition
     also restores parallelism for the downstream explode/join — the
-    plan shape you want at corpus scale anyway."""
+    plan shape you want at corpus scale anyway.
+
+    ``only_ids`` (a small (doc_id) DataFrame, broadcast) restricts the
+    CPU-heavy gram transform to just those docs — the verify step of a
+    blocked pipeline only needs grams for CANDIDATE docs, not the
+    corpus (guide §3.2: pre-filter before the expensive work)."""
     # explicit partition count: AQE would coalesce this tiny-bytes
     # exchange to 1 partition, serializing the (CPU-heavy) downstream
     # gram transform + explode onto one core (measured 4-16x slowdown)
@@ -126,6 +133,8 @@ def _norm_grams_df(df: DataFrame, text_col: str, n: int) -> DataFrame:
     normed = df.select(
         "doc_id", normalized(F.col(text_col)).alias("_nrm")
     ).repartition(n_parts, F.col("doc_id"))
+    if only_ids is not None:
+        normed = normed.join(F.broadcast(only_ids), "doc_id")
     return normed.select(
         "doc_id", _grams_of_norm(F.col("_nrm"), n).alias("grams")
     )
@@ -136,15 +145,19 @@ def ngram_jaccard_pairs(
     pair_df: DataFrame | None = None,
     n: int = 3,
     text_col: str = "text",
+    only_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs.
 
     ``pair_df(doc_a, doc_b)`` supplies candidates (from LSH or any
     blocking); default blocks on consecutive doc_ids (cheap demo
     blocking). Jaccard is computed with array_intersect/union —
-    whole-stage-codegen'd, no Python.
+    whole-stage-codegen'd, no Python. ``only_docs`` (small (doc_id)
+    frame) restricts gram computation to those docs — pass the distinct
+    ids of ``pair_df`` (CACHED, or it is recomputed) so the verify
+    stage never re-shingles the whole corpus.
     """
-    grams = _norm_grams_df(df, text_col, n)
+    grams = _norm_grams_df(df, text_col, n, only_ids=only_docs)
     if pair_df is None:
         pair_df = df.select((F.col("doc_id")).alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"))
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
@@ -272,10 +285,30 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from LSH, then
     EXACT n-gram Jaccard verification >= threshold. The verify step
-    makes the output exact-on-candidates (LSH only affects recall)."""
-    sigs = minhash_signatures(df, shingle_n=shingle_n, text_col=text_col, hasher=hasher)
-    cands = minhash_lsh_candidates(sigs, hasher=hasher)
-    verified = ngram_jaccard_pairs(df, pair_df=cands, n=shingle_n, text_col=text_col)
+    makes the output exact-on-candidates (LSH only affects recall).
+
+    Materialization (guide §5, persist-when-reused): the signature
+    table feeds BOTH sides of the band self-join — without a persist
+    the whole shingle->minhash pipeline is planned (and executed)
+    twice, and the candidate table feeds both the verify join and the
+    only-docs filter. Both tables are tiny relative to the corpus
+    (n_docs x 64 longs; pairs), so they are persisted for the life of
+    the query instead of recomputed; the verify stage then re-shingles
+    only CANDIDATE docs instead of the corpus (plan before/after:
+    plans/r07/q28_*). Measured ~2.8s -> ~1.7s warm on the sf0.1 bench
+    leg (and the r06 driver medians for these legs were 7.5-8.6s)."""
+    sigs = minhash_signatures(
+        df, shingle_n=shingle_n, text_col=text_col, hasher=hasher
+    ).persist()
+    cands = minhash_lsh_candidates(sigs, hasher=hasher).persist()
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        df, pair_df=cands, n=shingle_n, text_col=text_col, only_docs=ids
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -50,6 +50,16 @@ QUERY_FNS: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# view-registration memo: (session identity) -> (sf_dir, table mtimes).
+# _prepare is called by EVERY registered query; re-reading ten parquet
+# footers + re-registering ten temp views measured ~1.0 s per call even
+# warm (driver-side file listing via py4j), which dominated the 1-2 s
+# batch bench legs. The key carries each table path's mtime, so a
+# rewritten/added table (fixture tests) re-registers automatically, and
+# a CHANGED sf_dir always re-registers (staleness contract below).
+_PREPARED: dict[tuple, tuple] = {}
+
+
 def _prepare(spark: SparkSession, sf_dir: str) -> None:
     """Make a driver-provided session behave like ours: UTC timestamps
     (DuckDB comparability), map-merge policy, package on executors."""
@@ -74,14 +84,21 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
         _ship_package(spark)
     except Exception:
         pass
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in TABLES]
+    state = tuple(
+        os.path.getmtime(p) if os.path.exists(p) else None for p in paths
+    )
+    sess_key = (spark.sparkContext.applicationId, id(spark._jsparkSession))
+    if _PREPARED.get(sess_key) == (sf_dir, state):
+        return
+    for t, path, mtime in zip(TABLES, paths, state):
+        if mtime is not None:
             spark.read.parquet(path).createOrReplaceTempView(t)
         else:
             # never let a query silently run against a STALE view from a
             # previous sf_dir — fail with TABLE_OR_VIEW_NOT_FOUND instead
             spark.catalog.dropTempView(t)
+    _PREPARED[sess_key] = (sf_dir, state)
 
 
 def query(name: str, oracle: str | None = None):

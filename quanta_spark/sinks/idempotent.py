@@ -127,8 +127,12 @@ class IdempotentSink:
             ok_out.write.mode("overwrite").parquet(
                 os.path.join(self.data_dir, f"batch_id={batch_id}")
             )
+            # coalesce(1): dead-letter rows are rare by design (poison
+            # only), but the write's task+commit overhead was paid per
+            # CACHED PARTITION (16 schema-only files per empty batch —
+            # ~0.1s/batch of pure commit protocol at the bench shape)
             dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id))
-            dlq_out.write.mode("overwrite").parquet(
+            dlq_out.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.dlq_dir, f"batch_id={batch_id}")
             )
             lineage.coalesce(1).write.mode("overwrite").parquet(
