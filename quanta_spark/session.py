@@ -137,6 +137,17 @@ def get_spark(
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", _ROCKSDB
         )
+        # Stream-stream join state format v3 (Spark 4, RocksDB-only):
+        # one state store with virtual column families instead of FOUR
+        # stores (keyToNumValues + keyWithIndexToValue per side) per
+        # partition — quarters the per-batch store open/commit overhead.
+        # Measured reply_join 8.9s -> 6.7s, composite 10.0s -> 8.2s on
+        # the sf0.1 bench legs (A/B, same box). Existing checkpoints
+        # pin their own version in the offset log, so restarts of old
+        # queries are unaffected.
+        builder = builder.config(
+            "spark.sql.streaming.join.stateFormatVersion", "3"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -114,6 +114,8 @@ class IdempotentSink:
 
     # -- the writer ------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         self.batches_seen.append(batch_id)
         batch_df = batch_df.persist()
         try:
@@ -123,21 +125,38 @@ class IdempotentSink:
                 ok = ok.dropDuplicates(list(self.key_cols))
             drop = [STATUS_COL, ERROR_COL, "_src_file"] if self.drop_internal_cols else []
             ok_out = ok.drop(*drop) if drop else ok
-            # batch-id-keyed overwrite = idempotent on replay
-            ok_out.write.mode("overwrite").parquet(
-                os.path.join(self.data_dir, f"batch_id={batch_id}")
-            )
-            # coalesce(1): dead-letter rows are rare by design (poison
-            # only), but the write's task+commit overhead was paid per
-            # CACHED PARTITION (16 schema-only files per empty batch —
-            # ~0.1s/batch of pure commit protocol at the bench shape)
-            dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id))
-            dlq_out.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.dlq_dir, f"batch_id={batch_id}")
-            )
-            lineage.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.lineage_dir, f"batch_id={batch_id}")
-            )
+
+            # The three writes are independent actions over the cached
+            # batch; run them from a small thread pool so the dlq and
+            # lineage commits back-fill the ok write's task tail
+            # (guide §2.6). Failure semantics are unchanged: any write
+            # error propagates, the batch is NOT committed, and the
+            # replay overwrites all three dirs (idempotent).
+            def w_ok() -> None:
+                # batch-id-keyed overwrite = idempotent on replay
+                ok_out.write.mode("overwrite").parquet(
+                    os.path.join(self.data_dir, f"batch_id={batch_id}")
+                )
+
+            def w_dlq() -> None:
+                # coalesce(1): dead-letter rows are rare by design
+                # (poison only), but the write's task+commit overhead
+                # was paid per CACHED PARTITION (16 schema-only files
+                # per clean batch)
+                dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id))
+                dlq_out.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(self.dlq_dir, f"batch_id={batch_id}")
+                )
+
+            def w_lineage() -> None:
+                lineage.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(self.lineage_dir, f"batch_id={batch_id}")
+                )
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [pool.submit(w) for w in (w_ok, w_dlq, w_lineage)]
+                for f in futures:
+                    f.result()
         finally:
             batch_df.unpersist()
 
