@@ -1388,6 +1388,10 @@ def edit_link(
     (length n) into k+1 contiguous pieces; <= k edits leave at least
     one piece untouched, and that piece appears verbatim in the RIGHT
     key shifted by at most k positions (the net indels before it).
+    Left keys SHORTER than k+1 characters cannot be cut into k+1
+    non-empty pieces; they go through a direct length-blocked join
+    instead (see the short-key fallback below), so recall is exact for
+    every key length.
     The RIGHT side therefore enumerates, for every plausible left
     length n in [len(t)-k, len(t)+k], every piece index, every shift
     in [-k, k] — a bounded (2k+1)^2 (k+1) fan-out per row, k tiny —
@@ -1453,8 +1457,43 @@ def edit_link(
     cand = (
         lc.join(rc, ["piece_idx", "piece", "left_len"])
         .select(left_id, right_id, "l_key", "r_key")
-        .distinct()
     )
+
+    # Short-key fallback (ADVICE r06): the probe enumerates left
+    # lengths n >= k+1 only (a length-n key cut into k+1 pieces needs
+    # n >= k+1 for non-empty pieces), so pairs whose LEFT key is
+    # shorter than k+1 characters — including exact duplicates — were
+    # never generated. Route those rows through a direct length-blocked
+    # equi-join (explode the <= 2k+1 admissible right lengths; join on
+    # length(r_key)) — bounded fan-out, no cross join, and the slice is
+    # tiny by construction (keys shorter than k+1 chars).
+    if k > 0:
+        short_lc = (
+            left.filter(F.length(F.col(key_col).cast("string")) <= k)
+            .select(
+                F.col(left_id),
+                F.col(key_col).cast("string").alias("l_key"),
+                F.explode(
+                    F.sequence(
+                        F.greatest(
+                            F.length(F.col(key_col).cast("string")) - k, F.lit(0)
+                        ),
+                        F.length(F.col(key_col).cast("string")) + k,
+                    )
+                ).alias("_rlen"),
+            )
+        )
+        short_rc = right.select(
+            F.col(right_id),
+            F.col(key_col).cast("string").alias("r_key"),
+            F.length(F.col(key_col).cast("string")).alias("_rlen"),
+        )
+        cand = cand.unionByName(
+            short_lc.join(short_rc, "_rlen").select(
+                left_id, right_id, "l_key", "r_key"
+            )
+        )
+    cand = cand.distinct()
     return (
         cand.withColumn("dist", F.levenshtein("l_key", "r_key").cast("int"))
         .filter(F.col("dist") <= k)

@@ -95,6 +95,14 @@ def rollup_aggregate(
             raise ValueError(
                 f"hist n_bins must be in [1, 256] (one SUM per bin), got {n_bins}"
             )
+        # same overflow contract as sketches.histogram_counts: _floor_div
+        # divides in double, so (value-lo)*n_bins beyond 2^52 would bin
+        # WRONG instead of raising (ADVICE r06)
+        if (hi - lo) * n_bins >= (1 << 52):
+            raise ValueError(
+                f"hist range too wide: ({hi} - {lo}) * {n_bins} must stay "
+                "below 2^52 (double-precision floor division)"
+            )
         from quanta_spark.operators.sketches import _floor_div
 
         vc = F.greatest(F.least(v.cast("long"), F.lit(hi - 1)), F.lit(lo))

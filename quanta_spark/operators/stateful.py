@@ -1766,7 +1766,9 @@ def stream_ks_monitor(
             )
 
         keyed = df.filter(
-            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+            F.col(value_col).isNotNull()
+            & ~F.coalesce(F.isnan(F.col(value_col).cast("double")), F.lit(False))
+            & F.col(ts_col).isNotNull()
         ).withColumn(
             "_w",
             F.timestamp_micros(
@@ -1810,7 +1812,12 @@ def stream_ks_monitor(
             state.setTimeoutTimestamp(max(win_end_us // 1000, wm // 1000 + 1) + 1)
 
     clean = df.filter(
-        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        F.col(value_col).isNotNull()
+        # NaN would hit an undefined float->int64 cast in _bin and land
+        # in an edge bin (ADVICE r06); exclude it like rollup_aggregate
+        # and m4_downsample do. try_cast: isnan rejects non-numeric types.
+        & ~F.coalesce(F.isnan(F.col(value_col).cast("double")), F.lit(False))
+        & F.col(ts_col).isNotNull()
     ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))  # cast BEFORE watermark
     keyed = clean.withWatermark(ts_col, watermark).withColumn(
         "_win_us",

@@ -67,6 +67,10 @@ class FoldSink:
     keep_gens: int = 2
     batches_folded: list[int] = field(default_factory=list)
     batches_skipped: list[int] = field(default_factory=list)
+    #: (batch_id, committed_gen) pairs where the id regressed by MORE
+    #: than a replay step — the fresh-checkpoint-against-old-rollup
+    #: signature (logged loudly; see __call__)
+    batch_id_regressions: list[tuple[int, int]] = field(default_factory=list)
 
     @property
     def _marker(self) -> str:
@@ -85,6 +89,27 @@ class FoldSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         latest = self.latest_gen()
         if latest is not None and batch_id <= latest:
+            if batch_id < latest:
+                # A legitimate crash-replay re-delivers at most the LAST
+                # uncommitted batch (id == latest); an id strictly below
+                # it usually means the stream was restarted with a
+                # FRESH/deleted checkpoint while base_dir kept the old
+                # generations — every batch would then be silently
+                # skipped and the rollup frozen (ADVICE r06). Keep the
+                # exactly-once no-op contract but make the regression
+                # LOUD and observable.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "FoldSink at %s: batch_id %d is behind the committed "
+                    "generation %d by more than a replay step — if the "
+                    "query was restarted with a fresh checkpoint against "
+                    "an existing rollup, every batch will be skipped. "
+                    "Restore the original checkpoint or use a clean "
+                    "base_dir.",
+                    self.base_dir, batch_id, latest,
+                )
+                self.batch_id_regressions.append((batch_id, latest))
             # replay of an already-folded batch: exactly-once no-op
             self.batches_skipped.append(batch_id)
             return

@@ -1209,3 +1209,44 @@ def test_maxsim_blocked_scores_match_exact_on_candidates(spark):
     assert blocked, "bucket pruning left zero candidates on the fixture"
     for pair, score in blocked.items():
         assert exact[pair] == score, pair
+
+
+def test_edit_link_short_left_keys_link_exactly(spark):
+    """ADVICE r06 fix: left keys shorter than max_edits+1 characters
+    cannot be cut into k+1 non-empty pieces, so the pigeonhole probe
+    never generated them as candidates — including exact duplicates.
+    The length-blocked fallback must recover them, still matching the
+    brute-force answer, still with no cartesian in the plan."""
+    from quanta_spark.operators.dedup import edit_link
+
+    masters = {1: "ab", 2: "x", 3: "abcdef012345"}
+    variants = {
+        11: "ab",      # exact dup of short key -> dist 0
+        12: "abq",     # insertion -> dist 1 to m1
+        13: "xz",      # insertion -> dist 1 to m2
+        14: "abcdef12345",  # long-key deletion, the classic path
+        15: "zzzzzz",  # must not link to anything at k=2
+    }
+    m = spark.createDataFrame(list(masters.items()), "m_id long, key string")
+    v = spark.createDataFrame(list(variants.items()), "v_id long, key string")
+    out = edit_link(m, v, max_edits=2)
+    got = {(r["m_id"], r["v_id"]): r["dist"] for r in out.collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (mi, vi): lev(mk, vk)
+        for mi, mk in masters.items()
+        for vi, vk in variants.items()
+        if lev(mk, vk) <= 2
+    }
+    assert got == want
+    assert got[(1, 11)] == 0 and got[(1, 12)] == 1 and got[(2, 13)] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -312,3 +312,30 @@ def test_latest_snapshot_merge_order_invariant_and_tie_break(spark):
 
     with _pytest.raises(ValueError, match="keys"):
         latest_aggregate(mk(rows), [])
+
+
+def test_rollup_aggregate_hist_range_overflow_raises(spark):
+    """ADVICE r06 fix: share histogram_counts' 2^52 overflow contract —
+    a huge (hi-lo)*n_bins domain must raise, not bin wrongly."""
+    import pytest
+
+    from quanta_spark.operators.rollup import rollup_aggregate
+
+    df = spark.createDataFrame([("x", 1.0, 1)], "k string, value double, n int")
+    with pytest.raises(ValueError, match="2\\^52"):
+        rollup_aggregate(df, ["k"], hist=(0, 1 << 51, 256))
+
+
+def test_rollup_sink_fresh_checkpoint_regression_is_loud(spark, tmp_path):
+    """ADVICE r06 fix: a batch id behind the committed generation by
+    MORE than a replay step (fresh checkpoint against an old rollup)
+    keeps the exactly-once no-op but is recorded and logged loudly."""
+    from quanta_spark.sinks.rollup import RollupSink
+
+    sink = RollupSink(base_dir=str(tmp_path / "r"), keys=("k",), value_col="value")
+    b = _rows(spark, [("x", 1.0, 1)])
+    sink(b, 0)
+    sink(b, 5)
+    sink(b, 0)  # fresh-checkpoint restart signature
+    assert sink.batch_id_regressions == [(0, 5)]
+    assert sink.batches_skipped == [0]

@@ -1007,3 +1007,25 @@ def test_turn_order_bucketed_gap_flush_single_group(spark, tmp_workdir):
     assert list(vic.turn_idx) == [i for i in range(len(vic) + 1) if i != 3]
     assert not vic[vic.turn_idx < 3]["flushed"].any()
     assert vic[vic.turn_idx == 4]["flushed"].iloc[0]
+
+
+def test_stream_ks_monitor_excludes_nan_values(spark):
+    """ADVICE r06 fix: NaN passed the null filter and hit an undefined
+    float->int64 cast in the binning; it must be excluded like NULL."""
+    import datetime
+    import math
+
+    from quanta_spark.operators.stateful import stream_ks_monitor
+
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [(float(i % 32), t0) for i in range(64)]
+    base = [2] * 32
+    clean = spark.createDataFrame(rows, "value double, ts timestamp")
+    noisy = spark.createDataFrame(
+        rows + [(float("nan"), t0)] * 5, "value double, ts timestamp"
+    )
+    got_clean = stream_ks_monitor(clean, base, 0, 32, 32, window="6 hours").collect()
+    got_noisy = stream_ks_monitor(noisy, base, 0, 32, 32, window="6 hours").collect()
+    assert [r.asDict() for r in got_clean] == [r.asDict() for r in got_noisy]
+    assert got_noisy[0]["n"] == 64  # NaN rows not counted
+    assert not math.isnan(got_noisy[0]["ks_bp"])
