@@ -59,7 +59,8 @@ def _gate_order(names: list[str]) -> list[str]:
     never-gated stalest of all; ties broken by canonical registration
     order), computed from the committed ``CORRECTNESS_r*.json`` files.
     Every registered operator then gets an independent driver row at
-    least every other round, and newly added operators gate immediately.
+    least every ceil(len(registry)/50) rounds, and newly added operators
+    gate immediately.
     """
     import glob
     import json

@@ -156,7 +156,39 @@ def get_spark(
         # workers import from pkg_parent via the inherited PYTHONPATH
         spark.sparkContext._quanta_pkg_shipped = True
     _ship_package(spark)
+    if not jvm_preexisting:
+        _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Fork the reusable Python worker pool and import its heavy deps
+    (pandas/numpy) once at session build: with worker reuse on (the
+    default) the pool then serves every later pandas-UDF/mapInPandas
+    query, instead of the FIRST such query paying ~one fork + ~0.5 s of
+    imports per core inside its own wall time. One tiny mapInPandas job
+    with one row per core; disable with QS_WARM_PYTHON_WORKERS=0
+    (e.g. for sessions that never touch the Python boundary)."""
+    if os.environ.get("QS_WARM_PYTHON_WORKERS", "1") != "1":
+        return
+    n = spark.sparkContext.defaultParallelism
+
+    def _imp(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    try:
+        (
+            spark.range(0, n, 1, n)
+            .mapInPandas(_imp, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # pragma: no cover - warmup must never fail a session
+        pass
 
 
 def _ship_package(spark: SparkSession) -> None:

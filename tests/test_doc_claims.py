@@ -64,3 +64,27 @@ def test_doc_pending_claims_are_actually_pending():
                         "green driver row"
                     )
     assert bad == [], "\n".join(bad)
+
+
+def test_doc_gate_cadence_claim_is_derived():
+    """VERDICT r06 #4: the rotation-cadence claim rotted once when the
+    registry outgrew 100 queries ("every other round" was only true at
+    <=100). Docs must state the DERIVED cadence ceil(len(registry)/50),
+    and may only say "every other round" if that is actually the
+    cadence."""
+    import math
+
+    from quanta_spark import queries as q
+
+    cadence = math.ceil(len(q.QUERY_FNS) / 50)
+    for doc in ("README.md", "__spark_entry__.py"):
+        p = os.path.join(HERE, doc)
+        text = open(p).read()
+        assert "ceil(len(registry)/50)" in text, (
+            f"{doc}: cadence claim must be stated as ceil(len(registry)/50)"
+        )
+        if cadence != 2:
+            assert "every other round" not in text, (
+                f"{doc}: claims 'every other round' but the registry has "
+                f"{len(q.QUERY_FNS)} queries => cadence {cadence}"
+            )
