@@ -194,6 +194,9 @@ def test_no_per_row_python_or_rdd_in_package():
     sc_allow = {
         "broadcast", "addPyFile", "defaultParallelism", "setLogLevel",
         "master", "_quanta_pkg_shipped",
+        # driver-side session identity for the _prepare view-registration
+        # memo (r07) — a metadata read, not a data path
+        "applicationId",
     }
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "quanta_spark")
     bad = []
